@@ -1,0 +1,312 @@
+"""Vectorized planar-geometry kernels (pure numpy) over decoded WKB.
+
+These replace the PostGIS scalar functions the reference leans on:
+ST_Centroid/ST_Transform (/root/reference/database/db.py:73-84),
+ST_Area (db.py:150-158), ST_Buffer (db.py:243-245, app/query.py:158),
+ST_Intersects (db.py:116-122,219-224,236-241),
+ST_Intersection + area ratio (app/query.py:154-156).
+
+Exactness contract:
+- centroid / area in EPSG:3035 match PROJ/PostGIS to float64 precision
+  (see pda_spark.geo.proj);
+- point-in-polygon and polygon-polygon intersects are exact for simple
+  polygons (even-odd rule; touching boundaries count as intersecting up to
+  float tolerance);
+- intersection *area* is exact when at least one operand is convex
+  (Sutherland–Hodgman clipping); the scale path for arbitrary shapes is the
+  tile/zonal operator in pda_spark.operators.tiling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pda_spark.geo import proj, wkb
+
+# ------------------------------------------------------------ ring math
+
+
+def ring_area_signed(ring: np.ndarray) -> float:
+    """Shoelace signed area of a closed ring."""
+    x, y = ring[:, 0], ring[:, 1]
+    return float(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1])) / 2.0
+
+
+def ring_centroid(ring: np.ndarray) -> tuple[float, float, float]:
+    """(cx, cy, signed_area) of a closed ring (area-weighted centroid)."""
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    cross = x0 * y1 - x1 * y0
+    a = cross.sum() / 2.0
+    if a == 0.0:
+        return float(ring[:, 0].mean()), float(ring[:, 1].mean()), 0.0
+    cx = float(((x0 + x1) * cross).sum() / (6.0 * a))
+    cy = float(((y0 + y1) * cross).sum() / (6.0 * a))
+    return cx, cy, float(a)
+
+
+def polygons_area(polys: list[list[np.ndarray]]) -> float:
+    """Area of polygons-with-holes: |outer| - sum(|holes|) per polygon."""
+    total = 0.0
+    for rings in polys:
+        total += abs(ring_area_signed(rings[0]))
+        for hole in rings[1:]:
+            total -= abs(ring_area_signed(hole))
+    return total
+
+
+def polygons_centroid(polys: list[list[np.ndarray]]) -> tuple[float, float]:
+    """Area-weighted centroid of polygons-with-holes."""
+    sa = sx = sy = 0.0
+    for rings in polys:
+        cx, cy, a = ring_centroid(rings[0])
+        a = abs(a)
+        sx += cx * a
+        sy += cy * a
+        sa += a
+        for hole in rings[1:]:
+            hx, hy, ha = ring_centroid(hole)
+            ha = abs(ha)
+            sx -= hx * ha
+            sy -= hy * ha
+            sa -= ha
+    if sa == 0.0:
+        pts = np.concatenate([r for rings in polys for r in rings])
+        return float(pts[:, 0].mean()), float(pts[:, 1].mean())
+    return sx / sa, sy / sa
+
+
+def _project_polys(polys: list[list[np.ndarray]]) -> list[list[np.ndarray]]:
+    out = []
+    for rings in polys:
+        prings = []
+        for r in rings:
+            x, y = proj.fwd(r[:, 0], r[:, 1])
+            prings.append(np.column_stack([x, y]))
+        out.append(prings)
+    return out
+
+
+# ------------------------------------------------ reference scalar funcs
+
+
+def centroid_3035(geom: wkb.Geom) -> tuple[float, float]:
+    """Equal-area centroid: project 4326->3035, centroid, back to 4326.
+
+    Mirrors the reference's insert-time ``CentroidFromPolygon``
+    (/root/reference/database/db.py:73-84).
+    """
+    if geom.gtype == wkb.POINT:
+        p = geom.parts[0][0]
+        return float(p[0]), float(p[1])
+    cx, cy = polygons_centroid(_project_polys(geom.polygons()))
+    lon, lat = proj.inv(np.asarray([cx]), np.asarray([cy]))
+    return float(lon[0]), float(lat[0])
+
+
+def area_3035_sqkm(geom: wkb.Geom, ndigits: int | None = 3) -> float:
+    """ST_Area(ST_Transform(geom,3035))/1e6 (db.py:150-158), round 3."""
+    a = polygons_area(_project_polys(geom.polygons())) / 1e6
+    return round(a, ndigits) if ndigits is not None else a
+
+
+def area_planar(geom: wkb.Geom) -> float:
+    """Planar area in the geometry's own coordinates (deg^2 for 4326)."""
+    return polygons_area(geom.polygons())
+
+
+def bbox(geom: wkb.Geom) -> tuple[float, float, float, float]:
+    pts = geom.points()
+    return (
+        float(pts[:, 0].min()),
+        float(pts[:, 1].min()),
+        float(pts[:, 0].max()),
+        float(pts[:, 1].max()),
+    )
+
+
+def buffer_point_3035(lon: float, lat: float, dist_m: float, quad_segs: int = 8) -> bytes:
+    """30 km city buffer: ST_Buffer in 3035 then back to 4326
+    (db.py:243-245). PostGIS default quad_segs=8 -> 32-gon."""
+    x, y = proj.fwd(np.asarray([lon]), np.asarray([lat]))
+    theta = np.linspace(0.0, 2.0 * np.pi, 4 * quad_segs, endpoint=False)
+    bx = x[0] + dist_m * np.cos(theta)
+    by = y[0] + dist_m * np.sin(theta)
+    blon, blat = proj.inv(bx, by)
+    ring = np.column_stack([blon, blat])
+    return wkb.polygon([ring])
+
+
+# ------------------------------------------------------ predicates
+
+
+def points_in_polygons(pts: np.ndarray, polys: list[list[np.ndarray]]) -> np.ndarray:
+    """Even-odd ray cast of (N,2) points against polygons-with-holes.
+
+    Vectorized over points x edges. Boundary points may go either way
+    (float tolerance); fixture worlds avoid degenerate touching.
+    """
+    n = len(pts)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    inside = np.zeros(n, dtype=bool)
+    px = pts[:, 0][:, None]
+    py = pts[:, 1][:, None]
+    for rings in polys:
+        crossings = np.zeros(n, dtype=np.int64)
+        for ring in rings:
+            x0, y0 = ring[:-1, 0][None, :], ring[:-1, 1][None, :]
+            x1, y1 = ring[1:, 0][None, :], ring[1:, 1][None, :]
+            cond = (y0 > py) != (y1 > py)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xint = x0 + (py - y0) * (x1 - x0) / (y1 - y0)
+            crossings += (cond & (px < xint)).sum(axis=1)
+        inside |= (crossings % 2) == 1
+    return inside
+
+
+def _edges(rings: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    a = np.concatenate([r[:-1] for r in rings])
+    b = np.concatenate([r[1:] for r in rings])
+    return a, b
+
+
+def _segments_cross(a0, a1, b0, b1) -> bool:
+    """Any proper/improper crossing between edge sets (vectorized n x m)."""
+
+    def orient(p, q, r):
+        return (q[..., 0] - p[..., 0]) * (r[..., 1] - p[..., 1]) - (
+            q[..., 1] - p[..., 1]
+        ) * (r[..., 0] - p[..., 0])
+
+    p = a0[:, None, :]
+    q = a1[:, None, :]
+    r = b0[None, :, :]
+    s = b1[None, :, :]
+    d1 = orient(p, q, r)
+    d2 = orient(p, q, s)
+    d3 = orient(r, s, p)
+    d4 = orient(r, s, q)
+    return bool((((d1 * d2) <= 0) & ((d3 * d4) <= 0)).any())
+
+
+def polys_intersect(ga: wkb.Geom, gb: wkb.Geom) -> bool:
+    """ST_Intersects for polygonal/point operands (even-odd semantics)."""
+    if ga.gtype == wkb.POINT and gb.gtype == wkb.POINT:
+        return bool((ga.parts[0][0] == gb.parts[0][0]).all())
+    if ga.gtype == wkb.POINT:
+        return bool(points_in_polygons(ga.parts[0], gb.polygons())[0])
+    if gb.gtype == wkb.POINT:
+        return bool(points_in_polygons(gb.parts[0], ga.polygons())[0])
+    pa, pb = ga.polygons(), gb.polygons()
+    ax0, ay0, ax1, ay1 = bbox(ga)
+    bx0, by0, bx1, by1 = bbox(gb)
+    if ax1 < bx0 or bx1 < ax0 or ay1 < by0 or by1 < ay0:
+        return False
+    av = np.concatenate([rings[0] for rings in pa])
+    bv = np.concatenate([rings[0] for rings in pb])
+    if points_in_polygons(av, pb).any() or points_in_polygons(bv, pa).any():
+        return True
+    ea0, ea1 = _edges([r for rings in pa for r in rings])
+    eb0, eb1 = _edges([r for rings in pb for r in rings])
+    return _segments_cross(ea0, ea1, eb0, eb1)
+
+
+# ------------------------------------------------ convex clipping (exact)
+
+
+def is_convex(ring: np.ndarray) -> bool:
+    r = ring[:-1] if (ring[0] == ring[-1]).all() else ring
+    n = len(r)
+    if n < 3:
+        return False
+    v = np.roll(r, -1, axis=0) - r
+    cross = v[:, 0] * np.roll(v, -1, axis=0)[:, 1] - v[:, 1] * np.roll(v, -1, axis=0)[:, 0]
+    return bool((cross >= -1e-30).all() or (cross <= 1e-30).all())
+
+
+def clip_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman: clip ``subject`` ring by CONVEX ``clip`` ring.
+
+    Returns the (closed) intersection ring, possibly empty. Exact for a
+    convex clip polygon and arbitrary simple subject.
+    """
+    clip_r = clip[:-1] if (clip[0] == clip[-1]).all() else clip
+    if ring_area_signed(wkb.close_ring(clip_r)) < 0:
+        clip_r = clip_r[::-1]
+    out = subject[:-1] if (subject[0] == subject[-1]).all() else subject
+    out = list(map(tuple, out))
+    m = len(clip_r)
+    for i in range(m):
+        if not out:
+            break
+        cp0 = clip_r[i]
+        cp1 = clip_r[(i + 1) % m]
+        ex, ey = cp1[0] - cp0[0], cp1[1] - cp0[1]
+        res = []
+        prev = out[-1]
+        prev_in = ex * (prev[1] - cp0[1]) - ey * (prev[0] - cp0[0]) >= 0
+        for cur in out:
+            cur_in = ex * (cur[1] - cp0[1]) - ey * (cur[0] - cp0[0]) >= 0
+            if cur_in != prev_in:
+                dx, dy = cur[0] - prev[0], cur[1] - prev[1]
+                denom = ex * dy - ey * dx
+                if denom != 0:
+                    t = (ex * (cp0[1] - prev[1]) - ey * (cp0[0] - prev[0])) / denom
+                    res.append((prev[0] + t * dx, prev[1] + t * dy))
+            if cur_in:
+                res.append(cur)
+            prev, prev_in = cur, cur_in
+        out = res
+    if len(out) < 3:
+        return np.empty((0, 2))
+    return wkb.close_ring(np.asarray(out))
+
+
+def intersection_area(ga: wkb.Geom, gb: wkb.Geom) -> float:
+    """Exact planar intersection area; requires one convex operand per pair
+    (clip side). Raises if neither outer ring is convex."""
+    total = 0.0
+    for ra in ga.polygons():
+        for rb in gb.polygons():
+            if is_convex(rb[0]):
+                subject, clip = ra[0], rb[0]
+            elif is_convex(ra[0]):
+                subject, clip = rb[0], ra[0]
+            else:
+                raise ValueError("intersection_area: need one convex operand (use tiling path)")
+            ring = clip_convex(subject, clip)
+            if len(ring):
+                total += abs(ring_area_signed(ring))
+    return total
+
+
+def union_intersection_area(target: wkb.Geom, others: list[wkb.Geom], max_exact: int = 20) -> float:
+    """area(target ∩ union(others)) via inclusion–exclusion.
+
+    Exact when target and all others are convex (intersections of convex
+    sets stay convex). Used for the reference's coverage query
+    (/root/reference/app/query.py:143-192) at golden-test scale; the
+    100 TB path is the tile/zonal approximation in operators.tiling.
+    """
+    rings = []
+    for g in others:
+        for p in g.polygons():
+            rings.append(p[0])
+    if len(rings) > max_exact:
+        raise ValueError(f"{len(rings)} polygons > max_exact={max_exact}; use tiling path")
+    total = 0.0
+    n = len(rings)
+    tring = target.polygons()[0][0]
+
+    def rec(start: int, current: np.ndarray, depth: int):
+        nonlocal total
+        for i in range(start, n):
+            clipped = clip_convex(current, rings[i]) if is_convex(rings[i]) else clip_convex(rings[i], current)
+            if len(clipped) == 0:
+                continue
+            total += ((-1) ** depth) * abs(ring_area_signed(clipped))
+            rec(i + 1, clipped, depth + 1)
+
+    rec(0, tring, 0)
+    return total

@@ -1,0 +1,50 @@
+"""SparkSession factory tuned for the engine.
+
+Replaces the reference's session/engine singletons
+(/root/reference/app/app.py:13-18, /root/reference/database/db.py:26-40).
+
+Scale posture (100 TB / 1000 executors): everything here is config the
+same job would ship to a real cluster via ``spark-submit --py-files``;
+local[N] only changes the master URL. Arrow is mandatory — every geometry
+kernel is a pandas UDF and per-row Python is banned by the BASELINE
+input_hint.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "pda-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra: dict | None = None,
+) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        # local mode: ~2x cores; on a real cluster this would be sized to
+        # keep post-shuffle partitions near 128-200 MB (or left to AQE
+        # coalescing, which is enabled below).
+        shuffle_partitions = max(2 * cores, 8)
+    b = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("PDA_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

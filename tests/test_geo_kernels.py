@@ -1,0 +1,192 @@
+"""Golden-value parity tests for the numpy geometry kernel.
+
+Golden numbers come from the reference's integration suite
+(/root/reference/tests/integration/database/test_db_i.py:213-222), which
+pins the PostGIS results for the ``fake_feature`` polygon
+(/root/reference/tests/resources/fake_feature.py:1-2):
+- centroid POINT (8.804454520157185 55.474220203855445)
+- area_sqkm 1244037.118
+"""
+
+import numpy as np
+import pytest
+
+from pda_spark.geo import cells, kernels, proj, wkb
+
+FAKE_FEATURE = np.array(
+    [
+        (1.07935e-10, 60.15824184521428),
+        (20.023127886233997, 60.15824184521428),
+        (15.564234739500566, 50.16996707220397),
+        (8.3899e-11, 50.16996707220397),
+        (1.07935e-10, 60.15824184521428),
+    ]
+)
+
+
+@pytest.fixture
+def fake_poly():
+    return wkb.decode(wkb.polygon([FAKE_FEATURE]))
+
+
+def test_proj_roundtrip():
+    rng = np.random.default_rng(42)
+    lon = rng.uniform(-30, 60, 1000)
+    lat = rng.uniform(25, 75, 1000)
+    lo, la = proj.inv(*proj.fwd(lon, lat))
+    np.testing.assert_allclose(lo, lon, atol=1e-9)
+    np.testing.assert_allclose(la, lat, atol=1e-9)
+
+
+def test_proj_known_point():
+    # EPSG:3035 projection center maps to false easting/northing exactly
+    x, y = proj.fwd(np.array([10.0]), np.array([52.0]))
+    assert abs(x[0] - 4321000.0) < 1e-6
+    assert abs(y[0] - 3210000.0) < 1e-6
+
+
+def test_golden_centroid(fake_poly):
+    # reference golden: test_db_i.py:218-222
+    lon, lat = kernels.centroid_3035(fake_poly)
+    assert lon == pytest.approx(8.804454520157185, abs=1e-12)
+    assert lat == pytest.approx(55.474220203855445, abs=1e-12)
+
+
+def test_golden_area(fake_poly):
+    # reference golden: test_db_i.py:215 (area_sqkm rounded to 3)
+    assert kernels.area_3035_sqkm(fake_poly) == 1244037.118
+
+
+def test_wkb_roundtrip_polygon(fake_poly):
+    assert fake_poly.gtype == wkb.POLYGON
+    np.testing.assert_array_equal(fake_poly.parts[0], FAKE_FEATURE)
+
+
+def test_wkb_point_vectorized():
+    lon = np.array([13.399602764700546, -15.0452])
+    lat = np.array([52.523764522251156, 23.0235])
+    bufs = wkb.points_vec(lon, lat)
+    lo, la = wkb.decode_points_vec(bufs)
+    np.testing.assert_array_equal(lo, lon)
+    np.testing.assert_array_equal(la, lat)
+    g = wkb.decode(bufs[0])
+    assert g.gtype == wkb.POINT
+
+
+def test_wkb_multipolygon_roundtrip():
+    r1 = np.array([[0.0, 0.0], [1, 0], [1, 1], [0, 1], [0, 0]])
+    r2 = r1 + 5.0
+    g = wkb.decode(wkb.multipolygon([[r1], [r2]]))
+    assert g.gtype == wkb.MULTIPOLYGON
+    assert kernels.area_planar(g) == pytest.approx(2.0)
+
+
+def test_wkb_ewkb_srid_flag():
+    import struct
+
+    # EWKB point with SRID 4326 (PostGIS wire format)
+    buf = struct.pack("<BIIdd", 1, 1 | 0x20000000, 4326, 10.0, 20.0)
+    g = wkb.decode(buf)
+    assert g.gtype == wkb.POINT
+    assert g.parts[0][0].tolist() == [10.0, 20.0]
+
+
+def test_point_in_polygon(fake_poly):
+    pts = np.array(
+        [
+            [8.8, 55.47],  # centroid-ish: inside
+            [-10.0, 55.0],  # west: outside
+            [19.0, 59.0],  # inside near NE edge
+            [19.0, 51.0],  # outside (SE, past the slanted edge)
+        ]
+    )
+    got = kernels.points_in_polygons(pts, fake_poly.polygons())
+    assert got.tolist() == [True, False, True, False]
+
+
+def test_polygon_with_hole():
+    outer = np.array([[0.0, 0], [10, 0], [10, 10], [0, 10], [0, 0]])
+    hole = np.array([[4.0, 4], [6, 4], [6, 6], [4, 6], [4, 4]])
+    g = wkb.decode(wkb.polygon([outer, hole]))
+    assert kernels.area_planar(g) == pytest.approx(96.0)
+    got = kernels.points_in_polygons(np.array([[5.0, 5.0], [1.0, 1.0]]), g.polygons())
+    assert got.tolist() == [False, True]
+
+
+def test_polys_intersect(fake_poly):
+    # overlapping box
+    assert kernels.polys_intersect(fake_poly, wkb.decode(wkb.box(5, 52, 8, 58)))
+    # disjoint box
+    assert not kernels.polys_intersect(fake_poly, wkb.decode(wkb.box(-20, 0, -10, 10)))
+    # box containing the polygon entirely
+    assert kernels.polys_intersect(fake_poly, wkb.decode(wkb.box(-5, 45, 25, 65)))
+    # polygon containing the box entirely
+    assert kernels.polys_intersect(wkb.decode(wkb.box(-5, 45, 25, 65)), fake_poly)
+    # edge-crossing without any vertex containment
+    tall = wkb.decode(wkb.box(5, 40, 6, 70))
+    assert kernels.polys_intersect(fake_poly, tall)
+
+
+def test_buffer_point():
+    b = kernels.buffer_point_3035(13.4, 52.5, 30_000.0)
+    g = wkb.decode(b)
+    # ~pi*30km^2 area, within polygon-approximation tolerance of a 32-gon
+    area = kernels.area_3035_sqkm(g, ndigits=None)
+    assert area == pytest.approx(np.pi * 30.0**2, rel=0.01)
+    # center inside, 40 km away outside
+    assert kernels.points_in_polygons(np.array([[13.4, 52.5]]), g.polygons())[0]
+    far_lon = 13.4 + 40.0 / 67.0  # ~40km east at 52.5N
+    assert not kernels.points_in_polygons(np.array([[far_lon, 52.5]]), g.polygons())[0]
+
+
+def test_clip_convex_exact():
+    subject = np.array([[0.0, 0], [4, 0], [4, 4], [0, 4], [0, 0]])
+    clip = np.array([[2.0, 2], [6, 2], [6, 6], [2, 6], [2, 2]])
+    ring = kernels.clip_convex(subject, clip)
+    assert abs(kernels.ring_area_signed(ring)) == pytest.approx(4.0)
+
+
+def test_intersection_area(fake_poly):
+    clip = wkb.decode(wkb.box(0, 50.16996707220397, 20.023127886233997, 60.15824184521428))
+    # fake polygon fully inside its own bbox -> intersection == own area
+    a = kernels.intersection_area(fake_poly, clip)
+    assert a == pytest.approx(kernels.area_planar(fake_poly), rel=1e-12)
+
+
+def test_union_intersection_area_inclusion_exclusion():
+    target = wkb.decode(wkb.box(0, 0, 10, 10))
+    # two overlapping boxes inside the target: area of union = 4+4-1 = 7
+    b1 = wkb.decode(wkb.box(1, 1, 3, 3))
+    b2 = wkb.decode(wkb.box(2, 2, 4, 4))
+    a = kernels.union_intersection_area(target, [b1, b2])
+    assert a == pytest.approx(7.0)
+
+
+def test_cells_roundtrip():
+    cid = cells.cell_of(np.array([13.4]), np.array([52.5]), 10)[0]
+    minx, miny, maxx, maxy = cells.cell_bounds(int(cid))
+    assert minx <= 13.4 <= maxx and miny <= 52.5 <= maxy
+    assert cells.cell_res(np.array([cid]))[0] == 10
+
+
+def test_cells_cover_and_parent():
+    cover = cells.cover_bbox(0.0, 50.0, 20.0, 60.0, 6)
+    assert len(cover) > 1
+    p = cells.parent(cover, 3)
+    assert (cells.cell_res(p) == 3).all()
+    # every res-6 cell of a point has the point's res-3 cell as parent
+    c6 = cells.cell_of(np.array([13.4]), np.array([52.5]), 6)
+    c3 = cells.cell_of(np.array([13.4]), np.array([52.5]), 3)
+    assert cells.parent(c6, 3)[0] == c3[0]
+
+
+def test_cells_ring():
+    cid = int(cells.cell_of(np.array([13.4]), np.array([52.5]), 10)[0])
+    r1 = cells.ring(cid, 1)
+    assert len(r1) == 9 and cid in r1.tolist()
+
+
+def test_choose_res():
+    assert cells.choose_res(360.0) <= 2
+    assert cells.choose_res(0.001) >= 15
+    assert 0 <= cells.choose_res(10.0) <= cells.MAX_RES
