@@ -1,0 +1,236 @@
+"""Vectorized pandas/Arrow UDFs wrapping the numpy geometry kernels.
+
+These are the *only* Python execution points in the engine's hot paths —
+everything else stays JVM-side in whole-stage codegen. Each UDF receives
+Arrow batches (spark.sql.execution.arrow.maxRecordsPerBatch rows) and runs
+numpy-vectorized kernels; within a batch, repeated geometries (the common
+case after a cell join against a small polygon side) are decoded once via
+a bytes-keyed cache.
+
+Reference equivalents:
+- centroid_wkb      -> CentroidFromPolygon (db.py:73-84)
+- lon_/lat_         -> ST_X/ST_Y hybrid props (db.py:134-148)
+- area_sqkm         -> area_sqkm hybrid prop (db.py:150-158)
+- buffer_point      -> city buffer (db.py:243-245)
+- intersects_pair   -> ST_Intersects join predicate (db.py:116-122)
+- cover_cells/point_cell -> replaces GiST index (see pda_spark.geo.cells)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from pda_spark.geo import cells, kernels, wkb
+
+# --------------------------------------------------------------- helpers
+
+
+def _decode_cache():
+    cache: dict[bytes, wkb.Geom] = {}
+
+    def get(buf) -> wkb.Geom:
+        b = bytes(buf)
+        g = cache.get(b)
+        if g is None:
+            g = wkb.decode(b)
+            cache[b] = g
+        return g
+
+    return get
+
+
+def _decode_points(s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    return wkb.decode_points_vec([bytes(b) for b in s])
+
+
+# ----------------------------------------------------------- scalar UDFs
+
+
+@pandas_udf(T.BinaryType())
+def centroid_wkb(geom: pd.Series) -> pd.Series:
+    get = _decode_cache()
+    lons = np.empty(len(geom))
+    lats = np.empty(len(geom))
+    for i, buf in enumerate(geom):
+        lons[i], lats[i] = kernels.centroid_3035(get(buf))
+    return pd.Series(wkb.points_vec(lons, lats))
+
+
+@pandas_udf(T.DoubleType())
+def point_x(geom: pd.Series) -> pd.Series:
+    lon, _ = _decode_points(geom)
+    return pd.Series(lon)
+
+
+@pandas_udf(T.DoubleType())
+def point_y(geom: pd.Series) -> pd.Series:
+    _, lat = _decode_points(geom)
+    return pd.Series(lat)
+
+
+@pandas_udf(T.DoubleType())
+def area_sqkm(geom: pd.Series) -> pd.Series:
+    get = _decode_cache()
+    return pd.Series([kernels.area_3035_sqkm(get(b)) for b in geom])
+
+
+@pandas_udf(T.DoubleType())
+def area_planar(geom: pd.Series) -> pd.Series:
+    get = _decode_cache()
+    return pd.Series([kernels.area_planar(get(b)) for b in geom])
+
+
+def buffer_point(dist_m: float, quad_segs: int = 8):
+    @pandas_udf(T.BinaryType())
+    def _buffer(geom: pd.Series) -> pd.Series:
+        lon, lat = _decode_points(geom)
+        return pd.Series([kernels.buffer_point_3035(lon[i], lat[i], dist_m, quad_segs) for i in range(len(lon))])
+
+    return _buffer
+
+
+@pandas_udf(T.ArrayType(T.DoubleType()))
+def bbox_arr(geom: pd.Series) -> pd.Series:
+    get = _decode_cache()
+    return pd.Series([list(kernels.bbox(get(b))) for b in geom])
+
+
+@pandas_udf(T.StringType())
+def geojson_geometry(geom: pd.Series) -> pd.Series:
+    """ST_AsGeoJSON equivalent (reference db.py:160-177) — edge-only."""
+    import json
+
+    get = _decode_cache()
+
+    def to_gj(buf):
+        g = get(buf)
+        if g.gtype == wkb.POINT:
+            return json.dumps({"type": "Point", "coordinates": g.parts[0][0].tolist()})
+        if g.gtype == wkb.POLYGON:
+            return json.dumps({"type": "Polygon", "coordinates": [r.tolist() for r in g.parts]})
+        if g.gtype == wkb.MULTIPOLYGON:
+            return json.dumps(
+                {"type": "MultiPolygon", "coordinates": [[r.tolist() for r in p] for p in g.parts]}
+            )
+        return json.dumps({"type": "LineString", "coordinates": g.parts[0].tolist()})
+
+    return pd.Series([to_gj(b) for b in geom])
+
+
+# ----------------------------------------------------------- cell UDFs
+
+
+def point_cell(res: int):
+    """Cell id of point geometries — fully vectorized."""
+
+    @pandas_udf(T.LongType())
+    def _cell(geom: pd.Series) -> pd.Series:
+        lon, lat = _decode_points(geom)
+        return pd.Series(cells.cell_of(lon, lat, res))
+
+    return _cell
+
+
+def lonlat_cell(res: int):
+    """Cell id from plain lon/lat double columns — no WKB decode at all."""
+
+    @pandas_udf(T.LongType())
+    def _cell(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(cells.cell_of(lon.to_numpy(), lat.to_numpy(), res))
+
+    return _cell
+
+
+def cover_cells(res: int, tight: bool = True):
+    """Cover cells of polygonal geometries (array<long>, to be exploded).
+
+    ``tight=True`` drops bbox-cover cells whose rectangle doesn't actually
+    intersect the geometry — cuts cell-join fan-out for slanted footprints
+    (SURVEY §7 'fan-out control').
+    """
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _cover(geom: pd.Series) -> pd.Series:
+        get = _decode_cache()
+        out = []
+        for buf in geom:
+            g = get(buf)
+            cover = cells.cover_bbox(*kernels.bbox(g), res)
+            if tight and len(cover) > 4:
+                keep = []
+                for cid in cover:
+                    cb = cells.cell_bounds(int(cid))
+                    if kernels.polys_intersect(g, wkb.decode(wkb.box(*cb))):
+                        keep.append(int(cid))
+                cover = keep
+            out.append([int(c) for c in cover])
+        return pd.Series(out)
+
+    return _cover
+
+
+# ----------------------------------------------------- refine predicates
+
+
+@pandas_udf(T.BooleanType())
+def intersects_pair(geom_a: pd.Series, geom_b: pd.Series) -> pd.Series:
+    """Exact ST_Intersects refine on candidate pairs. Pair-level results are
+    memoized per batch (both sides repeat heavily after a cell join)."""
+    get = _decode_cache()
+    memo: dict[tuple[bytes, bytes], bool] = {}
+    out = np.empty(len(geom_a), dtype=bool)
+    for i, (ba, bb) in enumerate(zip(geom_a, geom_b)):
+        key = (bytes(ba), bytes(bb))
+        v = memo.get(key)
+        if v is None:
+            v = kernels.polys_intersect(get(ba), get(bb))
+            memo[key] = v
+        out[i] = v
+    return pd.Series(out)
+
+
+@pandas_udf(T.BooleanType())
+def point_in_polygon(point_geom: pd.Series, poly_geom: pd.Series) -> pd.Series:
+    """Vectorized PIP refine: groups the batch by polygon bytes and
+    ray-casts all points against each polygon at once."""
+    lon, lat = _decode_points(point_geom)
+    pts = np.column_stack([lon, lat])
+    keys = pd.Series([bytes(b) for b in poly_geom])
+    out = np.zeros(len(keys), dtype=bool)
+    for key, idx in keys.groupby(keys).groups.items():
+        g = wkb.decode(key)
+        ii = np.asarray(idx)
+        out[ii] = kernels.points_in_polygons(pts[ii], g.polygons())
+    return pd.Series(out)
+
+
+def distance_m():
+    """Planar EPSG:3035 distance in metres between two point columns."""
+    from pda_spark.geo import proj
+
+    @pandas_udf(T.DoubleType())
+    def _dist(a: pd.Series, b: pd.Series) -> pd.Series:
+        lon_a, lat_a = _decode_points(a)
+        lon_b, lat_b = _decode_points(b)
+        xa, ya = proj.fwd(lon_a, lat_a)
+        xb, yb = proj.fwd(lon_b, lat_b)
+        return pd.Series(np.hypot(xa - xb, ya - yb))
+
+    return _dist
+
+
+# ------------------------------------------------- JVM-side cell helpers
+
+
+def cell_of_xy_expr(lon_col, lat_col, res: int):
+    """cell_of as a pure Catalyst expression (no Python) — used for the
+    reference-point pair dedup inside polygon-polygon cell joins, so the
+    dedup is a codegen'd filter instead of a shuffle."""
+    n = F.lit(1 << res)
+    ix = F.least(F.greatest(F.floor((lon_col + 180.0) / 360.0 * n), F.lit(0)), n - 1).cast("long")
+    iy = F.least(F.greatest(F.floor((lat_col + 90.0) / 180.0 * n), F.lit(0)), n - 1).cast("long")
+    return (F.lit(res).cast("long") * F.lit(1 << 58).cast("long")) + F.shiftleft(ix, 29) + iy

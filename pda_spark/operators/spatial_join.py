@@ -1,0 +1,182 @@
+"""Cell-index spatial joins: the engine's replacement for PostGIS GiST.
+
+Reference semantics being reproduced:
+- image x land_cover ST_Intersects join (/root/reference/database/db.py:116-122,
+  used at app/query.py:126-129)
+- country x image ST_Intersects (db.py:219-224, app/query.py:47)
+- city-buffer x image distance join (db.py:236-245, app/query.py:98)
+- kNN (BASELINE north_star; absent in reference, generalizes the above)
+
+Physical strategy (Spark-first):
+1. COVER   — each polygon explodes to its covering cells at resolution R
+             (arrays built in one Arrow UDF, exploded JVM-side); points map
+             to exactly one cell (fully vectorized, no per-geometry loop).
+2. JOIN    — plain equi-join on ``cell``. If one side is a dimension table
+             (countries ~241 rows, land cover ~2.4k), it is broadcast,
+             so the fact side never shuffles. Otherwise it's a shuffled
+             hash join on an int64 key, range-partitionable and
+             AQE-skew-splittable.
+3. DEDUP   — polygon x polygon covers overlap in many cells; duplicate
+             pairs are eliminated *without a shuffle* by the reference-point
+             rule: a pair is emitted only by the cell that contains the
+             top-left corner of the bbox-intersection of the two geometries
+             (pure Catalyst arithmetic, codegen'd filter).
+4. REFINE  — exact kernel predicate (vectorized PIP / intersects) as an
+             Arrow UDF filter.
+
+Skew: pass ``salt=k`` to split hot cells: the big side gets a random salt
+in [0,k), the small side is replicated k times (explode of a literal
+array). AQE skew-join is also on (session.py) as a safety net.
+
+Scale notes (100 TB): the only shuffle in the whole join is step 2's
+equi-join, and it disappears when the polygon side broadcasts. Resolution
+R trades fan-out (cells/geometry) against refine selectivity; for web-page
+points x country polygons R=6..8 keeps dimension fan-out < 100k rows while
+making candidate lists small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pda_spark.functions import geo_udfs
+
+
+def _salted(df: DataFrame, salt: int, side: str) -> DataFrame:
+    if salt <= 1:
+        return df
+    if side == "big":
+        return df.withColumn("_salt", (F.pmod(F.xxhash64(*df.columns), F.lit(salt))).cast("int"))
+    return df.withColumn("_salt", F.explode(F.array([F.lit(i) for i in range(salt)])))
+
+
+def points_in_polygons_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    res: int = 7,
+    point_geom: str = "geom",
+    poly_geom: str = "geom",
+    broadcast_polygons: bool = True,
+    salt: int = 1,
+    how: str = "inner",
+) -> DataFrame:
+    """ST_Contains/ST_Intersects join of a large point table against a
+    polygon table. Columns of both inputs are preserved; clashing names
+    must be disambiguated by the caller beforehand.
+
+    ``how='inner'`` returns matching pairs; ``'left_semi_ids'`` is handled
+    by callers via dropDuplicates on the point key.
+    """
+    # tight cover is sound here: a point in a cell the polygon doesn't
+    # touch cannot be inside the polygon.
+    pts = points.withColumn("_cell", geo_udfs.point_cell(res)(F.col(point_geom)))
+    pys = polygons.withColumn("_cell", F.explode(geo_udfs.cover_cells(res, tight=True)(F.col(poly_geom))))
+    pts = _salted(pts, salt, "big")
+    pys = _salted(pys, salt, "small")
+    keys = ["_cell", "_salt"] if salt > 1 else ["_cell"]
+    right = F.broadcast(pys) if broadcast_polygons else pys
+    cand = pts.join(right, on=keys, how="inner")
+    refined = cand.filter(geo_udfs.point_in_polygon(F.col(point_geom), F.col(poly_geom)))
+    return refined.drop("_cell", "_salt") if salt > 1 else refined.drop("_cell")
+
+
+def intersects_join(
+    left: DataFrame,
+    right: DataFrame,
+    res: int = 6,
+    left_geom: str = "geom",
+    right_geom: str = "geom",
+    broadcast_right: bool = True,
+    salt: int = 1,
+) -> DataFrame:
+    """Polygon x polygon ST_Intersects join with shuffle-free pair dedup.
+
+    Reproduces the reference's viewonly ST_Intersects relationships
+    (db.py:116-122, 219-224). Both sides explode to covering cells; the
+    reference-point rule keeps exactly one candidate per pair before the
+    exact refine.
+    """
+    # NOTE: bbox (non-tight) covers are REQUIRED here: the reference-point
+    # dedup keeps a pair only in the cell containing the SW corner of the
+    # bbox intersection, and that cell is guaranteed to be in both covers
+    # only for bbox covers. A tight cover could drop that cell and
+    # silently lose the pair.
+    lb, rb = "_lbb", "_rbb"
+    lft = (
+        left.withColumn(lb, geo_udfs.bbox_arr(F.col(left_geom)))
+        .withColumn("_cell", F.explode(geo_udfs.cover_cells(res, tight=False)(F.col(left_geom))))
+    )
+    rgt = (
+        right.withColumn(rb, geo_udfs.bbox_arr(F.col(right_geom)))
+        .withColumn("_cell", F.explode(geo_udfs.cover_cells(res, tight=False)(F.col(right_geom))))
+    )
+    lft = _salted(lft, salt, "big")
+    rgt = _salted(rgt, salt, "small")
+    keys = ["_cell", "_salt"] if salt > 1 else ["_cell"]
+    r = F.broadcast(rgt) if broadcast_right else rgt
+    cand = lft.join(r, on=keys, how="inner")
+
+    # reference-point dedup: keep the pair only in the cell holding the
+    # SW corner of the bbox intersection (clamped into the intersection,
+    # which is non-empty for any candidate sharing a cell).
+    ref_lon = F.greatest(F.col(lb)[0], F.col(rb)[0])
+    ref_lat = F.greatest(F.col(lb)[1], F.col(rb)[1])
+    cand = cand.filter(F.col("_cell") == geo_udfs.cell_of_xy_expr(ref_lon, ref_lat, res))
+
+    refined = cand.filter(geo_udfs.intersects_pair(F.col(left_geom), F.col(right_geom)))
+    drop = ["_cell", lb, rb] + (["_salt"] if salt > 1 else [])
+    return refined.drop(*drop)
+
+
+def knn_join(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    res: int = 7,
+    point_geom: str = "geom",
+    query_geom: str = "qgeom",
+    query_id: str = "query_id",
+    max_ring: int = 4,
+) -> DataFrame:
+    """k nearest points for each query point (BASELINE north_star).
+
+    Strategy: H3-style ring expansion — each query joins candidate points
+    in its cell neighbourhood (Chebyshev ring ``max_ring``), distances are
+    computed in EPSG:3035 metres in one Arrow UDF, and a window
+    ``row_number() over (partition by query_id order by dist)`` takes the
+    top k (the reference has no kNN; SURVEY §2.3 J10).
+
+    ``max_ring`` must be large enough that >= k points fall inside the
+    ring at resolution ``res``; callers size it from expected density.
+    Correctness guard: a kNN result is only exact if the k-th distance is
+    <= the ring's inradius — callers at scale re-run stragglers at a wider
+    ring; at test scale we size rings generously.
+    """
+    from pyspark.sql import Window
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from pda_spark.geo import cells as C
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def ring_cells(geom: pd.Series) -> pd.Series:
+        from pda_spark.geo import wkb as W
+
+        lon, lat = W.decode_points_vec([bytes(b) for b in geom])
+        base = C.cell_of(lon, lat, res)
+        return pd.Series([[int(c) for c in C.ring(int(b), max_ring)] for b in base])
+
+    q = queries.withColumn("_cell", F.explode(ring_cells(F.col(query_geom))))
+    p = points.withColumn("_cell", geo_udfs.point_cell(res)(F.col(point_geom)))
+    cand = p.join(F.broadcast(q), on="_cell", how="inner")
+    cand = cand.withColumn("dist_m", geo_udfs.distance_m()(F.col(point_geom), F.col(query_geom)))
+    w = Window.partitionBy(query_id).orderBy(F.col("dist_m").asc(), F.col(point_geom).asc())
+    return (
+        cand.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .drop("_cell")
+    )
