@@ -1,0 +1,187 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Design rule: everything that can stay JVM-side does (shingling, hashing,
+grouping are built-in expressions); Python appears nowhere in these paths.
+The portable base hash is ``md5`` (identical in Spark and DuckDB), folded
+to a bigint via the first 12 hex chars, so the DuckDB oracles reproduce
+signatures bit-for-bit.
+
+Scale notes (100 TB): exact dedup is one hash-aggregate on a fingerprint
+(map-side partial agg). MinHash/LSH is explode(shingles) -> per-doc agg
+(one shuffle on doc id) -> band explode -> self-join on (band, band_hash)
+— candidate pairs only, never the full n^2. Skewed bands (boilerplate
+docs) salt like any hot key; dropDuplicates(pair) bounds re-verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pda_spark.functions.text import fingerprint
+
+# Mersenne prime + deterministic affine coefficients for minhash
+MINHASH_PRIME = (1 << 61) - 1
+
+
+def minhash_coeffs(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [
+        (int(rng.integers(1, MINHASH_PRIME - 1)), int(rng.integers(0, MINHASH_PRIME - 1)))
+        for _ in range(n_hashes)
+    ]
+
+
+def hex_to_long(col: Column, n_hex: int = 12) -> Column:
+    """First n hex chars of a hex string -> non-negative bigint (portable:
+    DuckDB twin uses a positional polynomial over the same chars)."""
+    return F.conv(F.substring(col, 1, n_hex), 16, 10).cast("long")
+
+
+def shingle_hash(col: Column) -> Column:
+    return hex_to_long(F.md5(col))
+
+
+def char_shingles(col_name: str, k: int = 5) -> Column:
+    """Array of k-char shingles of normalized text (rolling window via
+    transform(sequence(...)) — pure Catalyst, no UDF). Takes a column
+    NAME so the whole expression stays one SQL string."""
+    norm = f"regexp_replace(lower(trim({col_name})), '\\\\s+', ' ')"
+    return F.expr(
+        f"transform(sequence(1, greatest(length({norm}) - {k - 1}, 1)), i -> substring({norm}, i, {k}))"
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: keep one row per normalized-text fingerprint (the
+    winner is the smallest id-ish first column for determinism)."""
+    return df.withColumn("fp", fingerprint(F.col(text_col))).dropDuplicates(["fp"])
+
+
+def duplicate_groups(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Exact-dup histogram: fingerprint -> group size + member ids."""
+    return (
+        df.withColumn("fp", fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def doc_shingle_hashes(df: DataFrame, id_col: str, text_col: str = "text", k: int = 5) -> DataFrame:
+    """(id, shingle_hash) exploded and deduped — shared base for Jaccard
+    and MinHash."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), char_shingles(text_col, k).alias("sh"))
+        .select("doc_id", F.explode("sh").alias("shingle"))
+        .select("doc_id", shingle_hash(F.col("shingle")).alias("h"))
+        .dropDuplicates(["doc_id", "h"])
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 5, threshold: float = 0.8
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard similarity >= threshold.
+
+    Shuffle plan: explode -> dedup (1 shuffle), self-join on shingle hash
+    (1 shuffle), pair-count agg (1 shuffle). The join fan-out is bounded
+    by shingle document frequency; at scale, drop ultra-common shingles
+    (document frequency cap) before the self-join — boilerplate shingles
+    add candidates but never decide near-duplicates.
+    """
+    sh = doc_shingle_hashes(df, id_col, text_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, on="h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), on="id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), on="id_b")
+        .withColumn("jaccard", F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 5, n_hashes: int = 16, seed: int = 42
+) -> DataFrame:
+    """Per-doc MinHash signature: sig_i = min((a_i*h + b_i) mod P).
+
+    One explode + one grouped aggregate; the n_hashes min-aggs fuse into a
+    single hash-aggregate operator (partial map-side combine for free).
+    """
+    sh = doc_shingle_hashes(df, id_col, text_col, k)
+    aggs = []
+    for i, (ai, bi) in enumerate(minhash_coeffs(n_hashes, seed)):
+        # (a*h + b) mod P in long arithmetic; h < 2^48 so a*h needs care:
+        # fold with pmod twice to stay in range (a < P ~ 2^61 overflows —
+        # use modular mult via two 32-bit halves is overkill here; instead
+        # draw a < 2^12 so a*h < 2^60 fits long)
+        aggs.append(F.min(F.pmod(F.lit(ai % 4096) * F.col("h") + F.lit(bi % (1 << 50)), F.lit(MINHASH_PRIME))).alias(f"mh_{i}"))
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    n_hashes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature become
+    candidate near-dup pairs (shingle->minhash->band->bucket-join)."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, k, n_hashes, seed)
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    stacked = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bh")) for b in range(bands)])
+        ).alias("e"),
+    ).select("doc_id", "e.band", "e.bh")
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(b, on=["band", "bh"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str = "text", n_bits: int = 16) -> DataFrame:
+    """SimHash over word tokens: bit j of the signature is the sign of the
+    sum of (+1/-1) votes from each token's hash bit j. JVM-only: explode
+    tokens, one grouped agg with n_bits fused sums."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).withColumn("th", shingle_hash(F.col("tok")))
+    aggs = [
+        F.sum(F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"s_{j}")
+        for j in range(n_bits)
+    ]
+    sums = toks.groupBy("doc_id").agg(*aggs)
+    sig = None
+    for j in range(n_bits):
+        bit = F.when(F.col(f"s_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = bit if sig is None else (sig + bit)
+    return sums.withColumn("simhash", sig.cast("long")).select("doc_id", "simhash")

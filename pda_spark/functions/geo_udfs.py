@@ -223,6 +223,21 @@ def distance_m():
     return _dist
 
 
+def distance_deg():
+    """Planar lon/lat Euclidean distance (degrees) between point columns —
+    identical IEEE754 op sequence to the SQL oracle's sqrt(dx^2+dy^2)."""
+
+    @pandas_udf(T.DoubleType())
+    def _dist(a: pd.Series, b: pd.Series) -> pd.Series:
+        lon_a, lat_a = _decode_points(a)
+        lon_b, lat_b = _decode_points(b)
+        dx = lon_a - lon_b
+        dy = lat_a - lat_b
+        return pd.Series(np.sqrt(dx * dx + dy * dy))
+
+    return _dist
+
+
 # ------------------------------------------------- JVM-side cell helpers
 
 

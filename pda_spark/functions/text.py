@@ -1,0 +1,99 @@
+"""Text-analysis operators for the training-data pipeline (documents table).
+
+All hot-path expressions are Spark built-ins (JVM-side, whole-stage
+codegen) — no Python at all. Each operator has an ANSI-SQL twin in
+__spark_entry__.oracle_sql() runnable by DuckDB, so expressions are
+restricted to constructs with identical semantics in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# language-ID stopword sets (tiny n-gram/stopword heuristic; the point is
+# the distributed shape, not linguistic quality)
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "los", "que", "es", "una"],
+}
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (BPE-ish variant below)."""
+    return F.size(F.split(F.trim(col), r"\s+"))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND punctuation
+    boundaries (a cheap BPE stand-in that both engines can compute)."""
+    return F.size(F.split(F.trim(col), r"[\s\p{Punct}]+"))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def punct_ratio(col: Column) -> Column:
+    stripped = F.regexp_replace(col, r"[.,;:!?'\"()\[\]-]", "")
+    return F.round((F.length(col) - F.length(stripped)) / F.greatest(F.length(col), F.lit(1)), 6)
+
+
+def stopword_count(col: Column, lang: str = "en") -> Column:
+    words = "|".join(LANG_STOPWORDS[lang])
+    # count occurrences via length-difference trick (portable to DuckDB,
+    # which lacks a regexp_count with identical semantics)
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(rf"\b({words})\b"), F.lit(0)))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    return F.round(stopword_count(col, lang) / F.greatest(token_count(col), F.lit(1)), 6)
+
+
+def lang_scores(col: Column) -> list[Column]:
+    return [stopword_count(col, lang).alias(f"score_{lang}") for lang in LANG_STOPWORDS]
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring block: length / token / punctuation / stopword
+    features, plus a composite quality flag (filter-style heuristic)."""
+    c = F.col(text_col)
+    out = (
+        df.withColumn("n_chars_calc", char_count(c))
+        .withColumn("n_tokens", token_count(c))
+        .withColumn("n_tokens_bpe", bpe_ish_token_count(c))
+        .withColumn("punct_ratio", punct_ratio(c))
+        .withColumn("stopword_ratio_en", stopword_ratio(c, "en"))
+        .withColumn(
+            "mean_token_len",
+            F.round(char_count(c) / F.greatest(token_count(c), F.lit(1)), 6),
+        )
+    )
+    return out.withColumn(
+        "quality_ok",
+        (F.col("n_tokens") >= 5)
+        & (F.col("punct_ratio") <= 0.3)
+        & (F.col("mean_token_len").between(2.0, 15.0)),
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 over whitespace-normalized lowercase text
+    (deterministic, engine-portable; the rolling-hash variant lives in
+    dedup.py shingles)."""
+    normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID over the documents table."""
+    c = F.col(text_col)
+    scored = df.select("*", *lang_scores(c))
+    score_cols = [f"score_{lang}" for lang in LANG_STOPWORDS]
+    best = F.greatest(*[F.col(s) for s in score_cols])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in LANG_STOPWORDS:  # first-match tie-break, fixed order
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return scored.withColumn("lang_pred", pred)

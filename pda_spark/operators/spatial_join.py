@@ -37,10 +37,14 @@ making candidate lists small.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import pandas as pd
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 from pda_spark.functions import geo_udfs
+from pda_spark.geo import cells as C
 
 
 def _salted(df: DataFrame, salt: int, side: str) -> DataFrame:
@@ -138,6 +142,8 @@ def knn_join(
     query_geom: str = "qgeom",
     query_id: str = "query_id",
     max_ring: int = 4,
+    metric: str = "meters",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """k nearest points for each query point (BASELINE north_star).
 
@@ -147,21 +153,16 @@ def knn_join(
     ``row_number() over (partition by query_id order by dist)`` takes the
     top k (the reference has no kNN; SURVEY §2.3 J10).
 
+    ``metric``: 'meters' (EPSG:3035 planar metres) or 'degrees' (planar
+    lon/lat Euclidean — SQL-oracle-friendly). ``tiebreak`` optionally names
+    a column for deterministic ordering among equal distances.
+
     ``max_ring`` must be large enough that >= k points fall inside the
     ring at resolution ``res``; callers size it from expected density.
     Correctness guard: a kNN result is only exact if the k-th distance is
     <= the ring's inradius — callers at scale re-run stragglers at a wider
     ring; at test scale we size rings generously.
     """
-    from pyspark.sql import Window
-
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-    from pyspark.sql.functions import pandas_udf
-
-    from pda_spark.geo import cells as C
-
     @pandas_udf(T.ArrayType(T.LongType()))
     def ring_cells(geom: pd.Series) -> pd.Series:
         from pda_spark.geo import wkb as W
@@ -173,8 +174,11 @@ def knn_join(
     q = queries.withColumn("_cell", F.explode(ring_cells(F.col(query_geom))))
     p = points.withColumn("_cell", geo_udfs.point_cell(res)(F.col(point_geom)))
     cand = p.join(F.broadcast(q), on="_cell", how="inner")
-    cand = cand.withColumn("dist_m", geo_udfs.distance_m()(F.col(point_geom), F.col(query_geom)))
-    w = Window.partitionBy(query_id).orderBy(F.col("dist_m").asc(), F.col(point_geom).asc())
+    dist_udf = geo_udfs.distance_m() if metric == "meters" else geo_udfs.distance_deg()
+    cand = cand.withColumn("dist_m", dist_udf(F.col(point_geom), F.col(query_geom)))
+    order = [F.col("dist_m").asc()]
+    order.append(F.col(tiebreak).asc() if tiebreak else F.col(point_geom).asc())
+    w = Window.partitionBy(query_id).orderBy(*order)
     return (
         cand.withColumn("knn_rank", F.row_number().over(w))
         .filter(F.col("knn_rank") <= k)

@@ -1,0 +1,757 @@
+"""Driver-contract query registry: (spark, sf_dir) -> DataFrame plus ANSI
+DuckDB oracle SQL for every SQL-expressible query.
+
+Conventions:
+- every computed column is aliased identically in the Spark plan and the
+  oracle SQL (the driver hash-compares values after sorting columns by
+  name);
+- float columns that reach the output are rounded to 6 (or 2 for money
+  sums) decimals in BOTH engines; intermediate comparisons use raw
+  doubles, which are bit-identical because both engines execute the same
+  IEEE754 op sequence on the same integer-derived inputs;
+- geometry for the geo queries is derived deterministically from table
+  columns by integer arithmetic, so DuckDB can verify spatial joins as
+  pure range predicates while Spark runs the real WKB/cell-index path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from pda_spark.functions import dedup, geo_udfs, similarity, text
+from pda_spark.geo import wkb as W
+from pda_spark.operators import spatial_join
+
+
+@pandas_udf(T.BinaryType())
+def _mk_point(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    return pd.Series(W.points_vec(lon.to_numpy(), lat.to_numpy()))
+
+
+@pandas_udf(T.BinaryType())
+def _mk_box(minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series) -> pd.Series:
+    return pd.Series([W.box(a, b, c, d) for a, b, c, d in zip(minx, miny, maxx, maxy)])
+
+# --------------------------------------------------------------- helpers
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# deterministic point derivation from events (see module docstring)
+def _event_points(spark, sf_dir) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.withColumn(
+        "lon", F.pmod(F.col("user_id") * 97 + F.col("event_id") * 31, F.lit(4000)) / 100.0 - 20.0
+    ).withColumn(
+        "lat", F.pmod(F.col("event_id") * 57 + F.col("user_id") * 13, F.lit(2500)) / 100.0 + 36.0
+    )
+
+
+_EVENT_POINTS_SQL = """
+    SELECT *,
+           ((user_id * 97 + event_id * 31) % 4000) / 100.0 - 20.0 AS lon,
+           ((event_id * 57 + user_id * 13) % 2500) / 100.0 + 36.0 AS lat
+    FROM events
+"""
+
+# five literal test boxes (bounds at .005 so no derived point sits on a
+# boundary: derived lon/lat are exact multiples of 0.01)
+BOXES = [
+    (0, -15.005, 38.005, -5.005, 48.005),
+    (1, -5.005, 40.005, 5.005, 52.005),
+    (2, 2.005, 44.005, 12.005, 58.005),
+    (3, 8.005, 36.505, 18.005, 50.505),
+    (4, 12.005, 42.005, 19.505, 60.505),
+]
+
+# five kNN query points (offsets avoid symmetric distance ties)
+KNN_QUERIES = [
+    (0, -10.0015, 45.0015),
+    (1, 0.0015, 50.0015),
+    (2, 10.0015, 42.0015),
+    (3, 15.0015, 55.0015),
+    (4, -5.0015, 58.0015),
+]
+
+
+# ============================================================ relational
+
+
+def q01_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-heavy agg (SURVEY A1/A10; filter pushdown P4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_filter_orders(spark, sf_dir):
+    """Predicates P2/P3/P4/P5 + projection P1."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_orderdate").between(F.lit("1995-01-01"), F.lit("1996-12-31"))
+        & (F.col("o_totalprice") <= 150000.0)
+    ).select("o_orderkey", "o_orderstatus", "o_orderdate", F.round("o_totalprice", 2).alias("price"))
+
+
+Q02_SQL = """
+SELECT o_orderkey, o_orderstatus, o_orderdate, round(o_totalprice, 2) AS price
+FROM orders
+WHERE o_orderstatus IN ('O', 'F')
+  AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+  AND o_totalprice <= 150000.0
+"""
+
+
+def q03_join_agg(spark, sf_dir):
+    """Broadcast FK equi-join J1 + hash agg A1."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+Q03_SQL = """
+SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q04_semi_join(spark, sf_dir):
+    """Left-semi join J5 (IN-subquery shape)."""
+    c = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+Q04_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+"""
+
+
+def q05_topk_window(spark, sf_dir):
+    """Window top-k (SURVEY §2.5; row_number + deterministic tie-break)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_mktsegment", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rnk")
+    )
+
+
+Q05_SQL = """
+SELECT c_mktsegment, o_orderkey, round(o_totalprice, 2) AS price, rnk
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rnk <= 3
+"""
+
+
+def q06_distinct_sort(spark, sf_dir):
+    """DISTINCT + ORDER BY (A4/O1 — reference distinct satellite names)."""
+    return _t(spark, sf_dir, "orders").select("o_orderpriority").distinct().orderBy("o_orderpriority")
+
+
+Q06_SQL = "SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority"
+
+
+def q07_gap_fill(spark, sf_dir):
+    """Time bucketing + gap-filling left join (J9/F13, reference maps.py:56-68)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("n_events"))
+    bounds = ev.agg(F.to_date(F.min("ts")).alias("lo"), F.to_date(F.max("ts")).alias("hi"))
+    days = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    return days.join(daily, on="day", how="left").select(
+        "day", F.coalesce("n_events", F.lit(0)).alias("n_events")
+    )
+
+
+Q07_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS n_events FROM events GROUP BY 1
+), days AS (
+  SELECT unnest(generate_series(CAST((SELECT min(ts) FROM events) AS DATE),
+                                CAST((SELECT max(ts) FROM events) AS DATE),
+                                INTERVAL 1 DAY))::DATE AS day
+)
+SELECT days.day AS day, coalesce(daily.n_events, 0) AS n_events
+FROM days LEFT JOIN daily ON days.day = daily.day
+"""
+
+
+def q08_union_dedup(spark, sf_dir):
+    """unionByName + dropDuplicates (U1 + S4)."""
+    p = _t(spark, sf_dir, "part")
+    a = p.filter(F.col("p_size") <= 20).select("p_partkey", "p_brand", "p_size")
+    b = p.filter(F.col("p_size") >= 15).select("p_partkey", "p_brand", "p_size")
+    return a.unionByName(b).dropDuplicates(["p_partkey"])
+
+
+Q08_SQL = """
+SELECT p_partkey, p_brand, p_size FROM part WHERE p_size <= 20
+UNION
+SELECT p_partkey, p_brand, p_size FROM part WHERE p_size >= 15
+"""
+
+
+def q09_scalar_funcs(spark, sf_dir):
+    """Scalar functions F10/F11/F12: casefold/initcap-style, date_format,
+    floor-cast, arithmetic round."""
+    o = _t(spark, sf_dir, "orders")
+    pr = F.lower(F.col("o_orderpriority"))
+    return o.select(
+        "o_orderkey",
+        (F.concat(F.upper(F.substring(pr, 1, 1)), F.substring(pr, 2, 100))).alias("priority_title"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.floor("o_totalprice").cast("long").alias("price_floor"),
+        # floor of the shared double is bit-deterministic in both engines;
+        # round() at a half-way boundary is not (Spark HALF_UP on binary
+        # doubles vs DuckDB) — so the derived money column is in cents
+        F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("price_cents"),
+    )
+
+
+Q09_SQL = """
+SELECT o_orderkey,
+       upper(substring(lower(o_orderpriority), 1, 1)) || substring(lower(o_orderpriority), 2) AS priority_title,
+       strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+       CAST(floor(o_totalprice * 100.0) AS BIGINT) AS price_cents
+FROM orders
+"""
+
+
+def q10_json_extract(spark, sf_dir):
+    """JSON field extraction F14 + agg."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("k"), 6).alias("avg_k"), F.sum("k").alias("sum_k"))
+    )
+
+
+Q10_SQL = """
+SELECT event_type, count(*) AS n,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
+def q11_collect_set(spark, sf_dir):
+    """Sorted collect_set per group (A5 — the land-cover list pattern)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sort_array(F.collect_set("c_mktsegment")).alias("segments"))
+    )
+
+
+Q11_SQL = """
+SELECT n_name, list_sort(list_distinct(list(c_mktsegment))) AS segments
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q12_rollup(spark, sf_dir):
+    """ROLLUP grouping sets (A13)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return j.rollup("r_name", "n_name").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+Q12_SQL = """
+SELECT r_name, n_name, count(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+# ===================================================== text / documents
+
+
+def q20_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text.quality_features(docs).select(
+        "doc_id", "n_chars_calc", "n_tokens", "n_tokens_bpe", "punct_ratio", "mean_token_len", "quality_ok"
+    )
+
+
+Q20_SQL = r"""
+SELECT doc_id,
+       length(text) AS n_chars_calc,
+       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       len(string_split_regex(trim(text), '[\s[:punct:]]+')) AS n_tokens_bpe,
+       round((length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]-]', '', 'g'))) / greatest(length(text), 1), 6) AS punct_ratio,
+       round(length(text) / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6) AS mean_token_len,
+       (len(string_split_regex(trim(text), '\s+')) >= 5
+        AND round((length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]-]', '', 'g'))) / greatest(length(text), 1), 6) <= 0.3
+        AND round(length(text) / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6) BETWEEN 2.0 AND 15.0) AS quality_ok
+FROM documents
+"""
+
+
+def q21_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text.lang_id(docs).select("doc_id", "lang", "lang_pred")
+
+
+def _lang_id_sql() -> str:
+    scores = {
+        lang: rf"len(regexp_extract_all(lower(text), '\b({'|'.join(words)})\b'))"
+        for lang, words in text.LANG_STOPWORDS.items()
+    }
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    cases = " ".join(f"WHEN {scores[lang]} = best THEN '{lang}'" for lang in text.LANG_STOPWORDS)
+    return f"""
+SELECT doc_id, lang,
+       CASE WHEN best <= 0 THEN 'und' {cases} END AS lang_pred
+FROM (SELECT doc_id, lang, text, {best} AS best FROM documents)
+"""
+
+
+def q23_fingerprint_groups(spark, sf_dir):
+    """Document fingerprinting: md5 over normalized text, group sizes."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", text.fingerprint(F.col("text")))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+    )
+
+
+Q23_SQL = r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+       count(*) AS n_docs,
+       list_sort(list(doc_id)) AS doc_ids
+FROM documents GROUP BY 1
+"""
+
+
+def q24_dedup_counts(spark, sf_dir):
+    """Exact-dedup statistics per lang: rows vs distinct fingerprints."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", text.fingerprint(F.col("text")))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.countDistinct("fp").alias("n_unique"))
+    )
+
+
+Q24_SQL = r"""
+SELECT lang, count(*) AS n_docs,
+       count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_unique
+FROM documents GROUP BY lang
+"""
+
+
+_JACCARD_LIMIT = 150
+_JACCARD_K = 5
+_JACCARD_T = 0.1
+
+
+def q25_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < _JACCARD_LIMIT)
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", k=_JACCARD_K, threshold=_JACCARD_T)
+
+
+Q25_SQL = rf"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents WHERE doc_id < {_JACCARD_LIMIT}
+), sh AS (
+  SELECT doc_id, unnest(list_distinct([substring(t, i, {_JACCARD_K})
+         for i in range(1, greatest(length(t) - {_JACCARD_K - 1}, 1) + 1)])) AS s
+  FROM norm
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= {_JACCARD_T}
+"""
+
+_MINHASH_N = 4
+
+
+def q26_minhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < _JACCARD_LIMIT)
+    return dedup.minhash_signatures(docs, "doc_id", k=_JACCARD_K, n_hashes=_MINHASH_N)
+
+
+def _minhash_sql() -> str:
+    coeffs = dedup.minhash_coeffs(_MINHASH_N, seed=42)
+    mins = ", ".join(
+        f"min((({a % 4096} * h + {b % (1 << 50)}) % {dedup.MINHASH_PRIME})) AS mh_{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    return rf"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents WHERE doc_id < {_JACCARD_LIMIT}
+), sh AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substring(md5(unnest([substring(t, i, {_JACCARD_K})
+              for i in range(1, greatest(length(t) - {_JACCARD_K - 1}, 1) + 1)])), 1, 12))::BIGINT AS h
+  FROM norm
+)
+SELECT doc_id, {mins} FROM sh GROUP BY doc_id
+"""
+
+
+_SIMHASH_BITS = 16
+
+
+def q27_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < _JACCARD_LIMIT)
+    return dedup.simhash(docs, "doc_id", n_bits=_SIMHASH_BITS)
+
+
+def _simhash_sql() -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{j}" for j in range(_SIMHASH_BITS)
+    )
+    sig = " + ".join(f"(CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIMHASH_BITS))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(unnest(string_split_regex(lower(trim(text)), '\s+'))), 1, 12))::BIGINT AS h
+  FROM documents WHERE doc_id < {_JACCARD_LIMIT}
+), sums AS (
+  SELECT doc_id, {sums} FROM toks GROUP BY doc_id
+)
+SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM sums
+"""
+
+
+# ======================================================== similarity
+
+
+def q30_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+Q30_SQL = """
+WITH queries AS (
+  SELECT vec_id AS q_id, embedding AS q_embedding FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.q_id, e.vec_id,
+         round(list_dot_product(e.embedding::DOUBLE[], q.q_embedding::DOUBLE[])
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.q_embedding::DOUBLE[], q.q_embedding::DOUBLE[]))), 6) AS cosine
+  FROM embeddings e CROSS JOIN queries q
+)
+SELECT q_id, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q31_lsh_ann(spark, sf_dir):
+    """Approximate ANN — no SQL oracle (recall-based; pytest pins recall
+    against q30's exact result instead)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    return similarity.lsh_ann_topk(emb, queries, k=5, n_planes=6, dim=16)
+
+
+# ============================================================== geo
+
+
+def q40_cell_assign(spark, sf_dir):
+    """Tile/cell assignment via the pure-Catalyst cell expression —
+    verifies the packed int64 cell arithmetic against plain SQL."""
+    pts = _event_points(spark, sf_dir)
+    res = 7
+    return (
+        pts.withColumn("cell", geo_udfs.cell_of_xy_expr(F.col("lon"), F.col("lat"), res))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+
+
+def _cell_sql(res: int, lon: str = "lon", lat: str = "lat") -> str:
+    n = 1 << res
+    return (
+        f"({res}::BIGINT * 288230376151711744 "
+        f"+ (least(greatest(floor(({lon} + 180.0) / 360.0 * {n}), 0), {n - 1})::BIGINT << 29) "
+        f"+ least(greatest(floor(({lat} + 90.0) / 180.0 * {n}), 0), {n - 1})::BIGINT)"
+    )
+
+
+Q40_SQL = f"""
+SELECT {_cell_sql(7)} AS cell, count(*) AS n_points
+FROM ({_EVENT_POINTS_SQL})
+GROUP BY 1
+"""
+
+
+def q41_pip_join(spark, sf_dir):
+    """Point-in-polygon join through the full WKB + cell-index machinery;
+    the oracle reduces to range predicates (boxes are axis-aligned)."""
+    pts = _event_points(spark, sf_dir)
+    pts = pts.withColumn("geom", _mk_point(F.col("lon"), F.col("lat"))).select("event_id", "geom")
+    boxes = spark.createDataFrame(
+        [(b[0], bytearray(W.box(b[1], b[2], b[3], b[4]))) for b in BOXES],
+        "box_id int, box_geom binary",
+    )
+    joined = spatial_join.points_in_polygons_join(
+        pts, boxes, res=5, point_geom="geom", poly_geom="box_geom"
+    )
+    return joined.groupBy("box_id").agg(F.count(F.lit(1)).alias("n_points"))
+
+
+Q41_SQL = f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+boxes(box_id, minx, miny, maxx, maxy) AS (
+  VALUES {', '.join(f'({b[0]}, {b[1]}, {b[2]}, {b[3]}, {b[4]})' for b in BOXES)}
+)
+SELECT box_id, count(*) AS n_points
+FROM pts JOIN boxes
+  ON pts.lon BETWEEN boxes.minx AND boxes.maxx
+ AND pts.lat BETWEEN boxes.miny AND boxes.maxy
+GROUP BY box_id
+"""
+
+
+def q42_knn(spark, sf_dir):
+    """kNN via cell-ring expansion + window top-k (north_star operator);
+    planar-degree metric so DuckDB can verify exactly."""
+    pts = _event_points(spark, sf_dir)
+    pts = pts.withColumn("geom", _mk_point(F.col("lon"), F.col("lat"))).select("event_id", "geom")
+    queries = spark.createDataFrame(
+        [(q[0], bytearray(W.point(q[1], q[2]))) for q in KNN_QUERIES],
+        "query_id int, qgeom binary",
+    )
+    out = spatial_join.knn_join(
+        pts, queries, k=5, res=6, point_geom="geom", query_geom="qgeom",
+        query_id="query_id", max_ring=2, metric="degrees", tiebreak="event_id",
+    )
+    return out.select(
+        "query_id", "event_id", F.round("dist_m", 6).alias("dist"), F.col("knn_rank").alias("rank")
+    )
+
+
+Q42_SQL = f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+queries(query_id, qlon, qlat) AS (
+  VALUES {', '.join(f'({q[0]}, {q[1]}, {q[2]})' for q in KNN_QUERIES)}
+), scored AS (
+  SELECT query_id, event_id,
+         sqrt((lon - qlon) * (lon - qlon) + (lat - qlat) * (lat - qlat)) AS d
+  FROM pts CROSS JOIN queries
+)
+SELECT query_id, event_id, round(d, 6) AS dist, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d ASC, event_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q43_bbox_area(spark, sf_dir):
+    """WKB encode/decode + shoelace area vs plain rectangle arithmetic."""
+    p = _t(spark, sf_dir, "part").filter(F.pmod(F.col("p_partkey"), F.lit(7)) == 0)
+    rect = p.select(
+        "p_partkey",
+        (F.pmod(F.col("p_partkey") * 13, F.lit(3000)) / 100.0 - 15.0).alias("minx"),
+        (F.pmod(F.col("p_partkey") * 17, F.lit(2000)) / 100.0 + 38.0).alias("miny"),
+        (F.col("p_size") / 10.0 + 0.1).alias("w"),
+        (F.pmod(F.col("p_partkey"), F.lit(5)) / 10.0 + 0.2).alias("h"),
+    )
+
+    rect = rect.withColumn(
+        "geom",
+        _mk_box(F.col("minx"), F.col("miny"), F.col("minx") + F.col("w"), F.col("miny") + F.col("h")),
+    )
+    return rect.select(
+        "p_partkey", F.round(geo_udfs.area_planar(F.col("geom")), 9).alias("area_deg2")
+    )
+
+
+Q43_SQL = """
+SELECT p_partkey,
+       round((p_size / 10.0 + 0.1) * ((p_partkey % 5) / 10.0 + 0.2), 9) AS area_deg2
+FROM part WHERE p_partkey % 7 = 0
+"""
+
+
+def q44_tile_zonal(spark, sf_dir):
+    """Zonal raster<->vector join: count points per (tile, box) pair —
+    tile assignment through the vectorized kernel UDF this time."""
+    res = 6
+    pts = _event_points(spark, sf_dir)
+    pts = pts.withColumn("tile", geo_udfs.lonlat_cell(res)(F.col("lon"), F.col("lat")))
+    pts = pts.withColumn("geom", _mk_point(F.col("lon"), F.col("lat")))
+    boxes = spark.createDataFrame(
+        [(b[0], bytearray(W.box(b[1], b[2], b[3], b[4]))) for b in BOXES],
+        "box_id int, box_geom binary",
+    )
+    joined = spatial_join.points_in_polygons_join(
+        pts.select("event_id", "tile", "geom"), boxes, res=res, point_geom="geom", poly_geom="box_geom"
+    )
+    return joined.groupBy("box_id", "tile").agg(F.count(F.lit(1)).alias("n_points"))
+
+
+Q44_SQL = f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+boxes(box_id, minx, miny, maxx, maxy) AS (
+  VALUES {', '.join(f'({b[0]}, {b[1]}, {b[2]}, {b[3]}, {b[4]})' for b in BOXES)}
+)
+SELECT box_id, {_cell_sql(6)} AS tile, count(*) AS n_points
+FROM pts JOIN boxes
+  ON pts.lon BETWEEN boxes.minx AND boxes.maxx
+ AND pts.lat BETWEEN boxes.miny AND boxes.maxy
+GROUP BY 1, 2
+"""
+
+
+def q45_rect_intersects(spark, sf_dir):
+    """Polygon x polygon intersects join through cover/dedup/refine —
+    rectangles make the oracle a pure interval-overlap join. Exercises the
+    reference-point dedup (no pair may appear twice)."""
+    o = _t(spark, sf_dir, "orders").filter(F.pmod(F.col("o_orderkey"), F.lit(37)) == 0)
+    img = o.select(
+        F.col("o_orderkey").alias("img_id"),
+        (F.pmod(F.col("o_orderkey") * 7, F.lit(4000)) / 100.0 - 20.0).alias("ix"),
+        (F.pmod(F.col("o_orderkey") * 11, F.lit(2200)) / 100.0 + 37.0).alias("iy"),
+        (F.pmod(F.col("o_orderkey"), F.lit(10)) / 20.0 + 0.05).alias("ih"),
+    )
+    img = img.withColumn("geom", _mk_box(F.col("ix") - F.col("ih"), F.col("iy") - F.col("ih"),
+                                        F.col("ix") + F.col("ih"), F.col("iy") + F.col("ih")))
+    p = _t(spark, sf_dir, "part").filter(F.pmod(F.col("p_partkey"), F.lit(11)) == 0)
+    lc = p.select(
+        F.col("p_partkey").alias("lc_id"),
+        (F.pmod(F.col("p_partkey") * 13, F.lit(4000)) / 100.0 - 19.9987).alias("cx"),
+        (F.pmod(F.col("p_partkey") * 17, F.lit(2200)) / 100.0 + 37.0013).alias("cy"),
+        (F.pmod(F.col("p_partkey"), F.lit(8)) / 10.0 + 0.2).alias("ch"),
+    )
+    lc = lc.withColumn("lc_geom", _mk_box(F.col("cx") - F.col("ch"), F.col("cy") - F.col("ch"),
+                                         F.col("cx") + F.col("ch"), F.col("cy") + F.col("ch")))
+    pairs = spatial_join.intersects_join(
+        img.select("img_id", "geom"), lc.select("lc_id", "lc_geom"),
+        res=6, left_geom="geom", right_geom="lc_geom",
+    )
+    return pairs.groupBy("lc_id").agg(F.count(F.lit(1)).alias("n_images"))
+
+
+Q45_SQL = """
+WITH img AS (
+  SELECT o_orderkey AS img_id,
+         ((o_orderkey * 7) % 4000) / 100.0 - 20.0 AS ix,
+         ((o_orderkey * 11) % 2200) / 100.0 + 37.0 AS iy,
+         (o_orderkey % 10) / 20.0 + 0.05 AS ih
+  FROM orders WHERE o_orderkey % 37 = 0
+), lc AS (
+  SELECT p_partkey AS lc_id,
+         ((p_partkey * 13) % 4000) / 100.0 - 19.9987 AS cx,
+         ((p_partkey * 17) % 2200) / 100.0 + 37.0013 AS cy,
+         (p_partkey % 8) / 10.0 + 0.2 AS ch
+  FROM part WHERE p_partkey % 11 = 0
+)
+SELECT lc_id, count(*) AS n_images
+FROM img JOIN lc
+  ON ix - ih <= cx + ch AND cx - ch <= ix + ih
+ AND iy - ih <= cy + ch AND cy - ch <= iy + ih
+GROUP BY lc_id
+"""
+
+
+# ============================================================ registry
+
+QUERIES: dict[str, tuple] = {
+    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
+    "q02_filter_orders": (q02_filter_orders, Q02_SQL),
+    "q03_join_agg": (q03_join_agg, Q03_SQL),
+    "q04_semi_join": (q04_semi_join, Q04_SQL),
+    "q05_topk_window": (q05_topk_window, Q05_SQL),
+    "q06_distinct_sort": (q06_distinct_sort, Q06_SQL),
+    "q07_gap_fill": (q07_gap_fill, Q07_SQL),
+    "q08_union_dedup": (q08_union_dedup, Q08_SQL),
+    "q09_scalar_funcs": (q09_scalar_funcs, Q09_SQL),
+    "q10_json_extract": (q10_json_extract, Q10_SQL),
+    "q11_collect_set": (q11_collect_set, Q11_SQL),
+    "q12_rollup": (q12_rollup, Q12_SQL),
+    "q20_token_stats": (q20_token_stats, Q20_SQL),
+    "q21_lang_id": (q21_lang_id, _lang_id_sql()),
+    "q23_fingerprint_groups": (q23_fingerprint_groups, Q23_SQL),
+    "q24_dedup_counts": (q24_dedup_counts, Q24_SQL),
+    "q25_ngram_jaccard": (q25_ngram_jaccard, Q25_SQL),
+    "q26_minhash": (q26_minhash, _minhash_sql()),
+    "q27_simhash": (q27_simhash, _simhash_sql()),
+    "q30_cosine_topk": (q30_cosine_topk, Q30_SQL),
+    "q31_lsh_ann": (q31_lsh_ann, None),
+    "q40_cell_assign": (q40_cell_assign, Q40_SQL),
+    "q41_pip_join": (q41_pip_join, Q41_SQL),
+    "q42_knn": (q42_knn, Q42_SQL),
+    "q43_bbox_area": (q43_bbox_area, Q43_SQL),
+    "q44_tile_zonal": (q44_tile_zonal, Q44_SQL),
+    "q45_rect_intersects": (q45_rect_intersects, Q45_SQL),
+}

@@ -1,0 +1,169 @@
+"""Stage checkpoints with per-partition lineage + metrics, resumable.
+
+BASELINE north_rule: "every stage checkpoints ... with per-partition
+lineage and row/byte metrics so the pipeline is resumable mid-run."
+
+Production target is Iceberg (`CREATE TABLE ... USING iceberg`,
+``MERGE INTO`` for idempotency — SURVEY §2.1 S7/S11); the Iceberg runtime
+jar is not available in this sandbox, so the same contract is implemented
+on parquet directories plus an atomic JSON manifest:
+
+- a stage directory ``<base>/<name>/data/*.parquet`` holds the rows;
+- ``<base>/<name>/manifest.json`` is written LAST (tmp + rename) and is
+  the commit marker — a stage without a readable manifest is incomplete
+  and recomputed on resume;
+- the manifest records schema, total rows, per-partition row counts,
+  per-file byte sizes, parent stage names (lineage), and engine version.
+
+Idempotent writes (the reference's ``ON CONFLICT DO NOTHING``,
+/root/reference/database/db.py:65-70) are ``merge_append``: new rows are
+anti-joined against existing keys before appending — re-running an ingest
+of the same data is a no-op, verified by tests/test_ingest.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CheckpointManager:
+    def __init__(self, spark: SparkSession, base_dir: str, run_id: str | None = None):
+        self.spark = spark
+        self.base = base_dir
+        self.run_id = run_id or uuid.uuid4().hex[:12]
+        os.makedirs(base_dir, exist_ok=True)
+
+    # ------------------------------------------------------------ paths
+    def _dir(self, name: str) -> str:
+        return os.path.join(self.base, name)
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self._dir(name), "manifest.json")
+
+    def is_complete(self, name: str) -> bool:
+        try:
+            with open(self._manifest_path(name)) as f:
+                return json.load(f).get("status") == "committed"
+        except (OSError, json.JSONDecodeError):
+            return False
+
+    def manifest(self, name: str) -> dict:
+        with open(self._manifest_path(name)) as f:
+            return json.load(f)
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self._dir(name), "data"))
+
+    # ------------------------------------------------------------ write
+    def _collect_metrics(self, data_dir: str, df: DataFrame) -> dict:
+        per_partition = [
+            {"partition": int(r["_pid"]), "rows": int(r["rows"])}
+            for r in df.groupBy(F.spark_partition_id().alias("_pid"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .collect()
+        ]
+        files = []
+        for root, _, names in os.walk(data_dir):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = os.path.join(root, n)
+                    files.append({"file": os.path.relpath(p, data_dir), "bytes": os.path.getsize(p)})
+        return {
+            "rows": sum(p["rows"] for p in per_partition),
+            "partitions": sorted(per_partition, key=lambda p: p["partition"]),
+            "files": sorted(files, key=lambda f: f["file"]),
+            "bytes": sum(f["bytes"] for f in files),
+        }
+
+    def _commit(self, name: str, payload: dict) -> None:
+        tmp = self._manifest_path(name) + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(payload, f, indent=2, sort_keys=True)
+        os.replace(tmp, self._manifest_path(name))
+
+    def _parent_fingerprint(self, parents: list[str] | None) -> dict:
+        """Lineage fingerprint: parent row counts. A stage is stale (and
+        recomputed on resume) if any parent grew since it committed —
+        keeps incremental appends flowing downstream. Row count is a
+        faithful version for merge_append stages (append-only, keyed);
+        a no-op resume re-commits manifests without changing rows, which
+        must NOT invalidate children."""
+        fp = {}
+        for p in parents or []:
+            if self.is_complete(p):
+                fp[p] = {"rows": self.manifest(p).get("rows")}
+        return fp
+
+    def write_stage(
+        self,
+        df: DataFrame,
+        name: str,
+        parents: list[str] | None = None,
+        mode: str = "overwrite",
+    ) -> DataFrame:
+        """Materialize a stage and commit its manifest; returns the
+        re-read DataFrame (downstream stages read the checkpoint, so a
+        resumed run is plan-identical to a fresh one)."""
+        data_dir = os.path.join(self._dir(name), "data")
+        df.write.mode(mode).parquet(data_dir)
+        out = self.spark.read.parquet(data_dir)
+        metrics = self._collect_metrics(data_dir, out)
+        self._commit(
+            name,
+            {
+                "status": "committed",
+                "stage": name,
+                "run_id": self.run_id,
+                "parents": parents or [],
+                "parent_fingerprint": self._parent_fingerprint(parents),
+                "schema": out.schema.jsonValue(),
+                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                **metrics,
+            },
+        )
+        return out
+
+    def stage(self, name: str, build, parents: list[str] | None = None) -> DataFrame:
+        """Resume-aware stage: reuse the checkpoint if committed AND its
+        parents are unchanged, else compute ``build()`` and commit."""
+        if self.is_complete(name):
+            m = self.manifest(name)
+            if m.get("parent_fingerprint", {}) == self._parent_fingerprint(parents):
+                return self.read(name)
+        return self.write_stage(build(), name, parents=parents)
+
+    def merge_append(self, df: DataFrame, name: str, key: str, parents: list[str] | None = None) -> DataFrame:
+        """Idempotent keyed append (ON CONFLICT DO NOTHING / Iceberg
+        MERGE WHEN NOT MATCHED THEN INSERT). Duplicate keys *within* the
+        incoming batch are also collapsed (source dedup, SURVEY S4)."""
+        incoming = df.dropDuplicates([key])
+        data_dir = os.path.join(self._dir(name), "data")
+        if self.is_complete(name):
+            existing_keys = self.read(name).select(key)
+            fresh = incoming.join(existing_keys, on=key, how="left_anti")
+            fresh.write.mode("append").parquet(data_dir)
+        else:
+            incoming.write.mode("overwrite").parquet(data_dir)
+        out = self.spark.read.parquet(data_dir)
+        metrics = self._collect_metrics(data_dir, out)
+        prev_parents = self.manifest(name).get("parents", []) if self.is_complete(name) else []
+        self._commit(
+            name,
+            {
+                "status": "committed",
+                "stage": name,
+                "run_id": self.run_id,
+                "parents": sorted(set((parents or []) + prev_parents)),
+                "schema": out.schema.jsonValue(),
+                "key": key,
+                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                **metrics,
+            },
+        )
+        return out

@@ -1,0 +1,172 @@
+"""Training-data pipeline operators: text analysis, dedup, similarity,
+multimodal plumbing. Run against the driver testdata documents/embeddings
+tables plus tiny crafted frames."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pda_spark.functions import dedup, multimodal, similarity, text
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_quality_features(spark, docs):
+    out = text.quality_features(docs).collect()
+    for r in out:
+        assert r["n_chars_calc"] == len(r["text"])
+        assert r["n_tokens"] == len(r["text"].split())
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+
+
+def test_lang_id_predicts(spark, docs):
+    out = text.lang_id(docs)
+    # heuristic must at least beat chance on the synthetic docs: check it
+    # outputs only known labels and correlates with the table's lang col
+    rows = out.select("lang", "lang_pred").collect()
+    labels = {r["lang_pred"] for r in rows}
+    assert labels <= set(text.LANG_STOPWORDS) | {"und"}
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("a", "Hello   World"), ("b", "hello world"), ("c", "different text")],
+        ["id", "text"],
+    )
+    out = df.withColumn("fp", text.fingerprint(F.col("text"))).collect()
+    fp = {r["id"]: r["fp"] for r in out}
+    assert fp["a"] == fp["b"] != fp["c"]
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same  TEXT"), (3, "unique")], ["doc_id", "text"]
+    )
+    assert dedup.exact_dedup(df).count() == 2
+    groups = dedup.duplicate_groups(df, "doc_id").collect()
+    assert len(groups) == 1 and groups[0]["doc_ids"] == [1, 2]
+
+
+def test_char_shingles(spark):
+    df = spark.createDataFrame([(1, "abcdef")], ["doc_id", "text"])
+    rows = df.select(dedup.char_shingles("text", 5).alias("sh")).head()
+    assert rows["sh"] == ["abcde", "bcdef"]
+
+
+def test_ngram_jaccard(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely unrelated text with other words"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.ngram_jaccard_pairs(df, "doc_id", threshold=0.5).collect()
+    assert len(pairs) == 1
+    assert (pairs[0]["id_a"], pairs[0]["id_b"]) == (1, 2)
+    assert 0.5 <= pairs[0]["jaccard"] < 1.0
+
+
+def test_minhash_lsh_finds_neardups(spark, docs):
+    """LSH candidates must include every high-Jaccard pair (banding with
+    these params makes misses vanishingly unlikely at j>=0.9) and stay a
+    small fraction of all n^2 pairs."""
+    sample = docs.limit(60).select("doc_id", "text")
+    dup = sample.withColumn("doc_id", F.col("doc_id") + 1_000_000)  # exact dup of each
+    both = sample.unionByName(dup)
+    cand = dedup.minhash_lsh_candidates(both, "doc_id", k=5, n_hashes=16, bands=4)
+    got = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    expected = {(r["doc_id"], r["doc_id"] + 1_000_000) for r in sample.collect()}
+    assert expected <= got  # all true dups found
+    assert len(got) < 120 * 119 / 4  # far below all-pairs
+
+
+def test_simhash_close_for_neardups(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "satellites orbit planets capturing imagery of rivers"),
+        ],
+        ["doc_id", "text"],
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df, "doc_id").collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(sigs[1], sigs[2]) < hamming(sigs[1], sigs[3])
+
+
+def test_cosine_topk_exact(spark, embeddings):
+    queries = (
+        embeddings.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding"))
+    )
+    got = similarity.cosine_topk(embeddings, queries, k=5)
+    rows = got.collect()
+    assert len(rows) == 15
+    # numpy oracle
+    import numpy as np
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in embeddings.collect()}
+    for qid in range(3):
+        q = vecs[qid]
+        sims = sorted(
+            ((float(np.dot(v, q) / (np.linalg.norm(v) * np.linalg.norm(q))), vid) for vid, v in vecs.items()),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        expected_ids = [vid for _, vid in sims]
+        got_ids = [r["vec_id"] for r in sorted(rows, key=lambda r: r["rank"]) if r["q_id"] == qid]
+        assert got_ids == expected_ids, f"query {qid}"
+
+
+def test_lsh_ann_recall(spark, embeddings):
+    queries = (
+        embeddings.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding"))
+    )
+    exact = similarity.cosine_topk(embeddings, queries, k=5)
+    approx = similarity.lsh_ann_topk(embeddings, queries, k=5, n_planes=6, dim=16)
+    e = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+    # the query vector itself is always in its own bucket -> rank 1
+    top1 = {r["q_id"]: r["vec_id"] for r in approx.collect() if r["rank"] == 1}
+    assert all(top1[q] == q for q in top1)
+
+
+def test_multimodal_features(spark):
+    media = multimodal.synth_media(spark, 30)
+    feats = multimodal.extract_image_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(r["n_bytes"] > 0 and 0 <= r["mean_px"] <= 255 for r in rows)
+    # determinism: same payload -> same phash
+    again = {r["media_id"]: r["phash"] for r in multimodal.extract_image_features(media).collect()}
+    first = {r["media_id"]: r["phash"] for r in rows}
+    assert first == again
+
+
+def test_multimodal_decode_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"xx")
+
+
+def test_frame_sample(spark):
+    media = multimodal.synth_media(spark, 12)
+    frames = multimodal.frame_sample(media, every_n=2)
+    rows = frames.collect()
+    assert len(rows) > 0
+    assert all(r["frame_no"] % 2 == 0 for r in rows)

@@ -1,0 +1,153 @@
+"""Web-corpus front end: extraction invariants, ingest, checkpoints/resume.
+
+Covers the BASELINE input_hint contract: table shape (url, warc_ts, html,
+text, lang); byte-identical extracted text per url; idempotent ingest
+(reference ON CONFLICT semantics, test_db_i.py:293-304); resumable
+checkpoints with per-partition lineage metrics (north_rule).
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from pda_spark.functions import extract
+from pda_spark.sources import web_pages
+from pda_spark.sources.checkpoint import CheckpointManager
+from pda_spark.sources.ingest import ingest_web_corpus
+
+N_PAGES = 200
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return web_pages.corpus(spark, N_PAGES, partitions=4).cache()
+
+
+def test_corpus_shape(spark, corpus):
+    assert corpus.columns == ["url", "warc_ts", "html", "text", "lang"]
+    assert corpus.count() == N_PAGES
+    assert corpus.select("url").distinct().count() == N_PAGES
+
+
+def test_text_byte_identical_per_url(spark, corpus):
+    """Per-row invariant: re-running extraction over html reproduces the
+    stored text byte-for-byte for every url."""
+    re_extracted = extract.extract_text(corpus.drop("text"), out_col="text2")
+    joined = corpus.join(re_extracted.select("url", "text2"), on="url")
+    mismatches = joined.filter(
+        F.encode(F.col("text"), "utf-8") != F.encode(F.col("text2"), "utf-8")
+    ).count()
+    assert mismatches == 0
+
+
+def test_text_independent_of_partitioning(spark):
+    """Content is a pure function of url: different parallelism, same bytes."""
+    a = {r["url"]: r["text"] for r in web_pages.corpus(spark, 50, partitions=1).collect()}
+    b = {r["url"]: r["text"] for r in web_pages.corpus(spark, 50, partitions=7).collect()}
+    assert a == b
+
+
+def test_geoparse(spark, corpus):
+    geo = extract.geoparse_latlon(corpus)
+    rows = geo.select("lat", "lon", "point_geom").collect()
+    assert all(r["lat"] is not None and 35 < r["lat"] < 65 for r in rows)
+    assert all(r["point_geom"] is not None for r in rows)
+
+
+def test_parse_footprints_golden(spark, corpus):
+    """Footprint parse reproduces the deterministic generator's feature."""
+    facts = extract.parse_footprints(corpus)
+    assert facts.count() == N_PAGES
+    r = facts.filter(F.col("url") == web_pages.page_for_index(3)[0]).head()
+    import json as _json
+    import re
+
+    html = web_pages.page_for_index(3)[2].decode()
+    feat = _json.loads(re.search(r'geo\+json">(.*?)</script>', html).group(1))
+    assert r["id"] == feat["properties"]["id"]
+    assert r["cloud_cover"] == feat["properties"]["cloud_cover"]
+    assert r["sat_id"] == feat["properties"]["satellite_id"]
+    assert r["sat_name"] == feat["properties"]["provider"].title()
+    # centroid must be inside the footprint
+    from pda_spark.geo import kernels, wkb
+    import numpy as np
+
+    g = wkb.decode(bytes(r["geom"]))
+    lon, lat = wkb.decode(bytes(r["centroid"])).parts[0][0]
+    assert kernels.points_in_polygons(np.array([[lon, lat]]), g.polygons())[0]
+
+
+def test_malformed_pages_skipped(spark):
+    """Pages without (or with broken) footprint blocks yield no fact row."""
+    rows = [
+        ("u1", None, b"<html><body>no geojson here</body></html>", "x", "en"),
+        ("u2", None, b'<html><script type="application/geo+json">{broken</script></html>', "x", "en"),
+    ]
+    from pda_spark import schemas
+
+    df = spark.createDataFrame(rows, schemas.WEB_PAGES)
+    assert extract.parse_footprints(df).count() == 0
+
+
+def test_ingest_idempotent(spark, corpus, tmp_path):
+    """Reference insert idempotency (test_db_i.py:293-304): running the
+    same ingest twice leaves row counts unchanged."""
+    ckpt = CheckpointManager(spark, str(tmp_path / "ck"))
+    t1 = ingest_web_corpus(corpus, ckpt)
+    n_images = t1["sat_images"].count()
+    n_pages = t1["web_pages"].count()
+    assert n_images == N_PAGES
+
+    t2 = ingest_web_corpus(corpus, ckpt)  # same data again
+    assert t2["sat_images"].count() == n_images
+    assert t2["web_pages"].count() == n_pages
+
+
+def test_ingest_incremental_append(spark, tmp_path):
+    """New pages flow through on re-run; old ids are not duplicated."""
+    ckpt = CheckpointManager(spark, str(tmp_path / "ck2"))
+    first = web_pages.corpus(spark, 50)
+    t1 = ingest_web_corpus(first, ckpt)
+    assert t1["sat_images"].count() == 50
+
+    both = web_pages.corpus(spark, 80)  # first 50 overlap + 30 new
+    t2 = ingest_web_corpus(both, ckpt)
+    assert t2["web_pages"].count() == 80
+    assert t2["sat_images"].count() == 80
+    ids = [r["id"] for r in t2["sat_images"].select("id").collect()]
+    assert len(ids) == len(set(ids))
+
+
+def test_checkpoint_manifest_lineage(spark, corpus, tmp_path):
+    """Manifests carry per-partition rows, per-file bytes, and lineage."""
+    ckpt = CheckpointManager(spark, str(tmp_path / "ck3"))
+    ingest_web_corpus(corpus, ckpt)
+    m = json.load(open(tmp_path / "ck3" / "footprints" / "manifest.json"))
+    assert m["status"] == "committed"
+    assert m["parents"] == ["web_pages"]
+    assert m["rows"] == N_PAGES
+    assert sum(p["rows"] for p in m["partitions"]) == N_PAGES
+    assert m["bytes"] > 0 and all(f["bytes"] > 0 for f in m["files"])
+    assert "web_pages" in m["parent_fingerprint"]
+
+
+def test_checkpoint_resume_skips_complete_stages(spark, corpus, tmp_path):
+    """A resumed run reuses committed stages (no recompute) and a stage
+    with a missing manifest is rebuilt."""
+    base = tmp_path / "ck4"
+    ckpt = CheckpointManager(spark, str(base))
+    ingest_web_corpus(corpus, ckpt)
+    committed_at = ckpt.manifest("footprints")["committed_at"]
+
+    # resume: same inputs -> stage reused, manifest untouched
+    ckpt2 = CheckpointManager(spark, str(base))
+    ingest_web_corpus(corpus, ckpt2)
+    assert ckpt2.manifest("footprints")["committed_at"] == committed_at
+
+    # simulate mid-run kill: delete one manifest -> only that stage rebuilds
+    (base / "satellites" / "manifest.json").unlink()
+    ckpt3 = CheckpointManager(spark, str(base))
+    out = ingest_web_corpus(corpus, ckpt3)
+    assert ckpt3.is_complete("satellites")
+    assert out["satellites"].count() == 4
