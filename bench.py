@@ -1,0 +1,103 @@
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total sec), "unit": "sec", "queries" (per-query
+sec), "sf"}.
+
+Each query is forced through the noop sink so column pruning cannot skip
+UDF work. A tiny warmup amortizes JVM codegen + Python worker startup out
+of the first measured query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",   # scan-heavy hash agg (600k lineitem @ sf0.1)
+    "q03_join_agg",          # broadcast FK join
+    "q05_topk_window",       # window top-k
+    "q20_token_stats",       # text quality (JVM-side regex)
+    "q24_dedup_counts",      # exact dedup fingerprints
+    "q25_ngram_jaccard",     # shingle self-join near-dup
+    "q27_simhash",           # simhash signatures
+    "q30_cosine_topk",       # brute-force ANN baseline
+    "q31_lsh_ann",           # LSH ANN
+    "q40_cell_assign",       # cell index (pure Catalyst)
+    "q41_pip_join",          # point-in-polygon spatial join (headline)
+    "q42_knn",               # kNN ring expansion
+    "q44_tile_zonal",        # raster<->vector zonal tiles
+    "q45_rect_intersects",   # polygon x polygon intersects join
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from pda_spark.plans import registry
+    from pda_spark.session import get_spark
+
+    spark = get_spark("pda-bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: run the whole suite once at the smallest SF. This warms the
+    # Python worker pool for EVERY UDF path (the first execution of each
+    # Arrow UDF pays a one-off worker import storm: 32 workers x
+    # pandas/numpy imports), plus JVM codegen. Measured numbers below are
+    # steady-state — the regime that matters at 100 TB.
+    warm_dir = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        fn, _sql = registry.QUERIES[name]
+        _force(fn(spark, warm_dir if os.path.isdir(warm_dir) else sf_dir))
+
+    # two measured repetitions per query, report the min — GC pauses and
+    # worker-pool growth from neighbouring queries otherwise leak into
+    # single samples.
+    times: dict[str, float] = {}
+    for _rep in range(2):
+        for name in HEADLINE:
+            fn, _sql = registry.QUERIES[name]
+            t0 = time.time()
+            _force(fn(spark, sf_dir))
+            dt = round(time.time() - t0, 3)
+            times[name] = min(times.get(name, dt), dt)
+
+    # web-extraction pipeline rate (pages -> footprint facts)
+    from pda_spark.functions import extract
+    from pda_spark.sources import web_pages
+
+    t0 = time.time()
+    _force(extract.parse_footprints(web_pages.corpus(spark, 2000, partitions=cpus)))
+    times["web_extract_2k_pages"] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall-time (spatial join + tiling + dedup + ANN + extract)",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

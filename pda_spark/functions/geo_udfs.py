@@ -135,6 +135,23 @@ def point_cell(res: int):
     return _cell
 
 
+def point_cell_lonlat(res: int):
+    """One decode pass returning struct(cell, lon, lat) for point WKBs —
+    the lon/lat ride along so the join can bbox-prefilter candidates
+    JVM-side before any Python refine."""
+
+    @pandas_udf(T.StructType([
+        T.StructField("cell", T.LongType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+    ]))
+    def _cell(geom: pd.Series) -> pd.DataFrame:
+        lon, lat = _decode_points(geom)
+        return pd.DataFrame({"cell": cells.cell_of(lon, lat, res), "lon": lon, "lat": lat})
+
+    return _cell
+
+
 def lonlat_cell(res: int):
     """Cell id from plain lon/lat double columns — no WKB decode at all."""
 
@@ -199,6 +216,20 @@ def point_in_polygon(point_geom: pd.Series, poly_geom: pd.Series) -> pd.Series:
     ray-casts all points against each polygon at once."""
     lon, lat = _decode_points(point_geom)
     pts = np.column_stack([lon, lat])
+    keys = pd.Series([bytes(b) for b in poly_geom])
+    out = np.zeros(len(keys), dtype=bool)
+    for key, idx in keys.groupby(keys).groups.items():
+        g = wkb.decode(key)
+        ii = np.asarray(idx)
+        out[ii] = kernels.points_in_polygons(pts[ii], g.polygons())
+    return pd.Series(out)
+
+
+@pandas_udf(T.BooleanType())
+def point_in_polygon_lonlat(lon: pd.Series, lat: pd.Series, poly_geom: pd.Series) -> pd.Series:
+    """PIP refine on already-decoded lon/lat doubles (skips re-decoding
+    point WKBs inside the join's refine stage)."""
+    pts = np.column_stack([lon.to_numpy(), lat.to_numpy()])
     keys = pd.Series([bytes(b) for b in poly_geom])
     out = np.zeros(len(keys), dtype=bool)
     for key, idx in keys.groupby(keys).groups.items():

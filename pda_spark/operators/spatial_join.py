@@ -74,15 +74,30 @@ def points_in_polygons_join(
     """
     # tight cover is sound here: a point in a cell the polygon doesn't
     # touch cannot be inside the polygon.
-    pts = points.withColumn("_cell", geo_udfs.point_cell(res)(F.col(point_geom)))
-    pys = polygons.withColumn("_cell", F.explode(geo_udfs.cover_cells(res, tight=True)(F.col(poly_geom))))
+    pts = points.withColumn("_pc", geo_udfs.point_cell_lonlat(res)(F.col(point_geom)))
+    pts = pts.withColumns(
+        {"_cell": F.col("_pc.cell"), "_plon": F.col("_pc.lon"), "_plat": F.col("_pc.lat")}
+    ).drop("_pc")
+    pys = (
+        polygons.withColumn("_pbb", geo_udfs.bbox_arr(F.col(poly_geom)))
+        .withColumn("_cell", F.explode(geo_udfs.cover_cells(res, tight=True)(F.col(poly_geom))))
+    )
     pts = _salted(pts, salt, "big")
     pys = _salted(pys, salt, "small")
     keys = ["_cell", "_salt"] if salt > 1 else ["_cell"]
     right = F.broadcast(pys) if broadcast_polygons else pys
     cand = pts.join(right, on=keys, how="inner")
-    refined = cand.filter(geo_udfs.point_in_polygon(F.col(point_geom), F.col(poly_geom)))
-    return refined.drop("_cell", "_salt") if salt > 1 else refined.drop("_cell")
+    # JVM-side bbox prefilter (whole-stage codegen) — the Python refine
+    # then sees only near-hit candidates.
+    cand = cand.filter(
+        F.col("_plon").between(F.col("_pbb")[0], F.col("_pbb")[2])
+        & F.col("_plat").between(F.col("_pbb")[1], F.col("_pbb")[3])
+    )
+    refined = cand.filter(
+        geo_udfs.point_in_polygon_lonlat(F.col("_plon"), F.col("_plat"), F.col(poly_geom))
+    )
+    drop = ["_cell", "_plon", "_plat", "_pbb"] + (["_salt"] if salt > 1 else [])
+    return refined.drop(*drop)
 
 
 def intersects_join(
@@ -128,6 +143,15 @@ def intersects_join(
     ref_lat = F.greatest(F.col(lb)[1], F.col(rb)[1])
     cand = cand.filter(F.col("_cell") == geo_udfs.cell_of_xy_expr(ref_lon, ref_lat, res))
 
+    # JVM-side bbox-overlap prefilter: two geometries can share a cell
+    # without their bboxes overlapping each other — reject those before
+    # the Python refine (codegen'd comparisons on the bbox arrays).
+    cand = cand.filter(
+        (F.col(lb)[0] <= F.col(rb)[2])
+        & (F.col(rb)[0] <= F.col(lb)[2])
+        & (F.col(lb)[1] <= F.col(rb)[3])
+        & (F.col(rb)[1] <= F.col(lb)[3])
+    )
     refined = cand.filter(geo_udfs.intersects_pair(F.col(left_geom), F.col(right_geom)))
     drop = ["_cell", lb, rb] + (["_salt"] if salt > 1 else [])
     return refined.drop(*drop)

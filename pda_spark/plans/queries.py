@@ -28,6 +28,26 @@ def distinct_satellite_names(satellites: DataFrame) -> DataFrame:
     return satellites.select("name").distinct().orderBy("name")
 
 
+def item_assets(world: dict) -> DataFrame:
+    """N:M junction join J8 (db.py:180-200): item_types x items_assets x
+    asset_types -> (item_id, sat_id, sorted asset list)."""
+    it = world["item_types"].select(F.col("id").alias("item_id"), "sat_id")
+    ia = world["items_assets"]
+    at = world["asset_types"].select(F.col("id").alias("asset_id"))
+    return (
+        it.join(F.broadcast(ia), on="item_id", how="left")
+        .join(F.broadcast(at), on="asset_id", how="left")
+        .groupBy("item_id", "sat_id")
+        .agg(F.sort_array(F.collect_set("asset_id")).alias("assets"))
+    )
+
+
+def lat_lon_tuples(df: DataFrame) -> list[tuple[float, float]]:
+    """get_lat_lon_from_images (app/query.py:25-28): [(lat, lon), ...] —
+    a driver-edge helper, one collect at the very end."""
+    return [(r["lat"], r["lon"]) for r in df.select("lat", "lon").collect()]
+
+
 def _country_geom(countries: DataFrame, country_name: str) -> bytes:
     """Scalar subquery (J6): collect one row on the driver, broadcast as literal."""
     row = countries.filter(F.col("name") == country_name).select("geom", "iso").head()

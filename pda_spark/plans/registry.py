@@ -45,7 +45,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # deterministic point derivation from events (see module docstring)
 def _event_points(spark, sf_dir) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    # local testdata is one small parquet file -> one input partition; at
+    # cluster scale the table is many files and this repartition is a
+    # no-op layout choice. Keeps UDF stages on all cores locally.
+    ev = _t(spark, sf_dir, "events").repartition(spark.sparkContext.defaultParallelism)
     return ev.withColumn(
         "lon", F.pmod(F.col("user_id") * 97 + F.col("event_id") * 31, F.lit(4000)) / 100.0 - 20.0
     ).withColumn(
@@ -405,7 +408,8 @@ _JACCARD_T = 0.1
 
 
 def q25_ngram_jaccard(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < _JACCARD_LIMIT)
+    docs = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < _JACCARD_LIMIT)
+            .repartition(spark.sparkContext.defaultParallelism))
     return dedup.ngram_jaccard_pairs(docs, "doc_id", k=_JACCARD_K, threshold=_JACCARD_T)
 
 
@@ -436,7 +440,8 @@ _MINHASH_N = 4
 
 
 def q26_minhash(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < _JACCARD_LIMIT)
+    docs = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < _JACCARD_LIMIT)
+            .repartition(spark.sparkContext.defaultParallelism))
     return dedup.minhash_signatures(docs, "doc_id", k=_JACCARD_K, n_hashes=_MINHASH_N)
 
 
@@ -464,7 +469,8 @@ _SIMHASH_BITS = 16
 
 
 def q27_simhash(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < _JACCARD_LIMIT)
+    docs = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < _JACCARD_LIMIT)
+            .repartition(spark.sparkContext.defaultParallelism))
     return dedup.simhash(docs, "doc_id", n_bits=_SIMHASH_BITS)
 
 
@@ -564,7 +570,7 @@ def q41_pip_join(spark, sf_dir):
         "box_id int, box_geom binary",
     )
     joined = spatial_join.points_in_polygons_join(
-        pts, boxes, res=5, point_geom="geom", poly_geom="box_geom"
+        pts, boxes, res=7, point_geom="geom", poly_geom="box_geom"
     )
     return joined.groupBy("box_id").agg(F.count(F.lit(1)).alias("n_points"))
 
@@ -677,7 +683,11 @@ def q45_rect_intersects(spark, sf_dir):
     """Polygon x polygon intersects join through cover/dedup/refine —
     rectangles make the oracle a pure interval-overlap join. Exercises the
     reference-point dedup (no pair may appear twice)."""
-    o = _t(spark, sf_dir, "orders").filter(F.pmod(F.col("o_orderkey"), F.lit(37)) == 0)
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.pmod(F.col("o_orderkey"), F.lit(37)) == 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     img = o.select(
         F.col("o_orderkey").alias("img_id"),
         (F.pmod(F.col("o_orderkey") * 7, F.lit(4000)) / 100.0 - 20.0).alias("ix"),

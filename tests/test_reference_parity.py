@@ -127,6 +127,33 @@ def test_dissolved(spark, world):
     assert kernels.area_planar(g) == pytest.approx(rows[0]["union_area"])
 
 
+def test_item_assets_junction(spark, world):
+    # J8 N:M junction (test_db_i.py asset membership): PSScene -> [analytic]
+    rows = Q.item_assets(world).collect()
+    assert len(rows) == 1
+    assert rows[0]["item_id"] == "PSScene"
+    assert rows[0]["assets"] == ["analytic"]
+
+
+def test_lat_lon_tuples(spark):
+    # tests/unit/app/test_query_u.py:121-127 golden: [(-15.0452, 23.0235)]
+    df = spark.createDataFrame([(23.0235, -15.0452)], ["lon", "lat"])
+    assert Q.lat_lon_tuples(df) == [(-15.0452, 23.0235)]
+
+
+def test_geojson_serialization(spark, world):
+    # F9 (db.py:160-177): geometry -> GeoJSON string at the dashboard edge
+    import json
+
+    from pda_spark.functions import geo_udfs
+    from pyspark.sql import functions as F
+
+    row = world["sat_images"].select(geo_udfs.geojson_geometry(F.col("geom")).alias("gj")).head()
+    gj = json.loads(row["gj"])
+    assert gj["type"] == "Polygon"
+    assert len(gj["coordinates"][0]) == 5
+
+
 def test_time_filter_excludes(spark, world):
     # TOI entirely before acquisition -> empty (P4)
     df = Q.sat_images_with_filter(world, ALL_SATS, CC, datetime(2021, 1, 1), datetime(2021, 12, 31), COUNTRY)

@@ -1,0 +1,114 @@
+"""Spatial operator correctness against brute-force oracles on seeded
+random worlds (the driver's DuckDB gate covers the SQL-expressible
+variants; these tests cover the WKB/meters paths and invariants)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pda_spark.geo import kernels, wkb
+from pda_spark.operators import spatial_join
+from pda_spark.sources.fixtures import scaled_world
+
+
+@pytest.fixture(scope="module")
+def world(spark):
+    w = scaled_world(spark, n_images=400, n_land_cover=60, n_cities=30, seed=11)
+    for df in w.values():
+        df.cache()
+    return w
+
+
+def _brute_pairs(imgs, lcs):
+    out = set()
+    for iid, ig in imgs:
+        gi = wkb.decode(ig)
+        for lid, lg in lcs:
+            if kernels.polys_intersect(gi, wkb.decode(lg)):
+                out.add((iid, lid))
+    return out
+
+
+def test_intersects_join_matches_bruteforce(spark, world):
+    imgs = [(r["id"], bytes(r["geom"])) for r in world["sat_images"].collect()]
+    lcs = [(r["id"], bytes(r["geom"])) for r in world["land_cover_classes"].collect()]
+    expected = _brute_pairs(imgs, lcs)
+    for res in (4, 6, 8):  # result must be resolution-invariant
+        pairs = spatial_join.intersects_join(
+            world["sat_images"].select(F.col("id").alias("img_id"), "geom"),
+            world["land_cover_classes"].select(F.col("id").alias("lc_id"), F.col("geom").alias("lc_geom")),
+            res=res,
+            right_geom="lc_geom",
+        )
+        got = {(r["img_id"], r["lc_id"]) for r in pairs.collect()}
+        assert got == expected, f"res={res}"
+        # reference-point dedup: no duplicate pairs
+        assert pairs.count() == len(got)
+
+
+def test_intersects_join_salted_identical(spark, world):
+    base = spatial_join.intersects_join(
+        world["sat_images"].select(F.col("id").alias("img_id"), "geom"),
+        world["land_cover_classes"].select(F.col("id").alias("lc_id"), F.col("geom").alias("lc_geom")),
+        res=6,
+        right_geom="lc_geom",
+    )
+    salted = spatial_join.intersects_join(
+        world["sat_images"].select(F.col("id").alias("img_id"), "geom"),
+        world["land_cover_classes"].select(F.col("id").alias("lc_id"), F.col("geom").alias("lc_geom")),
+        res=6,
+        right_geom="lc_geom",
+        salt=8,
+    )
+    b = {(r["img_id"], r["lc_id"]) for r in base.collect()}
+    s = {(r["img_id"], r["lc_id"]) for r in salted.collect()}
+    assert b == s
+    assert salted.count() == len(s)
+
+
+def test_pip_join_matches_bruteforce(spark, world):
+    pts = world["cities"].select(F.col("id").alias("pt_id"), "geom")
+    polys = world["land_cover_classes"].select(F.col("id").alias("lc_id"), F.col("geom").alias("lc_geom"))
+    got_df = spatial_join.points_in_polygons_join(pts, polys, res=7, poly_geom="lc_geom")
+    got = {(r["pt_id"], r["lc_id"]) for r in got_df.collect()}
+    cities = [(r["id"], bytes(r["geom"])) for r in world["cities"].collect()]
+    lcs = [(r["id"], bytes(r["geom"])) for r in world["land_cover_classes"].collect()]
+    expected = set()
+    for cid, cg in cities:
+        pt = wkb.decode(cg).parts[0]
+        for lid, lg in lcs:
+            if kernels.points_in_polygons(pt, wkb.decode(lg).polygons())[0]:
+                expected.add((cid, lid))
+    assert got == expected
+
+
+def test_knn_meters_matches_bruteforce(spark, world):
+    from pda_spark.geo import proj
+
+    pts = world["cities"].select(F.col("id").alias("pt_id"), "geom")
+    qrows = [(0, wkb.point(10.0, 50.0)), (1, wkb.point(13.4, 52.5))]
+    queries = spark.createDataFrame(
+        [(q, bytearray(g)) for q, g in qrows], "query_id int, qgeom binary"
+    )
+    got = spatial_join.knn_join(
+        pts, queries, k=4, res=5, query_id="query_id", max_ring=3, tiebreak="pt_id"
+    )
+    rows = got.collect()
+    cities = [(r["id"], bytes(r["geom"])) for r in world["cities"].collect()]
+    for qid, qg in qrows:
+        qlon, qlat = wkb.decode(qg).parts[0][0]
+        qx, qy = proj.fwd(np.array([qlon]), np.array([qlat]))
+        dists = []
+        for cid, cg in cities:
+            lon, lat = wkb.decode(cg).parts[0][0]
+            x, y = proj.fwd(np.array([lon]), np.array([lat]))
+            dists.append((float(np.hypot(x[0] - qx[0], y[0] - qy[0])), cid))
+        expected = [cid for _, cid in sorted(dists)[:4]]
+        got_ids = [r["pt_id"] for r in sorted(rows, key=lambda r: r["knn_rank"]) if r["query_id"] == qid]
+        assert got_ids == expected, f"query {qid}"
+
+
+def test_pip_join_empty_points(spark, world):
+    pts = world["cities"].filter(F.lit(False)).select(F.col("id").alias("pt_id"), "geom")
+    polys = world["land_cover_classes"].select(F.col("id").alias("lc_id"), F.col("geom").alias("lc_geom"))
+    assert spatial_join.points_in_polygons_join(pts, polys, res=7, poly_geom="lc_geom").count() == 0
