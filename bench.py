@@ -48,6 +48,10 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # size the heap to the thread count: an undersized heap GC-throttles
+    # high-core local runs (measured: 16g at 32 cores inverted scaling)
+    os.environ.setdefault("PDA_DRIVER_MEM", "32g")
+
     from pda_spark.plans import registry
     from pda_spark.session import get_spark
 

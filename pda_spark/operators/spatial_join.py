@@ -64,20 +64,36 @@ def points_in_polygons_join(
     broadcast_polygons: bool = True,
     salt: int = 1,
     how: str = "inner",
+    lonlat_cols: tuple[str, str] | None = None,
 ) -> DataFrame:
     """ST_Contains/ST_Intersects join of a large point table against a
     polygon table. Columns of both inputs are preserved; clashing names
     must be disambiguated by the caller beforehand.
 
-    ``how='inner'`` returns matching pairs; ``'left_semi_ids'`` is handled
-    by callers via dropDuplicates on the point key.
+    ``lonlat_cols``: pass (lon, lat) column names if the point table
+    already carries plain coordinates. Cell assignment and the bbox
+    prefilter then run as pure Catalyst expressions and the exact PIP
+    refine is the ONLY Python stage in the plan. This matters: every
+    chained Arrow UDF adds a python worker per task (JVM->py->JVM hops),
+    and deep UDF pipelines stop scaling with cores. Without lonlat_cols
+    one combined UDF decodes WKB to (cell, lon, lat) in a single pass.
     """
     # tight cover is sound here: a point in a cell the polygon doesn't
     # touch cannot be inside the polygon.
-    pts = points.withColumn("_pc", geo_udfs.point_cell_lonlat(res)(F.col(point_geom)))
-    pts = pts.withColumns(
-        {"_cell": F.col("_pc.cell"), "_plon": F.col("_pc.lon"), "_plat": F.col("_pc.lat")}
-    ).drop("_pc")
+    if lonlat_cols is not None:
+        lon_c, lat_c = lonlat_cols
+        pts = points.withColumns(
+            {
+                "_cell": geo_udfs.cell_of_xy_expr(F.col(lon_c), F.col(lat_c), res),
+                "_plon": F.col(lon_c),
+                "_plat": F.col(lat_c),
+            }
+        )
+    else:
+        pts = points.withColumn("_pc", geo_udfs.point_cell_lonlat(res)(F.col(point_geom)))
+        pts = pts.withColumns(
+            {"_cell": F.col("_pc.cell"), "_plon": F.col("_pc.lon"), "_plat": F.col("_pc.lat")}
+        ).drop("_pc")
     pys = (
         polygons.withColumn("_pbb", geo_udfs.bbox_arr(F.col(poly_geom)))
         .withColumn("_cell", F.explode(geo_udfs.cover_cells(res, tight=True)(F.col(poly_geom))))

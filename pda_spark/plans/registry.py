@@ -564,13 +564,15 @@ def q41_pip_join(spark, sf_dir):
     """Point-in-polygon join through the full WKB + cell-index machinery;
     the oracle reduces to range predicates (boxes are axis-aligned)."""
     pts = _event_points(spark, sf_dir)
-    pts = pts.withColumn("geom", _mk_point(F.col("lon"), F.col("lat"))).select("event_id", "geom")
+    pts = pts.withColumn("geom", _mk_point(F.col("lon"), F.col("lat"))).select(
+        "event_id", "geom", "lon", "lat"
+    )
     boxes = spark.createDataFrame(
         [(b[0], bytearray(W.box(b[1], b[2], b[3], b[4]))) for b in BOXES],
         "box_id int, box_geom binary",
     )
     joined = spatial_join.points_in_polygons_join(
-        pts, boxes, res=7, point_geom="geom", poly_geom="box_geom"
+        pts, boxes, res=7, point_geom="geom", poly_geom="box_geom", lonlat_cols=("lon", "lat")
     )
     return joined.groupBy("box_id").agg(F.count(F.lit(1)).alias("n_points"))
 
@@ -661,7 +663,12 @@ def q44_tile_zonal(spark, sf_dir):
         "box_id int, box_geom binary",
     )
     joined = spatial_join.points_in_polygons_join(
-        pts.select("event_id", "tile", "geom"), boxes, res=res, point_geom="geom", poly_geom="box_geom"
+        pts.select("event_id", "tile", "geom", "lon", "lat"),
+        boxes,
+        res=res,
+        point_geom="geom",
+        poly_geom="box_geom",
+        lonlat_cols=("lon", "lat"),
     )
     return joined.groupBy("box_id", "tile").agg(F.count(F.lit(1)).alias("n_points"))
 
