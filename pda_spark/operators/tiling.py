@@ -1,0 +1,149 @@
+"""Raster <-> vector zonal operators: tile rasterization + cell-partitioned
+exact union areas (BASELINE north_star: "performs raster<->vector zonal
+joins by rasterizing land-cover classes to tile grids").
+
+Two layers:
+
+1. ``rasterize_polygons`` — polygons -> (key, tile) rows at a chosen
+   resolution (tile ids are the engine's int64 cells). Tiles whose
+   rectangle intersects the geometry are emitted; this is the raster side
+   of a zonal join and a plain equi-join key against any tiled point /
+   raster table.
+
+2. ``union_area_by_cells`` — the SCALE path for the dissolve/coverage
+   UDAF (operators/dissolve.py is exact but inclusion-exclusion is
+   exponential in overlapping-ring count). Cells partition the plane, so
+   area(union(polys)) == sum over cells of area(union(polys clipped to
+   cell)). Clipping to a cell box is an exact Sutherland-Hodgman convex
+   clip, each per-cell subproblem is small (bounded by local overlap
+   density), and the whole computation is one explode + one grouped
+   aggregation — the partial/final split of a geometric UDAF, with the
+   shuffle keyed on (key, cell) so hot classes spread over many tasks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pda_spark.functions import geo_udfs
+from pda_spark.geo import cells, kernels, wkb
+from pda_spark.operators.dissolve import union_area_convex
+
+
+def rasterize_polygons(
+    polygons: DataFrame,
+    res: int,
+    key: str = "featureclass",
+    geom: str = "geom",
+    tight: bool = True,
+) -> DataFrame:
+    """Polygons -> (key, tile) assignments at resolution ``res``.
+
+    ``tight`` drops tiles that only touch the bbox, not the geometry.
+    Output is deduplicated per (key, tile) — the zonal-join contract is
+    'this class covers this tile', not one row per source polygon.
+    """
+    out = polygons.select(
+        F.col(key).alias("key"),
+        F.explode(geo_udfs.cover_cells(res, tight=tight)(F.col(geom))).alias("tile"),
+    )
+    return out.dropDuplicates(["key", "tile"])
+
+
+def zonal_count_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    res: int,
+    key: str = "featureclass",
+    poly_geom: str = "geom",
+    point_tile: str = "tile",
+) -> DataFrame:
+    """Zonal statistics: per polygon-class count of tiled points. The
+    raster side is broadcast when small; the point side never shuffles
+    (pre-tiled fact table). Approximate by construction at coarse ``res``
+    (tile granularity) — the exact path is points_in_polygons_join."""
+    raster = rasterize_polygons(polygons, res, key=key, geom=poly_geom)
+    return (
+        points.join(F.broadcast(raster), points[point_tile] == raster["tile"], "inner")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+
+
+_CLIP_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("cell", T.LongType()),
+        T.StructField("ring", T.BinaryType()),  # clipped piece, WKB polygon
+    ]
+)
+
+
+def _clip_pieces(pdf_iter, res: int, key: str, geom: str):
+    for pdf in pdf_iter:
+        rows = []
+        for k, buf in zip(pdf[key], pdf[geom]):
+            g = wkb.decode(bytes(buf))
+            for rings in g.polygons():
+                outer = rings[0]
+                cover = cells.cover_bbox(*kernels.bbox(wkb.decode(wkb.polygon([outer]))), res)
+                for cid in cover:
+                    cb = cells.cell_bounds(int(cid))
+                    box = np.array(
+                        [
+                            [cb[0], cb[1]],
+                            [cb[2], cb[1]],
+                            [cb[2], cb[3]],
+                            [cb[0], cb[3]],
+                            [cb[0], cb[1]],
+                        ]
+                    )
+                    piece = kernels.clip_convex(outer, box)
+                    if len(piece):
+                        rows.append({"key": k, "cell": int(cid), "ring": wkb.polygon([piece])})
+        yield pd.DataFrame(rows, columns=["key", "cell", "ring"])
+
+
+_PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("cell", T.LongType()),
+        T.StructField("area", T.DoubleType()),
+    ]
+)
+
+
+def union_area_by_cells(
+    polygons: DataFrame,
+    res: int,
+    key: str = "featureclass",
+    geom: str = "geom",
+    max_rings_per_cell: int = 22,
+) -> DataFrame:
+    """Exact planar union area per key, cell-partitioned (scale path for
+    ST_UNION GROUP BY — see module docstring). Returns (key, union_area).
+
+    Requires convex outer rings (fixture + footprint geometry contract);
+    a cell accumulating more than ``max_rings_per_cell`` overlapping
+    pieces raises — choose a finer ``res`` so local density stays small.
+    """
+    pieces = polygons.mapInPandas(
+        lambda it: _clip_pieces(it, res, key, geom), _CLIP_SCHEMA
+    )
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        rings = []
+        for buf in pdf["ring"]:
+            g = wkb.decode(bytes(buf))
+            rings.append(g.parts[0])
+        area = union_area_convex(rings, max_exact=max_rings_per_cell)
+        return pd.DataFrame(
+            {"key": [pdf["key"].iloc[0]], "cell": [pdf["cell"].iloc[0]], "area": [area]}
+        )
+
+    partials = pieces.groupBy("key", "cell").applyInPandas(per_cell, _PARTIAL_SCHEMA)
+    return partials.groupBy("key").agg(F.round(F.sum("area"), 12).alias("union_area"))

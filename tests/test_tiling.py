@@ -1,0 +1,73 @@
+"""Tiling / zonal operators: rasterization, zonal counts, and the
+cell-partitioned union area (scale path) vs the exact dissolve UDAF."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pda_spark.operators import dissolve, tiling
+from pda_spark.sources.fixtures import scaled_world
+
+
+@pytest.fixture(scope="module")
+def world(spark):
+    w = scaled_world(spark, n_images=200, n_land_cover=40, n_cities=50, seed=5)
+    for df in w.values():
+        df.cache()
+    return w
+
+
+def test_rasterize_dedups(spark, world):
+    r = tiling.rasterize_polygons(world["land_cover_classes"], res=7)
+    assert r.count() == r.dropDuplicates(["key", "tile"]).count()
+    assert set(r.columns) == {"key", "tile"}
+
+
+def test_union_area_by_cells_matches_exact(spark, world):
+    """The cell-partitioned union area must equal the exact
+    inclusion-exclusion dissolve, for every featureclass, at any res."""
+    exact = {
+        r["featureclass"]: r["union_area"]
+        for r in dissolve.dissolve(world["land_cover_classes"]).collect()
+    }
+    for res in (6, 8):
+        scale = {
+            r["key"]: r["union_area"]
+            for r in tiling.union_area_by_cells(world["land_cover_classes"], res=res).collect()
+        }
+        assert set(scale) == set(exact)
+        for k in exact:
+            assert scale[k] == pytest.approx(exact[k], rel=1e-9), f"{k} res={res}"
+
+
+def test_zonal_count_vs_exact_pip(spark, world):
+    """At fine resolution the zonal tile count converges on the exact PIP
+    count; at any resolution it is an upper bound (tiles over-cover)."""
+    from pda_spark.operators import spatial_join
+
+    pts = world["cities"].select(F.col("id").alias("pt_id"), "geom")
+    from pda_spark.functions import geo_udfs
+
+    tiled = pts.withColumn("tile", geo_udfs.point_cell(12)(F.col("geom")))
+    polys = world["land_cover_classes"]
+    zonal = {
+        r["key"]: r["n_points"]
+        for r in tiling.zonal_count_join(tiled, polys, res=12).collect()
+    }
+    exact_pairs = spatial_join.points_in_polygons_join(
+        pts, polys.select(F.col("featureclass").alias("key"), F.col("geom").alias("lc_geom")),
+        res=7, poly_geom="lc_geom",
+    )
+    # zonal counts each point once per CLASS (raster is deduped per
+    # (key, tile)); the exact join yields one row per (point, polygon) —
+    # dedup to (point, class) before comparing
+    exact = {
+        r["key"]: r["n"]
+        for r in exact_pairs.select("pt_id", "key")
+        .dropDuplicates(["pt_id", "key"])
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for k, n_exact in exact.items():
+        assert zonal.get(k, 0) >= n_exact  # tiles over-cover
+        assert zonal[k] <= n_exact * 2 + 5  # but not wildly at res 12
