@@ -184,6 +184,8 @@ def knn_join(
     max_ring: int = 4,
     metric: str = "meters",
     tiebreak: str | None = None,
+    exact: bool = True,
+    max_retries: int = 3,
 ) -> DataFrame:
     """k nearest points for each query point (BASELINE north_star).
 
@@ -197,30 +199,85 @@ def knn_join(
     lon/lat Euclidean — SQL-oracle-friendly). ``tiebreak`` optionally names
     a column for deterministic ordering among equal distances.
 
-    ``max_ring`` must be large enough that >= k points fall inside the
-    ring at resolution ``res``; callers size it from expected density.
-    Correctness guard: a kNN result is only exact if the k-th distance is
-    <= the ring's inradius — callers at scale re-run stragglers at a wider
-    ring; at test scale we size rings generously.
+    ``max_ring`` seeds the candidate search; with ``exact=True`` (default)
+    the result is verified per query — a kNN answer is only exact when k
+    candidates were found AND the k-th distance is inside the ring's
+    guaranteed radius (any point outside the Chebyshev ring is at least
+    ``max_ring`` cell-steps away). Incomplete queries re-run with a 4x
+    wider ring, up to ``max_retries`` times (a driver-side loop over an
+    ever-smaller broadcast query set — bounded work at scale).
     """
-    @pandas_udf(T.ArrayType(T.LongType()))
-    def ring_cells(geom: pd.Series) -> pd.Series:
-        from pda_spark.geo import wkb as W
+    import numpy as np
 
-        lon, lat = W.decode_points_vec([bytes(b) for b in geom])
-        base = C.cell_of(lon, lat, res)
-        return pd.Series([[int(c) for c in C.ring(int(b), max_ring)] for b in base])
+    lat_step = 180.0 / (1 << res)
+    lon_step = 360.0 / (1 << res)
 
-    q = queries.withColumn("_cell", F.explode(ring_cells(F.col(query_geom))))
+    def ring_cells_udf(ring: int):
+        @pandas_udf(T.StructType([
+            T.StructField("cells", T.ArrayType(T.LongType())),
+            T.StructField("guard", T.DoubleType()),
+        ]))
+        def _rc(geom: pd.Series) -> pd.DataFrame:
+            from pda_spark.geo import wkb as W
+
+            lon, lat = W.decode_points_vec([bytes(b) for b in geom])
+            base = C.cell_of(lon, lat, res)
+            cells_out = [[int(c) for c in C.ring(int(b), ring)] for b in base]
+            # guaranteed radius: any point outside the Chebyshev ring is
+            # >= ring cell-steps away in some axis. In degrees the lat
+            # step is the binding one; in metres account for lon shrink
+            # at the ring's extreme latitude.
+            if metric == "degrees":
+                guard = np.full(len(base), ring * lat_step)
+            else:
+                lat_ext = np.minimum(np.abs(lat) + ring * lat_step, 89.0)
+                step_m = np.minimum(
+                    lat_step * 110_574.0,
+                    lon_step * 111_320.0 * np.cos(np.radians(lat_ext)),
+                )
+                guard = ring * step_m
+            return pd.DataFrame({"cells": cells_out, "guard": guard})
+
+        return _rc
+
     p = points.withColumn("_cell", geo_udfs.point_cell(res)(F.col(point_geom)))
-    cand = p.join(F.broadcast(q), on="_cell", how="inner")
     dist_udf = geo_udfs.distance_m() if metric == "meters" else geo_udfs.distance_deg()
-    cand = cand.withColumn("dist_m", dist_udf(F.col(point_geom), F.col(query_geom)))
     order = [F.col("dist_m").asc()]
     order.append(F.col(tiebreak).asc() if tiebreak else F.col(point_geom).asc())
     w = Window.partitionBy(query_id).orderBy(*order)
-    return (
-        cand.withColumn("knn_rank", F.row_number().over(w))
-        .filter(F.col("knn_rank") <= k)
-        .drop("_cell")
-    )
+
+    def attempt(queries_df: DataFrame, ring: int) -> DataFrame:
+        q = queries_df.withColumn("_rc", ring_cells_udf(ring)(F.col(query_geom)))
+        q = q.withColumn("_guard", F.col("_rc.guard")).withColumn(
+            "_cell", F.explode(F.col("_rc.cells"))
+        ).drop("_rc")
+        cand = p.join(F.broadcast(q), on="_cell", how="inner")
+        cand = cand.withColumn("dist_m", dist_udf(F.col(point_geom), F.col(query_geom)))
+        return (
+            cand.withColumn("knn_rank", F.row_number().over(w))
+            .filter(F.col("knn_rank") <= k)
+            .drop("_cell")
+        )
+
+    result = attempt(queries, max_ring)
+    if not exact:
+        return result.drop("_guard")
+
+    ring = max_ring
+    for _ in range(max_retries):
+        # a query's answer is exact iff k candidates exist and the k-th
+        # distance is within the ring's guaranteed radius
+        stats = result.groupBy(query_id).agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.max("dist_m").alias("_kth"),
+            F.first("_guard").alias("_g"),
+        )
+        incomplete = stats.filter((F.col("_n") < k) | (F.col("_kth") > F.col("_g")))
+        bad_ids = [r[0] for r in incomplete.select(query_id).collect()]
+        if not bad_ids:
+            break
+        ring *= 4
+        redo = queries.filter(F.col(query_id).isin(bad_ids))
+        fixed = attempt(redo, ring)
+        result = result.filter(~F.col(query_id).isin(bad_ids)).unionByName(fixed)
+    return result.drop("_guard")

@@ -108,6 +108,46 @@ def test_knn_meters_matches_bruteforce(spark, world):
         assert got_ids == expected, f"query {qid}"
 
 
+def test_knn_exactness_guard(spark):
+    """With a deliberately undersized ring, exact=True must widen and
+    recover the true kNN; exact=False returns the incomplete answer."""
+    from pda_spark.geo import proj
+
+    # sparse points: only 3 within reach, spread far from the query
+    pts_rows = [
+        (1, wkb.point(10.0, 50.0)),
+        (2, wkb.point(14.0, 54.0)),
+        (3, wkb.point(4.0, 46.0)),
+        (4, wkb.point(24.0, 60.0)),
+        (5, wkb.point(-8.0, 41.0)),
+    ]
+    pts = spark.createDataFrame([(i, bytearray(g)) for i, g in pts_rows], "pt_id int, geom binary")
+    queries = spark.createDataFrame([(0, bytearray(wkb.point(10.1, 50.1)))], "query_id int, qgeom binary")
+
+    # res 10 + ring 1: ~0.35 deg reach — finds at most point 1
+    loose = spatial_join.knn_join(
+        pts, queries, k=3, res=10, max_ring=1, query_id="query_id",
+        tiebreak="pt_id", exact=False,
+    )
+    assert loose.count() < 3
+
+    fixed = spatial_join.knn_join(
+        pts, queries, k=3, res=10, max_ring=1, query_id="query_id",
+        tiebreak="pt_id", exact=True,
+    )
+    rows = sorted(fixed.collect(), key=lambda r: r["knn_rank"])
+    assert len(rows) == 3
+    # brute-force oracle in metres
+    qx, qy = proj.fwd(np.array([10.1]), np.array([50.1]))
+    dists = []
+    for pid, g in pts_rows:
+        lon, lat = wkb.decode(g).parts[0][0]
+        x, y = proj.fwd(np.array([lon]), np.array([lat]))
+        dists.append((float(np.hypot(x[0] - qx[0], y[0] - qy[0])), pid))
+    expected = [pid for _, pid in sorted(dists)[:3]]
+    assert [r["pt_id"] for r in rows] == expected
+
+
 def test_pip_join_empty_points(spark, world):
     pts = world["cities"].filter(F.lit(False)).select(F.col("id").alias("pt_id"), "geom")
     polys = world["land_cover_classes"].select(F.col("id").alias("lc_id"), F.col("geom").alias("lc_geom"))
