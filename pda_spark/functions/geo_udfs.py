@@ -254,6 +254,20 @@ def distance_m():
     return _dist
 
 
+def distance_m_lonlat():
+    """Planar EPSG:3035 distance in metres from four plain double columns
+    (no WKB decode — the cheap path when lon/lat ride along the plan)."""
+    from pda_spark.geo import proj
+
+    @pandas_udf(T.DoubleType())
+    def _dist(lon_a: pd.Series, lat_a: pd.Series, lon_b: pd.Series, lat_b: pd.Series) -> pd.Series:
+        xa, ya = proj.fwd(lon_a.to_numpy(), lat_a.to_numpy())
+        xb, yb = proj.fwd(lon_b.to_numpy(), lat_b.to_numpy())
+        return pd.Series(np.hypot(xa - xb, ya - yb))
+
+    return _dist
+
+
 def distance_deg():
     """Planar lon/lat Euclidean distance (degrees) between point columns —
     identical IEEE754 op sequence to the SQL oracle's sqrt(dx^2+dy^2)."""

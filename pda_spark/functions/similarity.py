@@ -60,13 +60,37 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_bucket_expr(vec_col: str, planes: list[list[float]]) -> F.Column:
-    """Random-hyperplane signature: bit i = sign(v . plane_i). Pure SQL."""
+    """Random-hyperplane signature: bit i = sign(v . plane_i). Pure SQL.
+
+    Guards against a plane/vector dim mismatch at runtime: zip_with pads
+    the shorter array with nulls, which would silently collapse every
+    bucket to 0 (observed with dim=16 planes over 64-dim embeddings)."""
+    dim = len(planes[0])
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         arr = "array(" + ",".join(f"{x}D" for x in p) + ")"
         bit = F.when(_dot(vec_col, arr) > 0, F.lit(1 << i)).otherwise(F.lit(0))
         bucket = bucket + bit
-    return bucket.cast("long")
+    return F.when(
+        F.size(vec_col) != F.lit(dim),
+        F.raise_error(F.lit(f"lsh_bucket_expr: vector dim != plane dim {dim}")),
+    ).otherwise(bucket.cast("long"))
+
+
+def probe_masks(n_planes: int, radius: int) -> list[int]:
+    """All XOR masks with popcount <= radius (multi-probe LSH): the query
+    probes its own bucket plus every bucket within hamming distance
+    ``radius`` — the standard recall/candidate-count dial."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, radius + 1):
+        for bits in combinations(range(n_planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return masks
 
 
 def lsh_ann_topk(
@@ -76,19 +100,30 @@ def lsh_ann_topk(
     n_planes: int = 8,
     dim: int = 16,
     seed: int = 42,
+    probe_radius: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_vec_col: str = "q_embedding",
     query_id_col: str = "q_id",
 ) -> DataFrame:
-    """Approximate top-k: join on LSH bucket, refine with exact cosine.
+    """Approximate top-k: join on LSH bucket (multi-probe within hamming
+    distance ``probe_radius``), refine with exact cosine.
 
     Recall < 1 by construction; tests pin recall >= threshold against the
-    brute-force baseline rather than exact equality.
+    brute-force baseline rather than exact equality. Scale shape: the
+    vector side computes one JVM-side bucket and never shuffles (queries
+    broadcast, fanned out x n_probes); candidates ~ n/2^n_planes per probe.
+    Pairs never duplicate: each vector lives in exactly one bucket and
+    probe buckets are distinct.
     """
     planes = hyperplanes(dim, n_planes, seed)
+    masks = probe_masks(n_planes, probe_radius)
     v = vectors.withColumn("_bucket", lsh_bucket_expr(vec_col, planes))
-    q = queries.withColumn("_bucket", lsh_bucket_expr(query_vec_col, planes))
+    q = queries.withColumn("_home", lsh_bucket_expr(query_vec_col, planes))
+    q = q.withColumn(
+        "_bucket",
+        F.explode(F.array(*[F.col("_home").bitwiseXOR(F.lit(m)) for m in masks])),
+    ).drop("_home")
     cand = v.join(F.broadcast(q), on="_bucket")
     cand = with_cosine(cand, vec_col, query_vec_col)
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())

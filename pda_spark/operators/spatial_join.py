@@ -78,6 +78,11 @@ def points_in_polygons_join(
     and deep UDF pipelines stop scaling with cores. Without lonlat_cols
     one combined UDF decodes WKB to (cell, lon, lat) in a single pass.
     """
+    if how != "inner":
+        raise ValueError(
+            f"points_in_polygons_join: how={how!r} unsupported (outer variants "
+            "need different candidate/refine handling); only 'inner' is implemented"
+        )
     # tight cover is sound here: a point in a cell the polygon doesn't
     # touch cannot be inside the polygon.
     if lonlat_cols is not None:
@@ -173,6 +178,91 @@ def intersects_join(
     return refined.drop(*drop)
 
 
+def knn_guard_meters(lon, lat, ring: int, res: int):
+    """Sound lower bound (vectorized) on the planar EPSG:3035 distance
+    from each query point to ANY point outside its Chebyshev cell ring.
+
+    The naive degree-based guard (deg-gap x meters-per-degree) is unsound
+    for the 'meters' metric: EPSG:3035 is LAEA about (10E, 52N) and planar
+    distances are compressed radially by cos(c/2) < 1 (c = angular
+    distance from the projection centre), so a true neighbour just outside
+    the ring can be planar-closer than a geodesic bound admits. Sound
+    chain used here (ellipsoidal LAEA = authalic-latitude map + spherical
+    LAEA on radius RQ + a diag(D, 1/D) affine):
+
+    1. outside the ring  =>  geodetic |dlat| >= ring*lat_step OR
+       |dlon| >= ring*lon_step;
+    2. authalic-sphere central angle c(p,q) >= ds_lb :=
+       min(ring*lat_step*min(dbeta/dphi),
+           2*arcsin(cos(beta_ext) * sin(ring*lon_step/2)));
+    3. for p inside the cap c <= c_cap (any c_cap >= c_q): the planar
+       segment stays in the planar disk (convex), whose preimage is the
+       cap; min singular value of spherical LAEA on the cap is
+       cos(c_cap/2), so planar >= RQ*ds_lb*cos(c_cap/2);
+    4. for p outside the cap: planar >= rho(c_p)-rho(c_q) >=
+       2*RQ*(sin(c_cap/2) - sin(c_q/2)) (rho is radially monotone);
+    5. the diag(D, 1/D) affine scales every distance by >= min(D, 1/D).
+
+    Soundness domain: longitudes within +-90 deg of the 10E projection
+    centre (covers EPSG:3035's area of use with huge margin) — beyond it
+    |dlon| can exceed 180 deg where step 2's sin() bound breaks down.
+    """
+    import numpy as np
+
+    from pda_spark.geo import proj as P
+
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    lat_step = np.radians(180.0 / (1 << res))
+    lon_step = np.radians(360.0 / (1 << res))
+    phi = np.radians(lat)
+    beta = np.arcsin(np.clip(P._q_auth(phi) / P.QP, -1.0, 1.0))
+
+    # lat-separated case (authalic gap >= geodetic gap * min slope)
+    lat_lb = ring * lat_step * _DBDP_MIN
+    # lon-separated case: the other point's latitude is within the ring's
+    # lat band (else the lat case already bounds it)
+    beta_ext = np.minimum(np.abs(beta) + ring * lat_step * _DBDP_MAX, np.radians(89.9))
+    half_dlam = np.minimum(ring * lon_step, np.pi) / 2.0
+    lon_lb = 2.0 * np.arcsin(np.clip(np.cos(beta_ext) * np.sin(half_dlam), 0.0, 1.0))
+    ds_lb = np.minimum(lat_lb, lon_lb)
+
+    # cap geometry about the projection centre (authalic sphere)
+    dlam = np.radians(lon) - P.LON0
+    s_half = np.sqrt(
+        np.clip(
+            np.sin((beta - P.BETA1) / 2.0) ** 2
+            + P._CB1 * np.cos(beta) * np.sin(dlam / 2.0) ** 2,
+            0.0,
+            1.0,
+        )
+    )
+    c_q = 2.0 * np.arcsin(s_half)
+    c_ring = (ring + 1) * (lat_step * _DBDP_MAX + lon_step) * 1.01
+    c_cap = np.minimum(c_q + c_ring, np.pi)
+    g1 = P.RQ * ds_lb * np.cos(c_cap / 2.0)
+    g2 = 2.0 * P.RQ * (np.sin(c_cap / 2.0) - np.sin(c_q / 2.0))
+    return _DMIN * 0.999 * np.minimum(g1, np.maximum(g2, 0.0))
+
+
+def _init_guard_constants():
+    import numpy as np
+
+    from pda_spark.geo import proj as P
+
+    grid = np.linspace(-np.pi / 2 + 1e-6, np.pi / 2 - 1e-6, 4001)
+    betas = np.arcsin(np.clip(P._q_auth(grid) / P.QP, -1.0, 1.0))
+    slopes = np.diff(betas) / np.diff(grid)
+    return (
+        float(np.min(slopes)) * 0.9999,
+        float(np.max(slopes)) * 1.0001,
+        min(P.D, 1.0 / P.D),
+    )
+
+
+_DBDP_MIN, _DBDP_MAX, _DMIN = _init_guard_constants()
+
+
 def knn_join(
     points: DataFrame,
     queries: DataFrame,
@@ -186,14 +276,21 @@ def knn_join(
     tiebreak: str | None = None,
     exact: bool = True,
     max_retries: int = 3,
+    lonlat_cols: tuple[str, str] | None = None,
 ) -> DataFrame:
     """k nearest points for each query point (BASELINE north_star).
 
     Strategy: H3-style ring expansion — each query joins candidate points
     in its cell neighbourhood (Chebyshev ring ``max_ring``), distances are
-    computed in EPSG:3035 metres in one Arrow UDF, and a window
-    ``row_number() over (partition by query_id order by dist)`` takes the
-    top k (the reference has no kNN; SURVEY §2.3 J10).
+    refined per candidate, and a window ``row_number() over (partition by
+    query_id order by dist)`` takes the top k (the reference has no kNN;
+    SURVEY §2.3 J10).
+
+    ``lonlat_cols``: pass (lon, lat) column names when the point table
+    already carries plain coordinates — cell assignment then runs as a
+    pure Catalyst expression and (for metric='degrees') the whole point
+    leg is Python-free; metric='meters' keeps exactly one Arrow stage
+    (projection) over plain doubles, no WKB decode.
 
     ``metric``: 'meters' (EPSG:3035 planar metres) or 'degrees' (planar
     lon/lat Euclidean — SQL-oracle-friendly). ``tiebreak`` optionally names
@@ -202,20 +299,23 @@ def knn_join(
     ``max_ring`` seeds the candidate search; with ``exact=True`` (default)
     the result is verified per query — a kNN answer is only exact when k
     candidates were found AND the k-th distance is inside the ring's
-    guaranteed radius (any point outside the Chebyshev ring is at least
-    ``max_ring`` cell-steps away). Incomplete queries re-run with a 4x
+    guaranteed radius (``knn_guard_meters`` for metres — sound in
+    projected space; ring*lat_step for degrees). The candidate result is
+    localCheckpoint'ed so the guard aggregation and the final consumer
+    never re-execute the join DAG. Incomplete queries re-run with a 4x
     wider ring, up to ``max_retries`` times (a driver-side loop over an
     ever-smaller broadcast query set — bounded work at scale).
     """
     import numpy as np
 
     lat_step = 180.0 / (1 << res)
-    lon_step = 360.0 / (1 << res)
 
     def ring_cells_udf(ring: int):
         @pandas_udf(T.StructType([
             T.StructField("cells", T.ArrayType(T.LongType())),
             T.StructField("guard", T.DoubleType()),
+            T.StructField("qlon", T.DoubleType()),
+            T.StructField("qlat", T.DoubleType()),
         ]))
         def _rc(geom: pd.Series) -> pd.DataFrame:
             from pda_spark.geo import wkb as W
@@ -223,46 +323,72 @@ def knn_join(
             lon, lat = W.decode_points_vec([bytes(b) for b in geom])
             base = C.cell_of(lon, lat, res)
             cells_out = [[int(c) for c in C.ring(int(b), ring)] for b in base]
-            # guaranteed radius: any point outside the Chebyshev ring is
-            # >= ring cell-steps away in some axis. In degrees the lat
-            # step is the binding one; in metres account for lon shrink
-            # at the ring's extreme latitude.
             if metric == "degrees":
+                # any point outside the ring differs by >= ring*lat_step
+                # in lat or >= ring*lon_step (= 2*lat_step) in lon
                 guard = np.full(len(base), ring * lat_step)
             else:
-                lat_ext = np.minimum(np.abs(lat) + ring * lat_step, 89.0)
-                step_m = np.minimum(
-                    lat_step * 110_574.0,
-                    lon_step * 111_320.0 * np.cos(np.radians(lat_ext)),
-                )
-                guard = ring * step_m
-            return pd.DataFrame({"cells": cells_out, "guard": guard})
+                guard = knn_guard_meters(lon, lat, ring, res)
+            return pd.DataFrame({"cells": cells_out, "guard": guard, "qlon": lon, "qlat": lat})
 
         return _rc
 
-    p = points.withColumn("_cell", geo_udfs.point_cell(res)(F.col(point_geom)))
-    dist_udf = geo_udfs.distance_m() if metric == "meters" else geo_udfs.distance_deg()
+    if lonlat_cols is not None:
+        lon_c, lat_c = lonlat_cols
+        p = points.withColumns(
+            {
+                "_cell": geo_udfs.cell_of_xy_expr(F.col(lon_c), F.col(lat_c), res),
+                "_plon": F.col(lon_c),
+                "_plat": F.col(lat_c),
+            }
+        )
+    else:
+        p = points.withColumn("_pc", geo_udfs.point_cell_lonlat(res)(F.col(point_geom)))
+        p = p.withColumns(
+            {"_cell": F.col("_pc.cell"), "_plon": F.col("_pc.lon"), "_plat": F.col("_pc.lat")}
+        ).drop("_pc")
+
     order = [F.col("dist_m").asc()]
-    order.append(F.col(tiebreak).asc() if tiebreak else F.col(point_geom).asc())
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    elif lonlat_cols is not None:
+        order += [F.col("_plon").asc(), F.col("_plat").asc()]
+    else:
+        order.append(F.col(point_geom).asc())
     w = Window.partitionBy(query_id).orderBy(*order)
 
     def attempt(queries_df: DataFrame, ring: int) -> DataFrame:
         q = queries_df.withColumn("_rc", ring_cells_udf(ring)(F.col(query_geom)))
-        q = q.withColumn("_guard", F.col("_rc.guard")).withColumn(
-            "_cell", F.explode(F.col("_rc.cells"))
-        ).drop("_rc")
+        q = q.withColumns(
+            {"_guard": F.col("_rc.guard"), "_qlon": F.col("_rc.qlon"), "_qlat": F.col("_rc.qlat")}
+        ).withColumn("_cell", F.explode(F.col("_rc.cells"))).drop("_rc")
         cand = p.join(F.broadcast(q), on="_cell", how="inner")
-        cand = cand.withColumn("dist_m", dist_udf(F.col(point_geom), F.col(query_geom)))
+        if metric == "degrees":
+            dx = F.col("_plon") - F.col("_qlon")
+            dy = F.col("_plat") - F.col("_qlat")
+            # same IEEE754 op order as the SQL oracle's sqrt(dx*dx+dy*dy)
+            cand = cand.withColumn("dist_m", F.sqrt(dx * dx + dy * dy))
+        else:
+            cand = cand.withColumn(
+                "dist_m",
+                geo_udfs.distance_m_lonlat()(
+                    F.col("_plon"), F.col("_plat"), F.col("_qlon"), F.col("_qlat")
+                ),
+            )
         return (
             cand.withColumn("knn_rank", F.row_number().over(w))
             .filter(F.col("knn_rank") <= k)
-            .drop("_cell")
+            .drop("_cell", "_qlon", "_qlat")
         )
 
+    helper_cols = ["_guard", "_plon", "_plat"]
     result = attempt(queries, max_ring)
     if not exact:
-        return result.drop("_guard")
+        return result.drop(*helper_cols)
 
+    # materialize once: the guard aggregation and the final consumer read
+    # the checkpointed candidates instead of re-executing the join DAG
+    result = result.localCheckpoint()
     ring = max_ring
     for _ in range(max_retries):
         # a query's answer is exact iff k candidates exist and the k-th
@@ -279,5 +405,5 @@ def knn_join(
         ring *= 4
         redo = queries.filter(F.col(query_id).isin(bad_ids))
         fixed = attempt(redo, ring)
-        result = result.filter(~F.col(query_id).isin(bad_ids)).unionByName(fixed)
-    return result.drop("_guard")
+        result = result.filter(~F.col(query_id).isin(bad_ids)).unionByName(fixed).localCheckpoint()
+    return result.drop(*helper_cols)

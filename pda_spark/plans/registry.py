@@ -272,17 +272,25 @@ def q10_json_extract(spark, sf_dir):
     """JSON field extraction F14 + agg."""
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
+    # avg is emitted as floor(sum*1e6/n): integer inputs -> the same IEEE754
+    # double divide + floor in both engines (round(avg,6) is NOT portable —
+    # Spark HALF_UP vs DuckDB at half-way doubles; see CLAUDE.md).
     return (
         ev.withColumn("k", k)
         .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("k"), 6).alias("avg_k"), F.sum("k").alias("sum_k"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
+        .withColumn(
+            "avg_k_micro",
+            F.floor(F.col("sum_k").cast("double") * 1000000.0 / F.col("n")).cast("long"),
+        )
     )
 
 
 Q10_SQL = """
 SELECT event_type, count(*) AS n,
-       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(floor(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) * 1000000.0
+                  / count(*)) AS BIGINT) AS avg_k_micro
 FROM events GROUP BY event_type
 """
 
@@ -291,15 +299,17 @@ def q11_collect_set(spark, sf_dir):
     """Sorted collect_set per group (A5 — the land-cover list pattern)."""
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
+    # array columns break the driver's hash canonicalizer (unhashable
+    # list) — emit the sorted set as one joined string in both engines.
     return (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
-        .agg(F.sort_array(F.collect_set("c_mktsegment")).alias("segments"))
+        .agg(F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias("segments"))
     )
 
 
 Q11_SQL = """
-SELECT n_name, list_sort(list_distinct(list(c_mktsegment))) AS segments
+SELECT n_name, array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',') AS segments
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """
@@ -370,17 +380,24 @@ FROM (SELECT doc_id, lang, text, {best} AS best FROM documents)
 def q23_fingerprint_groups(spark, sf_dir):
     """Document fingerprinting: md5 over normalized text, group sizes."""
     docs = _t(spark, sf_dir, "documents")
+    # doc_ids sorted numerically, then joined to a string (array columns
+    # break the driver's hash canonicalizer).
     return (
         docs.withColumn("fp", text.fingerprint(F.col("text")))
         .groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr(
+                "array_join(transform(sort_array(collect_list(doc_id)), x -> cast(x as string)), ',')"
+            ).alias("doc_ids"),
+        )
     )
 
 
 Q23_SQL = r"""
 SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
        count(*) AS n_docs,
-       list_sort(list(doc_id)) AS doc_ids
+       array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
 FROM documents GROUP BY 1
 """
 
@@ -520,13 +537,52 @@ SELECT q_id, vec_id, cosine, rank FROM (
 
 
 def q31_lsh_ann(spark, sf_dir):
-    """Approximate ANN — no SQL oracle (recall-based; pytest pins recall
-    against q30's exact result instead)."""
+    """Approximate ANN (LSH bucket join + exact cosine refine). The
+    hyperplanes are seeded driver literals, so bucket assignment and the
+    refine are deterministic IEEE754 sequences DuckDB reproduces exactly —
+    the oracle replays the same planes as literal arrays."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
     )
-    return similarity.lsh_ann_topk(emb, queries, k=5, n_planes=6, dim=16)
+    return similarity.lsh_ann_topk(emb, queries, k=5, n_planes=6, dim=64, probe_radius=2)
+
+
+def _lsh_ann_sql(
+    k: int = 5, n_planes: int = 6, dim: int = 64, seed: int = 42, probe_radius: int = 2
+) -> str:
+    planes = similarity.hyperplanes(dim, n_planes, seed)
+    masks = similarity.probe_masks(n_planes, probe_radius)
+
+    def bucket(vec: str) -> str:
+        bits = []
+        for i, p in enumerate(planes):
+            arr = "[" + ", ".join(repr(x) for x in p) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product({vec}::DOUBLE[], {arr}) > 0 THEN {1 << i} ELSE 0 END)"
+            )
+        return "(" + " + ".join(bits) + ")"
+
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding, {bucket('embedding')} AS bucket FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, embedding AS q_embedding,
+         xor(home, unnest({list(masks)})) AS bucket
+  FROM (SELECT vec_id, embedding, {bucket('embedding')} AS home
+        FROM embeddings WHERE vec_id < 5)
+), scored AS (
+  SELECT q.q_id, v.vec_id,
+         round(list_dot_product(v.embedding::DOUBLE[], q.q_embedding::DOUBLE[])
+               / (sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.q_embedding::DOUBLE[], q.q_embedding::DOUBLE[]))), 6) AS cosine
+  FROM v JOIN q ON v.bucket = q.bucket
+)
+SELECT q_id, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
 
 
 # ============================================================== geo
@@ -593,8 +649,7 @@ GROUP BY box_id
 def q42_knn(spark, sf_dir):
     """kNN via cell-ring expansion + window top-k (north_star operator);
     planar-degree metric so DuckDB can verify exactly."""
-    pts = _event_points(spark, sf_dir)
-    pts = pts.withColumn("geom", _mk_point(F.col("lon"), F.col("lat"))).select("event_id", "geom")
+    pts = _event_points(spark, sf_dir).select("event_id", "lon", "lat")
     queries = spark.createDataFrame(
         [(q[0], bytearray(W.point(q[1], q[2]))) for q in KNN_QUERIES],
         "query_id int, qgeom binary",
@@ -602,6 +657,7 @@ def q42_knn(spark, sf_dir):
     out = spatial_join.knn_join(
         pts, queries, k=5, res=6, point_geom="geom", query_geom="qgeom",
         query_id="query_id", max_ring=2, metric="degrees", tiebreak="event_id",
+        lonlat_cols=("lon", "lat"),
     )
     return out.select(
         "query_id", "event_id", F.round("dist_m", 6).alias("dist"), F.col("knn_rank").alias("rank")
@@ -764,7 +820,7 @@ QUERIES: dict[str, tuple] = {
     "q26_minhash": (q26_minhash, _minhash_sql()),
     "q27_simhash": (q27_simhash, _simhash_sql()),
     "q30_cosine_topk": (q30_cosine_topk, Q30_SQL),
-    "q31_lsh_ann": (q31_lsh_ann, None),
+    "q31_lsh_ann": (q31_lsh_ann, _lsh_ann_sql()),
     "q40_cell_assign": (q40_cell_assign, Q40_SQL),
     "q41_pip_join": (q41_pip_join, Q41_SQL),
     "q42_knn": (q42_knn, Q42_SQL),

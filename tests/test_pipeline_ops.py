@@ -137,7 +137,7 @@ def test_lsh_ann_recall(spark, embeddings):
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding"))
     )
     exact = similarity.cosine_topk(embeddings, queries, k=5)
-    approx = similarity.lsh_ann_topk(embeddings, queries, k=5, n_planes=6, dim=16)
+    approx = similarity.lsh_ann_topk(embeddings, queries, k=5, n_planes=6, dim=64, probe_radius=2)
     e = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
     a = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)

@@ -152,3 +152,82 @@ def test_pip_join_empty_points(spark, world):
     pts = world["cities"].filter(F.lit(False)).select(F.col("id").alias("pt_id"), "geom")
     polys = world["land_cover_classes"].select(F.col("id").alias("lc_id"), F.col("geom").alias("lc_geom"))
     assert spatial_join.points_in_polygons_join(pts, polys, res=7, poly_geom="lc_geom").count() == 0
+
+
+def test_knn_guard_meters_sound():
+    """Property: for queries across the EPSG:3035 domain, the projected
+    guard must lower-bound the true planar distance to EVERY point just
+    outside the Chebyshev ring (the binding shell). The naive degree-based
+    constant (110574/111320*cos) is NOT sound here — LAEA compresses
+    radially by cos(c/2); this asserts the fixed guard is."""
+    from pda_spark.geo import cells as C
+    from pda_spark.geo import proj
+
+    rng = np.random.default_rng(7)
+    res, ring = 6, 2
+    lat_step = 180.0 / (1 << res)
+    lon_step = 360.0 / (1 << res)
+    # spread queries to the far corners of the projection's area of use,
+    # where radial compression is worst
+    qlon = rng.uniform(-25.0, 45.0, 40)
+    qlat = rng.uniform(30.0, 70.0, 40)
+    guard = spatial_join.knn_guard_meters(qlon, qlat, ring, res)
+    qx, qy = proj.fwd(qlon, qlat)
+    for i in range(len(qlon)):
+        cid = int(C.cell_of(np.array([qlon[i]]), np.array([qlat[i]]), res)[0])
+        x0, y0, x1, y1 = C.cell_bounds(cid)
+        # ring rectangle: the union of cells within chebyshev distance `ring`
+        rx0, ry0 = x0 - ring * lon_step, y0 - ring * lat_step
+        rx1, ry1 = x1 + ring * lon_step, y1 + ring * lat_step
+        # dense shell of points epsilon outside the rectangle
+        eps = 1e-9
+        t = np.linspace(0.0, 1.0, 200)
+        shell_lon = np.concatenate([
+            rx0 + t * (rx1 - rx0), rx0 + t * (rx1 - rx0),
+            np.full_like(t, rx0 - eps), np.full_like(t, rx1 + eps),
+        ])
+        shell_lat = np.concatenate([
+            np.full_like(t, ry0 - eps), np.full_like(t, ry1 + eps),
+            ry0 + t * (ry1 - ry0), ry0 + t * (ry1 - ry0),
+        ])
+        ok = (shell_lat >= -90) & (shell_lat <= 90)
+        sx, sy = proj.fwd(shell_lon[ok], shell_lat[ok])
+        dmin = float(np.min(np.hypot(sx - qx[i], sy - qy[i])))
+        assert guard[i] <= dmin + 1e-6, (
+            f"guard unsound at ({qlon[i]:.2f},{qlat[i]:.2f}): {guard[i]:.1f} > {dmin:.1f}"
+        )
+        # and not uselessly loose: within ~35% of the true shell distance
+        assert guard[i] >= 0.3 * dmin
+
+
+def test_knn_lonlat_fast_path_parity(spark, world):
+    """knn_join with lonlat_cols (Catalyst cell assignment, no WKB decode
+    on the point leg) must return exactly the WKB path's answer."""
+    cities = [(r["id"], bytes(r["geom"])) for r in world["cities"].collect()]
+    rows = []
+    for cid, g in cities:
+        lon, lat = wkb.decode(g).parts[0][0]
+        rows.append((cid, bytearray(g), float(lon), float(lat)))
+    pts = spark.createDataFrame(rows, "pt_id int, geom binary, lon double, lat double")
+    queries = spark.createDataFrame(
+        [(0, bytearray(wkb.point(10.0, 50.0))), (1, bytearray(wkb.point(13.4, 52.5)))],
+        "query_id int, qgeom binary",
+    )
+    slow = spatial_join.knn_join(
+        pts.select("pt_id", "geom"), queries, k=4, res=5, query_id="query_id",
+        max_ring=3, tiebreak="pt_id",
+    )
+    fast = spatial_join.knn_join(
+        pts.select("pt_id", "lon", "lat"), queries, k=4, res=5, query_id="query_id",
+        max_ring=3, tiebreak="pt_id", lonlat_cols=("lon", "lat"),
+    )
+    s = {(r["query_id"], r["pt_id"], r["knn_rank"]) for r in slow.collect()}
+    f = {(r["query_id"], r["pt_id"], r["knn_rank"]) for r in fast.collect()}
+    assert s == f
+
+
+def test_pip_join_rejects_unsupported_how(spark, world):
+    pts = world["cities"].select(F.col("id").alias("pt_id"), "geom")
+    polys = world["land_cover_classes"].select(F.col("id").alias("lc_id"), F.col("geom").alias("lc_geom"))
+    with pytest.raises(ValueError, match="how"):
+        spatial_join.points_in_polygons_join(pts, polys, res=7, poly_geom="lc_geom", how="left")
