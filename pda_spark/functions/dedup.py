@@ -85,18 +85,40 @@ def doc_shingle_hashes(df: DataFrame, id_col: str, text_col: str = "text", k: in
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str = "text", k: int = 5, threshold: float = 0.8
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard similarity >= threshold.
 
     Shuffle plan: explode -> dedup (1 shuffle), self-join on shingle hash
-    (1 shuffle), pair-count agg (1 shuffle). The join fan-out is bounded
-    by shingle document frequency; at scale, drop ultra-common shingles
-    (document frequency cap) before the self-join — boilerplate shingles
-    add candidates but never decide near-duplicates.
+    (1 shuffle), pair-count agg (1 shuffle).
+
+    ``max_doc_freq`` is the 100 TB safety valve: a shingle shared by d
+    documents fans out to d^2 candidate pairs in the self-join, so one
+    boilerplate shingle across 1M docs would create 10^12 candidates.
+    Shingles with document frequency > max_doc_freq are dropped BEFORE the
+    self-join (one extra map-side-combinable agg + a broadcast-able
+    filter). Doc sizes (n_a/n_b) are computed before the cap, so
+    reported Jaccard becomes a lower bound when the cap binds —
+    boilerplate shingles add candidates but never decide near-duplicates.
+    With max_doc_freq=None (default) the result is the exact Jaccard.
     """
     sh = doc_shingle_hashes(df, id_col, text_col, k)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_doc_freq is not None:
+        # the HOT set (df > cap) is small by construction (boilerplate
+        # only) -> broadcast anti-join; never materialize the rare set
+        hot = (
+            sh.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("h")
+        )
+        sh = sh.join(F.broadcast(hot), on="h", how="left_anti")
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (

@@ -121,6 +121,29 @@ def geojson_geometry(geom: pd.Series) -> pd.Series:
     return pd.Series([to_gj(b) for b in geom])
 
 
+def geojson_feature(geom_col, id_col, props_col):
+    """Full GeoJSON Feature with id + properties (reference ``geojson``
+    hybrid property, db.py:160-177 — round 1 serialized the geometry
+    only). Spark-first composition: one Arrow stage for the geometry
+    JSON, everything else JVM-side (``to_json`` over a properties
+    struct + codegen'd concat) — the properties payload never touches
+    Python."""
+    # render the id through to_json so string ids get proper JSON
+    # quoting/escaping (strip the one-element-array brackets)
+    rid = F.regexp_replace(
+        F.regexp_replace(F.to_json(F.array(id_col)), r"^\[", ""), r"\]$", ""
+    )
+    return F.concat(
+        F.lit('{"type": "Feature", "id": '),
+        rid,
+        F.lit(', "geometry": '),
+        geojson_geometry(geom_col),
+        F.lit(', "properties": '),
+        F.to_json(props_col),
+        F.lit("}"),
+    )
+
+
 # ----------------------------------------------------------- cell UDFs
 
 

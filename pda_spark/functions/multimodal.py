@@ -52,12 +52,15 @@ def decode_image(payload: bytes) -> np.ndarray:
 
 def fake_decode_image(payload: bytes, w: int = 8, h: int = 8) -> np.ndarray:
     """Deterministic pseudo-decode: payload bytes -> (h, w) uint8 'pixels'
-    via sha256 expansion. Pure function of payload."""
+    via sha256 expansion. Pure function of payload. The counter suffix is
+    ASCII ('#0', '#1', ...) so SQL engines can replay the expansion on
+    text payloads (DuckDB sha256 takes VARCHAR) — the driver-gate oracle
+    for q28 depends on this."""
     need = w * h
     out = bytearray()
     counter = 0
     while len(out) < need:
-        out += hashlib.sha256(payload + counter.to_bytes(4, "big")).digest()
+        out += hashlib.sha256(payload + f"#{counter}".encode()).digest()
         counter += 1
     return np.frombuffer(bytes(out[:need]), dtype=np.uint8).reshape(h, w)
 

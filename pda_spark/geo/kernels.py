@@ -264,21 +264,27 @@ def clip_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
 
 
 def intersection_area(ga: wkb.Geom, gb: wkb.Geom) -> float:
-    """Exact planar intersection area; requires one convex operand per pair
-    (clip side). Raises if neither outer ring is convex."""
-    total = 0.0
-    for ra in ga.polygons():
-        for rb in gb.polygons():
-            if is_convex(rb[0]):
-                subject, clip = ra[0], rb[0]
-            elif is_convex(ra[0]):
-                subject, clip = rb[0], ra[0]
-            else:
-                raise ValueError("intersection_area: need one convex operand (use tiling path)")
-            ring = clip_convex(subject, clip)
-            if len(ring):
-                total += abs(ring_area_signed(ring))
-    return total
+    """Exact planar intersection area. Fast path: Sutherland–Hodgman when
+    one operand of a pair is convex (and neither has holes); otherwise the
+    scanline kernel (geo.sweep) computes the exact answer for arbitrary
+    simple polygons with holes — no convexity contract to violate."""
+    pa, pb = ga.polygons(), gb.polygons()
+    simple = all(len(r) == 1 for r in pa) and all(len(r) == 1 for r in pb)
+    if simple and (all(is_convex(r[0]) for r in pa) or all(is_convex(r[0]) for r in pb)):
+        total = 0.0
+        for ra in pa:
+            for rb in pb:
+                if is_convex(rb[0]):
+                    subject, clip = ra[0], rb[0]
+                else:
+                    subject, clip = rb[0], ra[0]
+                ring = clip_convex(subject, clip)
+                if len(ring):
+                    total += abs(ring_area_signed(ring))
+        return total
+    from pda_spark.geo import sweep
+
+    return sweep.intersect_union_area(pa, pb)
 
 
 def union_intersection_area(target: wkb.Geom, others: list[wkb.Geom], max_exact: int = 20) -> float:

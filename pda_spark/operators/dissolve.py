@@ -4,21 +4,28 @@ Reference:
 - ``query_land_cover_geom_dissolved``: ST_UNION(geom) GROUP BY featureclass
   (/root/reference/app/query.py:195-213)
 - coverage query: per-class dissolve + global image union + intersection
-  area ratio (/root/reference/app/query.py:143-192)
+  geometry and area ratio (/root/reference/app/query.py:143-192)
 
-Catalyst has no geometric UDAF, so dissolve runs as ``applyInPandas``
-grouped-map over featureclass. Exactness: all areas are computed by
-inclusion–exclusion over convex operands (intersections of convex sets
-stay convex, so every term is an exact Sutherland–Hodgman clip). The
-emitted union *geometry* is the multipolygon of the parts (consumers take
-areas from the exact scalar, not the geometry).
+Catalyst has no geometric UDAF, so the geometry work runs in grouped
+``applyInPandas`` stages over the scanline kernel (pda_spark.geo.sweep):
+exact union / union∩union areas AND dissolved geometry for ARBITRARY
+simple polygons with holes — no convexity requirement, polynomial cost
+(the legacy inclusion–exclusion path, kept below as a cross-check oracle,
+is exponential in overlap count and convex-only).
 
-Scale path (100 TB): exponential inclusion–exclusion is capped; beyond the
-cap the tile/zonal operator (pda_spark.operators.tiling) computes the same
-quantities cell-partitioned: clip every polygon to its covering cells
-(box clips stay exact), aggregate per (key, cell) — bounded work per task,
-one shuffle on (key, cell) — then sum per key. That is the partial/final
-split of this UDAF.
+Scale shape (100 TB):
+- ``dissolve``: one shuffle on the group key; per-key cost is
+  O((V+X)·E) in that key's geometry. For keys too large for one task,
+  pass ``cells_res`` — polygons are clipped to covering cells
+  (mapInPandas, exact box clips), the union is computed per (key, cell)
+  — bounded local work, shuffle keyed on (key, cell) so hot classes
+  spread over many tasks — and per-key results are merged (cells
+  partition the plane, so per-cell unions are disjoint and additive).
+- ``coverage``: ALWAYS cell-partitioned; the image side is never
+  collected to the driver (round-1 version closed over a driver-side
+  list — unbounded at scale). Image pieces join class cells by cell id,
+  one grouped aggregation computes per-cell numerator/denominator, and a
+  per-key merge emits the ratio + intersection geometry.
 """
 
 from __future__ import annotations
@@ -29,16 +36,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from pda_spark.geo import kernels, wkb
+from pda_spark.geo import cells, kernels, sweep, wkb
 
 
 def union_area_convex(rings: list[np.ndarray], max_exact: int = 22) -> float:
-    """Exact area of the union of convex rings via inclusion–exclusion."""
+    """Exact union area of CONVEX rings via inclusion–exclusion.
+
+    Legacy/oracle path: exponential in overlap count and convex-only —
+    production paths use the polynomial scanline kernel (geo.sweep);
+    tests keep this as an independent cross-check."""
     n = len(rings)
     if n == 0:
         return 0.0
     if n > max_exact:
-        raise ValueError(f"{n} rings > max_exact={max_exact}: use the tiling path")
+        raise ValueError(f"{n} rings > max_exact={max_exact}: use geo.sweep.union_area")
+    for r in rings:
+        if not kernels.is_convex(r):
+            raise ValueError("union_area_convex: non-convex ring (use geo.sweep.union_area)")
     total = 0.0
 
     def rec(start: int, current: np.ndarray, depth: int):
@@ -54,8 +68,57 @@ def union_area_convex(rings: list[np.ndarray], max_exact: int = 22) -> float:
     return total
 
 
-def _outer_rings(geom_bytes) -> list[np.ndarray]:
-    return [p[0] for p in wkb.decode(bytes(geom_bytes)).polygons()]
+def _polys(geom_bytes) -> list[list[np.ndarray]]:
+    """Full polygons-with-holes of one WKB geometry."""
+    return wkb.decode(bytes(geom_bytes)).polygons()
+
+
+_PIECE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("cell", T.LongType()),
+        T.StructField("piece", T.BinaryType()),  # WKB polygon incl. clipped holes
+    ]
+)
+
+
+def cell_pieces(df: DataFrame, res: int, geom: str = "geom", key_col: str | None = None) -> DataFrame:
+    """Clip every polygon (outer ring AND holes) to its covering cells at
+    resolution ``res`` -> (key, cell, piece) rows. Cell boxes are convex,
+    so each Sutherland–Hodgman clip is exact for arbitrary simple rings
+    (bridged rings keep even-odd fill semantics — verified in tests)."""
+
+    def fn(pdf_iter):
+        for pdf in pdf_iter:
+            rows = []
+            keys = pdf[key_col] if key_col else [None] * len(pdf)
+            for k, buf in zip(keys, pdf[geom]):
+                for rings in _polys(buf):
+                    outer = rings[0]
+                    bb = (
+                        float(outer[:, 0].min()),
+                        float(outer[:, 1].min()),
+                        float(outer[:, 0].max()),
+                        float(outer[:, 1].max()),
+                    )
+                    for cid in cells.cover_bbox(*bb, res):
+                        cb = cells.cell_bounds(int(cid))
+                        box = np.array(
+                            [[cb[0], cb[1]], [cb[2], cb[1]], [cb[2], cb[3]],
+                             [cb[0], cb[3]], [cb[0], cb[1]]]
+                        )
+                        oc = kernels.clip_convex(outer, box)
+                        if not len(oc):
+                            continue
+                        rs = [oc]
+                        for hole in rings[1:]:
+                            hc = kernels.clip_convex(hole, box)
+                            if len(hc):
+                                rs.append(hc)
+                        rows.append({"key": k, "cell": int(cid), "piece": wkb.polygon(rs)})
+            yield pd.DataFrame(rows, columns=["key", "cell", "piece"])
+
+    return df.mapInPandas(fn, _PIECE_SCHEMA)
 
 
 DISSOLVE_SCHEMA = T.StructType(
@@ -67,19 +130,77 @@ DISSOLVE_SCHEMA = T.StructType(
 )
 
 
-def dissolve(land_cover: DataFrame, key: str = "featureclass", geom: str = "geom") -> DataFrame:
-    """ST_UNION(geom) GROUP BY key. Returns (key, geom, union_area) where
-    union_area is the exact planar (4326 deg^2) union area."""
+def dissolve(
+    land_cover: DataFrame,
+    key: str = "featureclass",
+    geom: str = "geom",
+    cells_res: int | None = None,
+) -> DataFrame:
+    """ST_UNION(geom) GROUP BY key. Returns (key, geom, union_area).
+
+    ``geom`` is the TRUE dissolved geometry: a y-monotone trapezoid
+    decomposition of the union — non-overlapping parts covering exactly
+    the union region (PostGIS would emit a merged-boundary multipolygon;
+    the decomposition is geometrically the same region, verified by PIP
+    parity + exact area in tests). ``union_area`` is the exact planar
+    union area. Handles non-convex polygons and holes.
+
+    ``cells_res``: set to partition the union computation by cell (see
+    module docstring) for keys too large for a single task.
+    """
+    if cells_res is not None:
+        pieces = cell_pieces(land_cover, cells_res, geom=geom, key_col=key)
+        per_cell = pieces.groupBy("key", "cell").applyInPandas(
+            _dissolve_cell_fn, _CELL_UNION_SCHEMA
+        )
+        return (
+            per_cell.groupBy("key")
+            .applyInPandas(_merge_union_fn, DISSOLVE_SCHEMA)
+        )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        rings = [r for g in pdf[geom] for r in _outer_rings(g)]
-        area = union_area_convex(rings)
-        out_geom = wkb.multipolygon([[r] for r in rings])
+        polys = [p for g in pdf[geom] for p in _polys(g)]
+        area, quads = sweep.union_geometry(polys)
+        out_geom = wkb.multipolygon([[q] for q in quads])
         return pd.DataFrame(
             {"featureclass": [pdf[key].iloc[0]], "geom": [out_geom], "union_area": [area]}
         )
 
     return land_cover.groupBy(key).applyInPandas(fn, DISSOLVE_SCHEMA)
+
+
+_CELL_UNION_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("area", T.DoubleType()),
+        T.StructField("geom", T.BinaryType()),
+    ]
+)
+
+
+def _dissolve_cell_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    polys = [_polys(p)[0] for p in pdf["piece"]]
+    area, quads = sweep.union_geometry(polys)
+    return pd.DataFrame(
+        {
+            "key": [pdf["key"].iloc[0]],
+            "area": [area],
+            "geom": [wkb.multipolygon([[q] for q in quads])],
+        }
+    )
+
+
+def _merge_union_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    # cells partition the plane -> per-cell unions are disjoint: areas add,
+    # geometries concatenate
+    polys = [rings for g in pdf["geom"] for rings in _polys(g)]
+    return pd.DataFrame(
+        {
+            "featureclass": [pdf["key"].iloc[0]],
+            "geom": [wkb.multipolygon(polys)],
+            "union_area": [float(pdf["area"].sum())],
+        }
+    )
 
 
 COVERAGE_SCHEMA = T.StructType(
@@ -90,41 +211,70 @@ COVERAGE_SCHEMA = T.StructType(
     ]
 )
 
+_COV_CELL_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("num", T.DoubleType()),
+        T.StructField("den", T.DoubleType()),
+        T.StructField("geom", T.BinaryType()),
+    ]
+)
 
-def coverage(land_cover: DataFrame, images: DataFrame, key: str = "featureclass") -> DataFrame:
+
+def coverage(
+    land_cover: DataFrame, images: DataFrame, key: str = "featureclass", res: int = 6
+) -> DataFrame:
     """Reference coverage query (app/query.py:143-192): per featureclass,
     the fraction of the dissolved class geometry covered by the union of
-    image footprints, as ``round(100 * ratio, 3)``.
+    image footprints, as ``round(100 * ratio, 3)``, plus the intersection
+    geometry (class_union ∩ image_union, as a trapezoid decomposition).
 
-    ``images`` must already carry the reference's filters. The image union
-    never materializes: per class we compute
-    area(union_ij(class_i ∩ img_j)) / area(union_i(class_i))
-    by inclusion–exclusion over convex clips. Image footprints are
-    broadcast to each class group (small after filters — the reference
-    crossJoins two one-row aggregates, J7 in SURVEY §2.3).
-    """
-    img_rows = [bytes(r[0]) for r in images.select("geom").collect()]
-    img_rings = [r for g in img_rows for r in _outer_rings(g)]
+    ``images`` must already carry the reference's filters. Fully
+    distributed: both sides clip to cells (mapInPandas), image pieces
+    reach class cells via a cell-id equi-join against the (small,
+    broadcast) distinct (key, cell) set, one grouped aggregation per
+    (key, cell) computes exact per-cell numerator/denominator via the
+    scanline kernel, and a per-key merge emits the ratio. No driver-side
+    geometry collection anywhere (round-1 version collected the image
+    table — unbounded at 100 TB)."""
+    cls = cell_pieces(land_cover, res, geom="geom", key_col=key)
+    img = cell_pieces(images, res, geom="geom").drop("key")
+    keys_by_cell = cls.select("key", "cell").distinct()
+    img_k = img.join(F.broadcast(keys_by_cell), on="cell").select("key", "cell", "piece")
+    tagged = cls.withColumn("side", F.lit("c")).unionByName(
+        img_k.withColumn("side", F.lit("i"))
+    )
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        class_rings = [r for g in pdf["geom"] for r in _outer_rings(g)]
-        denom = union_area_convex(class_rings)
-        pieces = []
-        for cr in class_rings:
-            for ir in img_rings:
-                piece = kernels.clip_convex(cr, ir) if kernels.is_convex(ir) else kernels.clip_convex(ir, cr)
-                if len(piece):
-                    pieces.append(piece)
-        if not pieces or denom == 0.0:
-            return pd.DataFrame({"featureclass": [], "geom": [], "coverage_percentage": []})
-        num = union_area_convex(pieces)
-        out_geom = wkb.multipolygon([[p] for p in pieces])
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        polys_c = [_polys(p)[0] for p in pdf.loc[pdf["side"] == "c", "piece"]]
+        polys_i = [_polys(p)[0] for p in pdf.loc[pdf["side"] == "i", "piece"]]
+        den = sweep.union_area(polys_c)
+        num, quads = sweep.intersect_union_geometry(polys_c, polys_i)
         return pd.DataFrame(
             {
-                "featureclass": [pdf[key].iloc[0]],
-                "geom": [out_geom],
-                "coverage_percentage": [round(100.0 * num / denom, 3)],
+                "key": [pdf["key"].iloc[0]],
+                "num": [num],
+                "den": [den],
+                "geom": [wkb.multipolygon([[q] for q in quads])],
             }
         )
 
-    return land_cover.groupBy(key).applyInPandas(fn, COVERAGE_SCHEMA)
+    per_cell_df = tagged.groupBy("key", "cell").applyInPandas(per_cell, _COV_CELL_SCHEMA)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        num = float(pdf["num"].sum())
+        den = float(pdf["den"].sum())
+        if num <= 0.0 or den <= 0.0:
+            # reference WHERE ST_INTERSECTS(class_union, img_union) drops
+            # classes untouched by any image
+            return pd.DataFrame({"featureclass": [], "geom": [], "coverage_percentage": []})
+        polys = [rings for g in pdf["geom"] for rings in _polys(g)]
+        return pd.DataFrame(
+            {
+                "featureclass": [pdf["key"].iloc[0]],
+                "geom": [wkb.multipolygon(polys)],
+                "coverage_percentage": [round(100.0 * num / den, 3)],
+            }
+        )
+
+    return per_cell_df.groupBy("key").applyInPandas(merge, COVERAGE_SCHEMA)

@@ -23,15 +23,13 @@ Two layers:
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pda_spark.functions import geo_udfs
-from pda_spark.geo import cells, kernels, wkb
-from pda_spark.operators.dissolve import union_area_convex
+from pda_spark.geo import sweep, wkb
 
 
 def rasterize_polygons(
@@ -74,40 +72,6 @@ def zonal_count_join(
     )
 
 
-_CLIP_SCHEMA = T.StructType(
-    [
-        T.StructField("key", T.StringType()),
-        T.StructField("cell", T.LongType()),
-        T.StructField("ring", T.BinaryType()),  # clipped piece, WKB polygon
-    ]
-)
-
-
-def _clip_pieces(pdf_iter, res: int, key: str, geom: str):
-    for pdf in pdf_iter:
-        rows = []
-        for k, buf in zip(pdf[key], pdf[geom]):
-            g = wkb.decode(bytes(buf))
-            for rings in g.polygons():
-                outer = rings[0]
-                cover = cells.cover_bbox(*kernels.bbox(wkb.decode(wkb.polygon([outer]))), res)
-                for cid in cover:
-                    cb = cells.cell_bounds(int(cid))
-                    box = np.array(
-                        [
-                            [cb[0], cb[1]],
-                            [cb[2], cb[1]],
-                            [cb[2], cb[3]],
-                            [cb[0], cb[3]],
-                            [cb[0], cb[1]],
-                        ]
-                    )
-                    piece = kernels.clip_convex(outer, box)
-                    if len(piece):
-                        rows.append({"key": k, "cell": int(cid), "ring": wkb.polygon([piece])})
-        yield pd.DataFrame(rows, columns=["key", "cell", "ring"])
-
-
 _PARTIAL_SCHEMA = T.StructType(
     [
         T.StructField("key", T.StringType()),
@@ -122,25 +86,21 @@ def union_area_by_cells(
     res: int,
     key: str = "featureclass",
     geom: str = "geom",
-    max_rings_per_cell: int = 22,
 ) -> DataFrame:
     """Exact planar union area per key, cell-partitioned (scale path for
     ST_UNION GROUP BY — see module docstring). Returns (key, union_area).
 
-    Requires convex outer rings (fixture + footprint geometry contract);
-    a cell accumulating more than ``max_rings_per_cell`` overlapping
-    pieces raises — choose a finer ``res`` so local density stays small.
-    """
-    pieces = polygons.mapInPandas(
-        lambda it: _clip_pieces(it, res, key, geom), _CLIP_SCHEMA
-    )
+    Handles arbitrary simple polygons WITH holes (holes are clipped per
+    cell alongside outer rings and subtracted by the scanline kernel's
+    even-odd fill — round-1 dropped holes here). Per-cell cost is
+    polynomial in local piece count (geo.sweep), so no density cap."""
+    from pda_spark.operators.dissolve import cell_pieces
+
+    pieces = cell_pieces(polygons, res, geom=geom, key_col=key)
 
     def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
-        rings = []
-        for buf in pdf["ring"]:
-            g = wkb.decode(bytes(buf))
-            rings.append(g.parts[0])
-        area = union_area_convex(rings, max_exact=max_rings_per_cell)
+        polys = [wkb.decode(bytes(buf)).polygons()[0] for buf in pdf["piece"]]
+        area = sweep.union_area(polys)
         return pd.DataFrame(
             {"key": [pdf["key"].iloc[0]], "cell": [pdf["cell"].iloc[0]], "area": [area]}
         )

@@ -1,0 +1,70 @@
+"""Period-bucketed heat time series (reference app/maps.py:56-76).
+
+The reference dashboard buckets image timestamps with a user-chosen grain
+(``df.time_acquired.dt.to_period(period)`` with M/W/D/H/T), gap-fills the
+bucket range (``pd.period_range``), and feeds per-bucket lat/lon to a
+time-animated heatmap. Spark-first translation:
+
+- bucket  = ``date_trunc(grain, ts)`` (pure Catalyst, codegen'd);
+- gap fill = ``sequence(min_bucket, max_bucket, interval 1 <grain>)``
+  exploded and left-joined (the J9 pattern, one tiny broadcast);
+- heat stats ride as integer sums (``sum(floor(lat*100))``): per-row
+  floor on identical doubles is engine-portable and integer sums are
+  associative/order-independent — float mean would be partition-order
+  dependent at scale. Consumers derive mean = sum / (100 * n).
+
+Scale: one map-side-combinable aggregation on the bucket key; the gap
+fill joins against a generated dimension of |range|/grain rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# pandas-style grain codes (reference uses M/W/D/H/T) -> date_trunc field
+GRAINS = {"M": "month", "W": "week", "D": "day", "H": "hour", "T": "minute"}
+_STEP = {"M": "interval 1 month", "W": "interval 7 day", "D": "interval 1 day",
+         "H": "interval 1 hour", "T": "interval 1 minute"}
+# month/week/day truncate to midnight -> DATE semantics; hour/minute keep time
+_DATE_GRAINS = {"M", "W", "D"}
+
+
+def time_bucket(ts_col, grain: str):
+    """date_trunc with pandas-style grain code (M/W/D/H/T)."""
+    if grain not in GRAINS:
+        raise ValueError(f"grain must be one of {sorted(GRAINS)}, got {grain!r}")
+    b = F.date_trunc(GRAINS[grain], ts_col)
+    return F.to_date(b) if grain in _DATE_GRAINS else b
+
+
+def heat_timeseries(
+    df: DataFrame,
+    grain: str = "D",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Gap-filled per-bucket event counts + heat centroids-as-integer-sums:
+    (bucket, n_events, sum_lat_c, sum_lon_c) with empty buckets at 0."""
+    if grain not in GRAINS:
+        raise ValueError(f"grain must be one of {sorted(GRAINS)}, got {grain!r}")
+    bucket = time_bucket(F.col(ts_col), grain)
+    agg = df.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col(lat_col) * 100.0).cast("long")).alias("sum_lat_c"),
+        F.sum(F.floor(F.col(lon_col) * 100.0).cast("long")).alias("sum_lon_c"),
+    )
+    bounds = df.agg(
+        time_bucket(F.min(ts_col), grain).alias("lo"),
+        time_bucket(F.max(ts_col), grain).alias("hi"),
+    )
+    buckets = bounds.select(
+        F.explode(F.expr(f"sequence(lo, hi, {_STEP[grain]})")).alias("bucket")
+    )
+    return buckets.join(agg, on="bucket", how="left").select(
+        "bucket",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("sum_lat_c", F.lit(0)).alias("sum_lat_c"),
+        F.coalesce("sum_lon_c", F.lit(0)).alias("sum_lon_c"),
+    )

@@ -122,6 +122,46 @@ def sat_images_with_filter(
     )
 
 
+def image_geojson_features(
+    world: dict,
+    sat_names: list[str],
+    cloud_cover: float,
+    start_date: datetime,
+    end_date: datetime,
+    country_name: str,
+) -> DataFrame:
+    """GeoJSON Feature per image with the reference's full property set
+    (db.py:160-177: id, cloud_cover, pixel_res, time_acquired '%Y-%m-%d',
+    sat_id, sat_name, item_type_id, srid, area_sqkm, land_cover_class,
+    asset_types). The reference builds this per row via lazy ORM
+    relationships (one query per property per row); here it's the same
+    single DAG as sat_images_with_filter plus a broadcast asset join and
+    a JVM-side JSON composition."""
+    imgs = sat_images_with_filter(
+        world, sat_names, cloud_cover, start_date, end_date, country_name
+    )
+    assets = item_assets(world).select(
+        F.col("item_id").alias("item_type_id"), F.col("assets").alias("asset_types")
+    )
+    feat = imgs.join(F.broadcast(assets), on="item_type_id", how="left")
+    props = F.struct(
+        F.col("id"),
+        F.col("cloud_cover"),
+        F.col("pixel_res"),
+        F.date_format("time_acquired", "yyyy-MM-dd").alias("time_acquired"),
+        F.col("sat_id"),
+        F.col("sat_name"),
+        F.col("item_type_id"),
+        F.lit(4326).alias("srid"),  # constant in the reference schema (db.py:68)
+        F.col("area_sqkm"),
+        F.col("land_cover_class"),
+        F.col("asset_types"),
+    )
+    return feat.select(
+        "id", geo_udfs.geojson_feature(F.col("geom"), F.col("id"), props).alias("feature")
+    )
+
+
 def cities_with_filters(
     world: dict,
     sat_names: list[str],

@@ -334,6 +334,49 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+def _heat_sql(grain: str) -> str:
+    from pda_spark.operators.timeseries import GRAINS, _DATE_GRAINS, _STEP
+
+    field = GRAINS[grain]
+    cast = "::DATE" if grain in _DATE_GRAINS else ""
+    step = _STEP[grain].upper().replace("INTERVAL ", "INTERVAL ")
+    return f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+agg AS (
+  SELECT date_trunc('{field}', ts){cast} AS bucket, count(*) AS n_events,
+         sum(CAST(floor(lat * 100.0) AS BIGINT)) AS sum_lat_c,
+         sum(CAST(floor(lon * 100.0) AS BIGINT)) AS sum_lon_c
+  FROM pts GROUP BY 1
+), buckets AS (
+  SELECT unnest(generate_series(
+           date_trunc('{field}', (SELECT min(ts) FROM pts)){cast},
+           date_trunc('{field}', (SELECT max(ts) FROM pts)){cast},
+           {step})){cast} AS bucket
+)
+SELECT buckets.bucket AS bucket,
+       coalesce(n_events, 0) AS n_events,
+       coalesce(sum_lat_c, 0) AS sum_lat_c,
+       coalesce(sum_lon_c, 0) AS sum_lon_c
+FROM buckets LEFT JOIN agg ON buckets.bucket = agg.bucket
+"""
+
+
+def q13_heat_weekly(spark, sf_dir):
+    """Period-bucketed heat time series, weekly grain (reference
+    app/maps.py:56-76: dt.to_period + period_range gap fill + per-bucket
+    lat/lon heat aggregation). F13 full-grain operator."""
+    from pda_spark.operators import timeseries
+
+    return timeseries.heat_timeseries(_event_points(spark, sf_dir), grain="W")
+
+
+def q14_heat_hourly(spark, sf_dir):
+    """Same operator at hourly grain (timestamp-typed buckets)."""
+    from pda_spark.operators import timeseries
+
+    return timeseries.heat_timeseries(_event_points(spark, sf_dir), grain="H")
+
+
 # ===================================================== text / documents
 
 
@@ -425,9 +468,15 @@ _JACCARD_T = 0.1
 
 
 def q25_ngram_jaccard(spark, sf_dir):
+    # max_doc_freq exercises the scale-path DF cap without binding at the
+    # gate scales (max shingle df is 129 over these 150 docs), so the
+    # uncapped DuckDB oracle still matches exactly; the binding case is
+    # unit-tested in tests/test_pipeline_ops.py
     docs = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < _JACCARD_LIMIT)
             .repartition(spark.sparkContext.defaultParallelism))
-    return dedup.ngram_jaccard_pairs(docs, "doc_id", k=_JACCARD_K, threshold=_JACCARD_T)
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", k=_JACCARD_K, threshold=_JACCARD_T, max_doc_freq=_JACCARD_LIMIT
+    )
 
 
 Q25_SQL = rf"""
@@ -505,6 +554,50 @@ WITH toks AS (
   SELECT doc_id, {sums} FROM toks GROUP BY doc_id
 )
 SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM sums
+"""
+
+
+def q28_media_features(spark, sf_dir):
+    """Multimodal plumbing through the gate: binary payload column ->
+    mapInPandas feature extraction (deterministic fake decode — no image
+    codecs in this env, multimodal.py:48-62). Only exact-integer features
+    (byte size, 63-bit average-hash) reach the gate; float pixel stats
+    stay pytest-pinned."""
+    from pda_spark.functions import multimodal
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit(8).alias("width"), F.lit(8).alias("height"), F.lit("x-fake/image").alias("mime")
+        ).alias("meta"),
+    )
+    feats = multimodal.extract_image_features(media)
+    return feats.select("media_id", "n_bytes", "phash")
+
+
+# DuckDB twin of fake_decode_image + average-hash: px = the 64 bytes of
+# sha256(text||'#0') || sha256(text||'#1'), bit i of phash = px[i] > mean
+def _media_sql() -> str:
+    return """
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         octet_length(CAST(text AS BLOB)) AS n_bytes,
+         sha256(text || '#0') || sha256(text || '#1') AS hx
+  FROM documents WHERE doc_id < 100
+), px AS (
+  SELECT media_id, n_bytes,
+         [('0x' || substring(hx, 2*i - 1, 2))::BIGINT for i in range(1, 65)] AS p
+  FROM m
+), stats AS (
+  SELECT media_id, n_bytes, p, list_sum(p) / 64.0 AS mean_px FROM px
+)
+SELECT media_id, n_bytes,
+       CAST(list_sum([CASE WHEN p[i] > mean_px THEN 1 << (i - 1) ELSE 0 END
+                      for i in range(1, 64)]) AS BIGINT) AS phash
+FROM stats
 """
 
 
@@ -797,6 +890,53 @@ GROUP BY lc_id
 """
 
 
+def q46_dissolve_area(spark, sf_dir):
+    """Geometric dissolve (ST_UNION GROUP BY, A6/A7) through the real
+    scanline union kernel: per brand, heavily-overlapping axis-aligned
+    boxes sharing one y-band. The oracle reduces the union area to a 1D
+    interval-union (gaps-and-islands SQL) x band height. All coordinates
+    are integers, so both engines produce the exact same integer area."""
+    from pda_spark.operators import dissolve as dissolve_op
+
+    p = _t(spark, sf_dir, "part").filter(F.pmod(F.col("p_partkey"), F.lit(3)) == 0)
+    boxes = p.select(
+        F.col("p_brand"),
+        (F.pmod(F.col("p_partkey") * 13, F.lit(1000))).cast("double").alias("x0"),
+        (F.pmod(F.col("p_partkey") * 13, F.lit(1000)) + F.pmod(F.col("p_size"), F.lit(40)) + 1)
+        .cast("double")
+        .alias("x1"),
+        (F.substring("p_brand", 7, 1).cast("int") % 3 + 1).cast("double").alias("h"),
+    )
+    boxes = boxes.withColumn("geom", _mk_box(F.col("x0"), F.lit(0.0), F.col("x1"), F.col("h")))
+    out = dissolve_op.dissolve(boxes, key="p_brand", geom="geom")
+    return out.select(
+        F.col("featureclass").alias("brand"),
+        F.col("union_area").cast("long").alias("union_area"),
+    )
+
+
+Q46_SQL = """
+WITH boxes AS (
+  SELECT p_brand AS brand,
+         (p_partkey * 13) % 1000 AS x0,
+         (p_partkey * 13) % 1000 + (p_size % 40) + 1 AS x1,
+         (CAST(substring(p_brand, 7, 1) AS INT) % 3) + 1 AS h
+  FROM part WHERE p_partkey % 3 = 0
+), marked AS (
+  SELECT brand, x0, x1, h,
+         CASE WHEN x0 > coalesce(max(x1) OVER (PARTITION BY brand ORDER BY x0, x1
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS is_new
+  FROM boxes
+), grp AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY brand ORDER BY x0, x1 ROWS UNBOUNDED PRECEDING) AS g
+  FROM marked
+), islands AS (
+  SELECT brand, any_value(h) AS h, max(x1) - min(x0) AS len FROM grp GROUP BY brand, g
+)
+SELECT brand, CAST(sum(len * h) AS BIGINT) AS union_area FROM islands GROUP BY brand
+"""
+
+
 # ============================================================ registry
 
 QUERIES: dict[str, tuple] = {
@@ -812,6 +952,8 @@ QUERIES: dict[str, tuple] = {
     "q10_json_extract": (q10_json_extract, Q10_SQL),
     "q11_collect_set": (q11_collect_set, Q11_SQL),
     "q12_rollup": (q12_rollup, Q12_SQL),
+    "q13_heat_weekly": (q13_heat_weekly, _heat_sql("W")),
+    "q14_heat_hourly": (q14_heat_hourly, _heat_sql("H")),
     "q20_token_stats": (q20_token_stats, Q20_SQL),
     "q21_lang_id": (q21_lang_id, _lang_id_sql()),
     "q23_fingerprint_groups": (q23_fingerprint_groups, Q23_SQL),
@@ -819,6 +961,7 @@ QUERIES: dict[str, tuple] = {
     "q25_ngram_jaccard": (q25_ngram_jaccard, Q25_SQL),
     "q26_minhash": (q26_minhash, _minhash_sql()),
     "q27_simhash": (q27_simhash, _simhash_sql()),
+    "q28_media_features": (q28_media_features, _media_sql()),
     "q30_cosine_topk": (q30_cosine_topk, Q30_SQL),
     "q31_lsh_ann": (q31_lsh_ann, _lsh_ann_sql()),
     "q40_cell_assign": (q40_cell_assign, Q40_SQL),
@@ -827,4 +970,5 @@ QUERIES: dict[str, tuple] = {
     "q43_bbox_area": (q43_bbox_area, Q43_SQL),
     "q44_tile_zonal": (q44_tile_zonal, Q44_SQL),
     "q45_rect_intersects": (q45_rect_intersects, Q45_SQL),
+    "q46_dissolve_area": (q46_dissolve_area, Q46_SQL),
 }

@@ -75,6 +75,34 @@ def test_ngram_jaccard(spark):
     assert len(pairs) == 1
     assert (pairs[0]["id_a"], pairs[0]["id_b"]) == (1, 2)
     assert 0.5 <= pairs[0]["jaccard"] < 1.0
+    # a cap that doesn't bind (no shingle appears in >3 docs) changes nothing
+    capped = dedup.ngram_jaccard_pairs(df, "doc_id", threshold=0.5, max_doc_freq=3).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in capped] == [
+        (pairs[0]["id_a"], pairs[0]["id_b"], pairs[0]["jaccard"])
+    ]
+
+
+def test_ngram_jaccard_doc_freq_cap_binds(spark):
+    """Boilerplate shingles shared by every doc must be droppable before
+    the self-join: with the cap binding, the boilerplate-only pair
+    disappears while the genuine near-dup pair survives (its Jaccard now a
+    lower bound)."""
+    boiler = "copyright footer boilerplate navigation menu "
+    df = spark.createDataFrame(
+        [
+            (1, boiler + "alpha beta gamma delta epsilon zeta"),
+            (2, boiler + "alpha beta gamma delta epsilon eta"),
+            (3, boiler + "totally different body content here"),
+            (4, boiler + "yet another unrelated page body text"),
+        ],
+        ["doc_id", "text"],
+    )
+    uncapped = dedup.ngram_jaccard_pairs(df, "doc_id", threshold=0.25)
+    assert uncapped.count() >= 3  # boilerplate alone pushes pairs over 0.25
+    capped = dedup.ngram_jaccard_pairs(df, "doc_id", threshold=0.25, max_doc_freq=3)
+    rows = capped.collect()
+    # shingles in all 4 docs dropped -> only the genuinely-similar pair stays
+    assert {(r["id_a"], r["id_b"]) for r in rows} == {(1, 2)}
 
 
 def test_minhash_lsh_finds_neardups(spark, docs):

@@ -154,6 +154,31 @@ def test_geojson_serialization(spark, world):
     assert len(gj["coordinates"][0]) == 5
 
 
+def test_geojson_feature_full(spark, world):
+    """F9 complete: Feature dict shape matches the reference's geojson
+    hybrid property (db.py:160-177) — id, geometry, and the full
+    11-key property set."""
+    import json
+
+    df = Q.image_geojson_features(world, ALL_SATS, CC, START, END, COUNTRY)
+    rows = df.collect()
+    assert len(rows) == 1
+    f = json.loads(rows[0]["feature"])
+    assert f["type"] == "Feature"
+    assert f["id"] == rows[0]["id"]
+    assert f["geometry"]["type"] == "Polygon"
+    props = f["properties"]
+    assert set(props) >= {
+        "id", "cloud_cover", "pixel_res", "time_acquired", "sat_id", "sat_name",
+        "item_type_id", "srid", "area_sqkm", "land_cover_class", "asset_types",
+    }
+    assert props["id"] == f["id"]
+    assert props["sat_name"] in ALL_SATS
+    assert props["land_cover_class"] == ["fake_area"]
+    assert props["asset_types"] == ["analytic"]
+    assert len(props["time_acquired"]) == 10  # %Y-%m-%d
+
+
 def test_time_filter_excludes(spark, world):
     # TOI entirely before acquisition -> empty (P4)
     df = Q.sat_images_with_filter(world, ALL_SATS, CC, datetime(2021, 1, 1), datetime(2021, 12, 31), COUNTRY)

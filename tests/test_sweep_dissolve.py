@@ -1,0 +1,191 @@
+"""Scanline kernel (geo.sweep) + non-convex/holed dissolve & coverage.
+
+Covers the round-1 gaps: non-convex operands, polygons with holes, true
+dissolved geometry output, >max_exact overlapping rings (the legacy
+inclusion–exclusion cap), and driver-collect-free coverage."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pda_spark.geo import kernels, sweep, wkb
+from pda_spark.operators import dissolve, tiling
+
+
+def sq(x0, y0, x1, y1):
+    return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)
+
+
+L_SHAPE = np.array([[0, 0], [2, 0], [2, 1], [1, 1], [1, 2], [0, 2], [0, 0]], float)
+U_SHAPE = np.array(
+    [[0, 0], [3, 0], [3, 2], [2, 2], [2, 0.5], [1, 0.5], [1, 2], [0, 2], [0, 0]], float
+)
+
+
+# ------------------------------------------------------------ pure kernel
+
+
+def test_sweep_union_known_shapes():
+    assert sweep.union_area([[sq(0, 0, 1, 1)], [sq(0.5, 0.5, 1.5, 1.5)]]) == pytest.approx(1.75)
+    assert sweep.union_area([[sq(0, 0, 1, 1)], [sq(2, 0, 3, 1)]]) == pytest.approx(2.0)
+    assert sweep.union_area([[L_SHAPE]]) == pytest.approx(3.0)
+    # polygon with hole: 16 - 4; plus a plug filling part of the hole
+    outer, hole = sq(0, 0, 4, 4), sq(1, 1, 3, 3)
+    assert sweep.union_area([[outer, hole]]) == pytest.approx(12.0)
+    assert sweep.union_area([[outer, hole], [sq(1.5, 1.5, 2.5, 2.5)]]) == pytest.approx(13.0)
+
+
+def test_sweep_matches_inclusion_exclusion_on_convex():
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        rings = []
+        for _ in range(8):
+            cx, cy = rng.uniform(0, 5, 2)
+            r = rng.uniform(0.3, 1.5)
+            th = np.sort(rng.uniform(0, 2 * np.pi, 12))
+            rings.append(np.column_stack([cx + r * np.cos(th), cy + r * np.sin(th)]))
+        exact = dissolve.union_area_convex([wkb.close_ring(r) for r in rings])
+        got = sweep.union_area([[r] for r in rings])
+        assert got == pytest.approx(exact, rel=1e-12)
+
+
+def test_sweep_intersect_union():
+    assert sweep.intersect_union_area([[U_SHAPE]], [[sq(-1, 1, 4, 2)]]) == pytest.approx(2.0)
+    outer, hole = sq(0, 0, 4, 4), sq(1, 1, 3, 3)
+    # hole excluded from the intersection
+    assert sweep.intersect_union_area([[outer, hole]], [[sq(0, 0, 2, 2)]]) == pytest.approx(3.0)
+    assert sweep.intersect_union_area(
+        [[outer, hole]], [[sq(1.5, 1.5, 2.5, 2.5)]]
+    ) == pytest.approx(0.0)
+
+
+def test_sweep_union_geometry_partitions_union():
+    polys = [[L_SHAPE], [sq(0.5, 0.5, 1.5, 1.5)], [sq(2.5, 0, 3.5, 1)]]
+    area, quads = sweep.union_geometry(polys)
+    assert area == pytest.approx(3.25 + 1.0)
+    # parts are non-overlapping and cover exactly the union
+    assert sum(abs(kernels.ring_area_signed(q)) for q in quads) == pytest.approx(area, rel=1e-12)
+    pts = np.array(
+        [[x, y] for x in np.linspace(-0.3, 3.8, 30) for y in np.linspace(-0.3, 2.3, 24)]
+    )
+    src = np.zeros(len(pts), dtype=bool)
+    for p in polys:
+        src |= kernels.points_in_polygons(pts, [p])
+    dis = kernels.points_in_polygons(pts, [[q] for q in quads])
+    assert (src == dis).all()
+
+
+def test_sweep_many_overlapping_rings_polynomial():
+    """>22 overlapping rings: the legacy inclusion–exclusion path raises;
+    the sweep kernel must give the exact answer cheaply. 40 concentric
+    shifted squares whose union is computable in closed form."""
+    rings = [sq(i * 0.1, 0, i * 0.1 + 1.0, 1.0) for i in range(40)]
+    with pytest.raises(ValueError):
+        dissolve.union_area_convex([wkb.close_ring(r) for r in rings])
+    # union = bounding box [0, 4.9] x [0, 1]
+    assert sweep.union_area([[r] for r in rings]) == pytest.approx(4.9)
+
+
+def test_intersection_area_nonconvex_fallback():
+    ga = wkb.decode(wkb.polygon([U_SHAPE]))
+    gb = wkb.decode(wkb.polygon([L_SHAPE + np.array([0.5, 0.0])]))
+    # neither convex: round 1 raised here; now exact via sweep
+    got = kernels.intersection_area(ga, gb)
+    brute = sweep.intersect_union_area([[U_SHAPE]], [[L_SHAPE + np.array([0.5, 0.0])]])
+    assert got == pytest.approx(brute, rel=1e-12)
+    assert got > 0
+
+
+# ------------------------------------------------------- Spark operators
+
+
+@pytest.fixture(scope="module")
+def holed_world(spark):
+    """Two featureclasses of non-convex / holed polygons + image boxes."""
+    outer, hole = sq(0, 0, 4, 4), sq(1, 1, 3, 3)
+    lc_rows = [
+        ("urban", bytearray(wkb.polygon([outer, hole]))),
+        ("urban", bytearray(wkb.polygon([L_SHAPE + np.array([5.0, 0.0])]))),
+        ("water", bytearray(wkb.polygon([U_SHAPE + np.array([0.0, 5.0])]))),
+    ]
+    img_rows = [
+        (1, bytearray(wkb.polygon([sq(0, 0, 2, 2)]))),       # hits urban ring part
+        (2, bytearray(wkb.polygon([sq(5.2, 0.2, 6.2, 1.2)]))),  # hits the L
+        (3, bytearray(wkb.polygon([sq(-1, 5.8, 4, 7.2)]))),  # hits the U arms
+    ]
+    lc = spark.createDataFrame(lc_rows, "featureclass string, geom binary")
+    img = spark.createDataFrame(img_rows, "id int, geom binary")
+    return lc, img
+
+
+EXPECT_URBAN_AREA = 12.0 + 3.0          # holed square + L
+EXPECT_WATER_AREA = 4.5                 # U
+
+
+def test_dissolve_nonconvex_holes(spark, holed_world):
+    lc, _ = holed_world
+    rows = {r["featureclass"]: r for r in dissolve.dissolve(lc).collect()}
+    assert rows["urban"]["union_area"] == pytest.approx(EXPECT_URBAN_AREA, rel=1e-12)
+    assert rows["water"]["union_area"] == pytest.approx(EXPECT_WATER_AREA, rel=1e-12)
+    # dissolved geometry covers exactly the union (PIP parity, hole stays open)
+    g = wkb.decode(bytes(rows["urban"]["geom"]))
+    assert kernels.area_planar(g) == pytest.approx(EXPECT_URBAN_AREA, rel=1e-12)
+    pts = np.array([[2.0, 2.0], [0.5, 0.5], [6.0, 0.5], [5.5, 1.5], [2.0, 4.5]])
+    got = kernels.points_in_polygons(pts, g.polygons())
+    assert list(got) == [False, True, True, True, False]  # hole center excluded
+
+
+def test_dissolve_cell_routed_matches(spark, holed_world):
+    lc, _ = holed_world
+    exact = {r["featureclass"]: r["union_area"] for r in dissolve.dissolve(lc).collect()}
+    for res in (3, 6):
+        cellr = dissolve.dissolve(lc, cells_res=res).collect()
+        got = {r["featureclass"]: r["union_area"] for r in cellr}
+        assert got.keys() == exact.keys()
+        for k in exact:
+            assert got[k] == pytest.approx(exact[k], rel=1e-9), f"{k} res={res}"
+        # cell-routed geometry also partitions the union exactly
+        for r in cellr:
+            g = wkb.decode(bytes(r["geom"]))
+            assert kernels.area_planar(g) == pytest.approx(exact[r["featureclass"]], rel=1e-9)
+
+
+def test_union_area_by_cells_handles_holes(spark, holed_world):
+    lc, _ = holed_world
+    got = {r["key"]: r["union_area"] for r in tiling.union_area_by_cells(lc, res=6).collect()}
+    assert got["urban"] == pytest.approx(EXPECT_URBAN_AREA, rel=1e-9)
+    assert got["water"] == pytest.approx(EXPECT_WATER_AREA, rel=1e-9)
+
+
+def test_coverage_nonconvex_no_driver_collect(spark, holed_world):
+    lc, img = holed_world
+    rows = {r["featureclass"]: r for r in dissolve.coverage(lc, img, res=4).collect()}
+    # urban: img1 ∩ (holed sq) = 2x2 - 1x1 = 3 ; img2 ∩ L' = 0.8x1... compute:
+    # L' = L+(5,0): img2 = sq(5.2,0.2,6.2,1.2) ∩ L' -> area:
+    # L' covers [5,7]x[0,1] plus [5,6]x[1,2]; img2 ∩ [5.2,6.2]x[0.2,1] = 0.8
+    # plus [5.2,6]x[1,1.2] = 0.16 -> 0.96
+    num_urban = 3.0 + 0.96
+    assert rows["urban"]["coverage_percentage"] == pytest.approx(
+        round(100.0 * num_urban / EXPECT_URBAN_AREA, 3)
+    )
+    # water: U'=U+(0,5); img3 = sq(-1,5.8,4,7.2) covers U's arms above y=5.8:
+    # arms [0,1]x[5.8,7] and [2,3]x[5.8,7] -> 2*1.2 = 2.4
+    assert rows["water"]["coverage_percentage"] == pytest.approx(
+        round(100.0 * 2.4 / EXPECT_WATER_AREA, 3)
+    )
+    # intersection geometry partitions the numerator
+    g = wkb.decode(bytes(rows["urban"]["geom"]))
+    assert kernels.area_planar(g) == pytest.approx(num_urban, rel=1e-9)
+
+
+def test_coverage_res_invariant(spark, holed_world):
+    lc, img = holed_world
+    a = {r["featureclass"]: r["coverage_percentage"] for r in dissolve.coverage(lc, img, res=3).collect()}
+    b = {r["featureclass"]: r["coverage_percentage"] for r in dissolve.coverage(lc, img, res=7).collect()}
+    assert a == b
+
+
+def test_coverage_no_matching_images_empty(spark, holed_world):
+    lc, img = holed_world
+    far = img.withColumn("geom", F.lit(bytearray(wkb.polygon([sq(50, 50, 51, 51)]))))
+    assert dissolve.coverage(lc, far, res=4).count() == 0
