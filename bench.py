@@ -30,11 +30,14 @@ HEADLINE = [
     "q27_simhash",           # simhash signatures
     "q30_cosine_topk",       # brute-force ANN baseline
     "q31_lsh_ann",           # LSH ANN
+    "q13_heat_weekly",       # period bucketing + gap fill heat series
+    "q28_media_features",    # multimodal mapInPandas feature extraction
     "q40_cell_assign",       # cell index (pure Catalyst)
     "q41_pip_join",          # point-in-polygon spatial join (headline)
     "q42_knn",               # kNN ring expansion
     "q44_tile_zonal",        # raster<->vector zonal tiles
     "q45_rect_intersects",   # polygon x polygon intersects join
+    "q46_dissolve_area",     # geometric dissolve (scanline union kernel)
 ]
 
 

@@ -23,6 +23,12 @@ from pda_spark.operators import dissolve as dissolve_op
 from pda_spark.operators import spatial_join
 
 
+def all_countries(countries: DataFrame) -> DataFrame:
+    """query_all_countries (app/query.py:13-16): the full country dim,
+    ordered for determinism (the reference returns ORM rows)."""
+    return countries.orderBy("name")
+
+
 def distinct_satellite_names(satellites: DataFrame) -> DataFrame:
     """query_distinct_satellite_names (app/query.py:19-22): DISTINCT + sort."""
     return satellites.select("name").distinct().orderBy("name")

@@ -55,9 +55,12 @@ def ingest_web_corpus(pages: DataFrame, ckpt: CheckpointManager) -> dict[str, Da
     )
     item_types = ckpt.stage(
         "item_types",
-        lambda: footprints.select(
-            F.col("item_type_id").alias("id"), "sat_id"
-        ).dropDuplicates(["id"]),
+        # deterministic winner per id: dropDuplicates keeps a
+        # partition-order-dependent sat_id (the corpus maps one item type
+        # to several sats), which would violate the determinism contract
+        lambda: footprints.select(F.col("item_type_id").alias("id"), "sat_id")
+        .groupBy("id")
+        .agg(F.min("sat_id").alias("sat_id")),
         parents=["footprints"],
     )
     sat_images = ckpt.merge_append(

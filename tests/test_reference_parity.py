@@ -29,6 +29,14 @@ def world(spark):
     return w
 
 
+def test_all_countries(spark, world):
+    # app/query.py:13-16: the 5th dashboard query — full country dim
+    rows = Q.all_countries(world["countries"]).collect()
+    assert len(rows) == world["countries"].count()
+    names = [r["name"] for r in rows]
+    assert names == sorted(names)
+
+
 def test_distinct_satellite_names(spark, world):
     # test_query_i.py:12-28
     names = [r[0] for r in Q.distinct_satellite_names(world["satellites"]).collect()]
