@@ -54,6 +54,50 @@ def cosine_topk(
     )
 
 
+def cosine_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exact: bool = True,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    probe_radius: int = 1,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: (id_a, id_b, cosine) for all pairs
+    with cosine >= threshold (id_a < id_b).
+
+    ``exact=True``: block-nested self-join (crossJoin + id ordering) with
+    the dot product JVM-side — O(n^2/2) candidate pairs, fully
+    scan-parallel; the correct baseline and the oracle-checkable path.
+
+    ``exact=False``: the 100 TB path — candidates restricted to pairs
+    whose LSH buckets are within hamming distance ``probe_radius``
+    (signature bits disagree on few planes), then the exact cosine
+    refine. Recall < 1 by construction (pytest pins recall vs the exact
+    path); candidate count ~ n^2 / 2^n_planes per probe instead of n^2.
+    """
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    if exact:
+        cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        planes = hyperplanes(dim, n_planes, seed)
+        masks = probe_masks(n_planes, probe_radius)
+        av = a.withColumn("_home", lsh_bucket_expr("_va", planes))
+        av = av.withColumn(
+            "_bucket", F.explode(F.array(*[F.col("_home").bitwiseXOR(F.lit(m)) for m in masks]))
+        ).drop("_home")
+        bv = b.withColumn("_bucket", lsh_bucket_expr("_vb", planes))
+        # mask-explode only side a: every (a,b) pair within hamming
+        # distance probe_radius meets on exactly one (a-probe, b-home)
+        # bucket, so no dedup pass is needed
+        cand = av.join(bv, on="_bucket").filter(F.col("id_a") < F.col("id_b")).drop("_bucket")
+    cand = with_cosine(cand, "_va", "_vb")
+    return cand.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()

@@ -678,6 +678,25 @@ SELECT q_id, vec_id, cosine, rank FROM (
 """
 
 
+def q32_cosine_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact path — the oracle
+    twin; the LSH-bucketed scale path is recall-tested in pytest)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_neardup_pairs(emb, threshold=0.35)
+
+
+Q32_SQL = """
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.35
+"""
+
+
 # ============================================================== geo
 
 
@@ -964,6 +983,7 @@ QUERIES: dict[str, tuple] = {
     "q28_media_features": (q28_media_features, _media_sql()),
     "q30_cosine_topk": (q30_cosine_topk, Q30_SQL),
     "q31_lsh_ann": (q31_lsh_ann, _lsh_ann_sql()),
+    "q32_cosine_neardup": (q32_cosine_neardup, Q32_SQL),
     "q40_cell_assign": (q40_cell_assign, Q40_SQL),
     "q41_pip_join": (q41_pip_join, Q41_SQL),
     "q42_knn": (q42_knn, Q42_SQL),

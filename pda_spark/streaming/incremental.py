@@ -47,6 +47,77 @@ def stream_ingest_footprints(
     q.awaitTermination()
 
 
+def stream_dedup_first_seen(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    cross-micro-batch exact dedup — the first document carrying a given
+    normalized-text fingerprint is emitted, every later duplicate (in the
+    same batch or any later batch) is dropped. State is one boolean per
+    fingerprint in the state store, checkpointed with the stream.
+
+    This is the streaming twin of functions.dedup.exact_dedup for a
+    continuously-arriving corpus: grouping shuffles on the fingerprint
+    (hash-partitioned state), per-group state is O(1), and emission is
+    deterministic (min id within the group's first batch wins).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    from pda_spark.functions.text import fingerprint
+
+    docs = spark.readStream.schema(
+        "doc_id long, url string, lang string, text string"
+    ).parquet(docs_dir)
+    keyed = docs.withColumn("fp", fingerprint(F.col(text_col)))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("fp", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("url", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+
+    def first_seen(key, pdfs, state: GroupState):
+        if state.exists:
+            # fingerprint already emitted in an earlier batch: drain input
+            for _ in pdfs:
+                pass
+            return
+        best = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            row = pdf.loc[pdf[id_col].idxmin()]
+            if best is None or row[id_col] < best[id_col]:
+                best = row
+        if best is None:
+            return
+        state.update((True,))
+        yield pd.DataFrame({"fp": [key[0]], "doc_id": [int(best[id_col])], "url": [best["url"]]})
+
+    deduped = keyed.groupBy("fp").applyInPandasWithState(
+        first_seen, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_hourly_counts(
     spark: SparkSession,
     events_dir: str,

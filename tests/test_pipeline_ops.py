@@ -198,3 +198,17 @@ def test_frame_sample(spark):
     rows = frames.collect()
     assert len(rows) > 0
     assert all(r["frame_no"] % 2 == 0 for r in rows)
+
+
+def test_cosine_neardup_lsh_recall(spark, embeddings):
+    """The LSH-bucketed near-dup path must recover most exact pairs at a
+    fraction of the candidate count; every returned pair must also be in
+    the exact result (precision 1.0 — the refine is exact)."""
+    exact = similarity.cosine_neardup_pairs(embeddings, threshold=0.3)
+    e = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    approx = similarity.cosine_neardup_pairs(
+        embeddings, threshold=0.3, exact=False, n_planes=6, dim=64, probe_radius=2
+    )
+    a = {(r["id_a"], r["id_b"]) for r in approx.collect()}
+    assert a <= e  # exact refine -> no false positives
+    assert len(a) / len(e) >= 0.5, f"recall {len(a)/len(e):.2f}"

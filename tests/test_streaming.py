@@ -69,3 +69,36 @@ def test_stream_hourly_counts(spark, dirs):
         .filter(F.col("n_events") != F.col("n_batch"))
     )
     assert joined.count() == 0
+
+
+def test_stream_dedup_first_seen_stateful(spark, tmp_path):
+    """applyInPandasWithState cross-batch dedup: a fingerprint emitted in
+    batch 1 is suppressed in batch 2 (state store survives via the
+    checkpoint); first-seen winner is the min doc_id."""
+    docs_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    os.makedirs(docs_dir, exist_ok=True)
+
+    rows1 = [
+        (3, "u3", "en", "alpha text"),
+        (1, "u1", "en", "alpha text"),   # same fp as doc 3 -> min id 1 wins
+        (2, "u2", "en", "beta text"),
+    ]
+    spark.createDataFrame(rows1, "doc_id long, url string, lang string, text string") \
+        .write.mode("append").parquet(docs_dir)
+    incremental.stream_dedup_first_seen(spark, docs_dir, out_dir, ck)
+    out = spark.read.parquet(out_dir)
+    got = {(r["doc_id"], r["url"]) for r in out.collect()}
+    assert got == {(1, "u1"), (2, "u2")}
+
+    rows2 = [
+        (4, "u4", "en", "alpha text"),   # dup of batch-1 fp -> suppressed
+        (5, "u5", "en", "gamma text"),   # new -> emitted
+    ]
+    spark.createDataFrame(rows2, "doc_id long, url string, lang string, text string") \
+        .write.mode("append").parquet(docs_dir)
+    incremental.stream_dedup_first_seen(spark, docs_dir, out_dir, ck)
+    out = spark.read.parquet(out_dir)
+    got = {(r["doc_id"], r["url"]) for r in out.collect()}
+    assert got == {(1, "u1"), (2, "u2"), (5, "u5")}
