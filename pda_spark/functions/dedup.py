@@ -73,14 +73,21 @@ def duplicate_groups(df: DataFrame, id_col: str, text_col: str = "text") -> Data
     )
 
 
+def doc_shingle_sets(df: DataFrame, id_col: str, text_col: str = "text", k: int = 5) -> DataFrame:
+    """(doc_id, sh: array<long>) — per-document DISTINCT hashed shingles
+    computed entirely row-local (array_distinct + transform, whole-stage
+    codegen): the per-doc dedup needs NO shuffle, unlike the previous
+    explode -> dropDuplicates shape (one full exchange on (doc, h))."""
+    sh = F.array_distinct(char_shingles(text_col, k))
+    hashed = F.transform(sh, lambda s: shingle_hash(s))
+    return df.select(F.col(id_col).alias("doc_id"), hashed.alias("sh"))
+
+
 def doc_shingle_hashes(df: DataFrame, id_col: str, text_col: str = "text", k: int = 5) -> DataFrame:
-    """(id, shingle_hash) exploded and deduped — shared base for Jaccard
-    and MinHash."""
-    return (
-        df.select(F.col(id_col).alias("doc_id"), char_shingles(text_col, k).alias("sh"))
-        .select("doc_id", F.explode("sh").alias("shingle"))
-        .select("doc_id", shingle_hash(F.col("shingle")).alias("h"))
-        .dropDuplicates(["doc_id", "h"])
+    """(id, shingle_hash) exploded, deduped per doc (row-local) — shared
+    base for Jaccard and MinHash."""
+    return doc_shingle_sets(df, id_col, text_col, k).select(
+        "doc_id", F.explode("sh").alias("h")
     )
 
 
@@ -107,8 +114,12 @@ def ngram_jaccard_pairs(
     boilerplate shingles add candidates but never decide near-duplicates.
     With max_doc_freq=None (default) the result is the exact Jaccard.
     """
-    sh = doc_shingle_hashes(df, id_col, text_col, k)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # doc sizes ride the exploded rows (one extra int per row), so the
+    # final Jaccard needs NO size-lookup joins; the whole plan is:
+    # codegen'd shingling -> [optional hot-shingle anti-join] ->
+    # self-join on h -> one pair aggregation.
+    sets = doc_shingle_sets(df, id_col, text_col, k)
+    sh = sets.select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("h"))
     if max_doc_freq is not None:
         # the HOT set (df > cap) is small by construction (boilerplate
         # only) -> broadcast anti-join; never materialize the rare set
@@ -124,13 +135,19 @@ def ngram_jaccard_pairs(
     pairs = (
         a.join(b, on="h")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     return (
-        pairs.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), on="id_a")
-        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), on="id_b")
-        .withColumn("jaccard", F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
+        pairs.withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
     )
