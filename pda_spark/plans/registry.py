@@ -1032,6 +1032,89 @@ SELECT brand, CAST(sum(len * h) AS BIGINT) AS union_area FROM islands GROUP BY b
 """
 
 
+def q47_coverage_pct(spark, sf_dir):
+    """The reference coverage query (A7/J7/F6) through the REAL
+    cell-partitioned operator: per brand, % of the class-union covered by
+    the image-union. Class boxes and image boxes share one integer y-band
+    per brand, so the oracle reduces both unions to 1D interval islands
+    and intersects them in SQL; areas are exact integers in both engines,
+    making round(100*num/den, 3) bit-identical."""
+    from pda_spark.operators import dissolve as dissolve_op
+
+    # integer coordinates inside the lon/lat domain ([0,158] x [0,3]):
+    # cell boundaries at res=3 are integers too, so every per-cell clip
+    # keeps integer corners and both engines' areas are exact integers
+    p = _t(spark, sf_dir, "part").filter(F.pmod(F.col("p_partkey"), F.lit(5)) == 0)
+    h = (F.substring("p_brand", 7, 1).cast("int") % 3 + 1).cast("double")
+    cls = p.select(
+        F.col("p_brand").alias("featureclass"),
+        (F.pmod(F.col("p_partkey") * 13, F.lit(150))).cast("double").alias("x0"),
+        (F.pmod(F.col("p_partkey") * 13, F.lit(150)) + F.pmod(F.col("p_size"), F.lit(8)) + 1)
+        .cast("double")
+        .alias("x1"),
+        h.alias("h"),
+    )
+    cls = cls.withColumn("geom", _mk_box(F.col("x0"), F.lit(0.0), F.col("x1"), F.col("h")))
+    o = _t(spark, sf_dir, "orders").filter(F.pmod(F.col("o_orderkey"), F.lit(257)) == 0)
+    img = o.select(
+        (F.pmod(F.col("o_orderkey") * 7, F.lit(150))).cast("double").alias("ix0"),
+        (F.pmod(F.col("o_orderkey") * 7, F.lit(150)) + F.pmod(F.col("o_orderkey"), F.lit(4)) + 1)
+        .cast("double")
+        .alias("ix1"),
+    )
+    # images span every band (y 0..3 covers all brand heights 1..3)
+    img = img.withColumn("geom", _mk_box(F.col("ix0"), F.lit(0.0), F.col("ix1"), F.lit(3.0)))
+    out = dissolve_op.coverage(cls.select("featureclass", "geom"), img.select("geom"), res=3)
+    return out.select(F.col("featureclass").alias("brand"), "coverage_percentage")
+
+
+Q47_SQL = """
+WITH cls AS (
+  SELECT p_brand AS brand,
+         (p_partkey * 13) % 150 AS x0,
+         (p_partkey * 13) % 150 + (p_size % 8) + 1 AS x1,
+         (CAST(substring(p_brand, 7, 1) AS INT) % 3) + 1 AS h
+  FROM part WHERE p_partkey % 5 = 0
+), img AS (
+  SELECT (o_orderkey * 7) % 150 AS x0,
+         (o_orderkey * 7) % 150 + (o_orderkey % 4) + 1 AS x1
+  FROM orders WHERE o_orderkey % 257 = 0
+), cmark AS (
+  SELECT brand, x0, x1, h,
+         CASE WHEN x0 > coalesce(max(x1) OVER (PARTITION BY brand ORDER BY x0, x1
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS is_new
+  FROM cls
+), cgrp AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY brand ORDER BY x0, x1 ROWS UNBOUNDED PRECEDING) AS g
+  FROM cmark
+), cisl AS (
+  SELECT brand, any_value(h) AS h, min(x0) AS s, max(x1) AS e FROM cgrp GROUP BY brand, g
+), imark AS (
+  SELECT x0, x1,
+         CASE WHEN x0 > coalesce(max(x1) OVER (ORDER BY x0, x1
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS is_new
+  FROM img
+), igrp AS (
+  SELECT *, sum(is_new) OVER (ORDER BY x0, x1 ROWS UNBOUNDED PRECEDING) AS g FROM imark
+), iisl AS (
+  SELECT min(x0) AS s, max(x1) AS e FROM igrp GROUP BY g
+), num AS (
+  SELECT c.brand, sum((least(c.e, i.e) - greatest(c.s, i.s)) * c.h) AS num_area
+  FROM cisl c JOIN iisl i ON c.s < i.e AND i.s < c.e
+  GROUP BY c.brand
+), den AS (
+  SELECT brand, sum((e - s) * h) AS den_area FROM cisl GROUP BY brand
+)
+SELECT den.brand AS brand,
+       -- round_even: the operator rounds like the reference (pandas
+       -- .round = numpy half-to-even); integer coords make exact binary
+       -- midpoints (e.g. 32.8125) reachable, where HALF_UP would differ
+       round_even(100.0 * num_area / den_area, 3) AS coverage_percentage
+FROM den JOIN num ON den.brand = num.brand
+WHERE num_area > 0
+"""
+
+
 # ============================================================ registry
 
 QUERIES: dict[str, tuple] = {
@@ -1068,4 +1151,5 @@ QUERIES: dict[str, tuple] = {
     "q44_tile_zonal": (q44_tile_zonal, Q44_SQL),
     "q45_rect_intersects": (q45_rect_intersects, Q45_SQL),
     "q46_dissolve_area": (q46_dissolve_area, Q46_SQL),
+    "q47_coverage_pct": (q47_coverage_pct, Q47_SQL),
 }
