@@ -309,6 +309,30 @@ def distance_deg():
 # ------------------------------------------------- JVM-side cell helpers
 
 
+def cover_cells_bbox_expr(minx, miny, maxx, maxy, res: int):
+    """bbox cover cells as a PURE Catalyst expression (array<long> via
+    sequence x sequence fan-out, whole-stage codegen) — replaces the
+    cover_cells Arrow UDF wherever a bbox cover suffices, removing a
+    Python stage (and, chained after bbox_arr, a second Python worker
+    per task). Bit-identical to cells.cover_bbox: same floor/clamp on
+    the same doubles, same res<<58|ix<<29|iy packing."""
+    n = F.lit(1 << res)
+    nm1 = F.lit((1 << res) - 1)
+
+    def cl(v, scale, off):
+        return F.least(F.greatest(F.floor((v + off) / scale * n), F.lit(0)), nm1).cast("long")
+
+    ix0, ix1 = cl(minx, 360.0, 180.0), cl(maxx, 360.0, 180.0)
+    iy0, iy1 = cl(miny, 180.0, 90.0), cl(maxy, 180.0, 90.0)
+    base = F.lit(res).cast("long") * F.lit(1 << 58).cast("long")
+    return F.flatten(
+        F.transform(
+            F.sequence(ix0, ix1),
+            lambda ix: F.transform(F.sequence(iy0, iy1), lambda iy: base + F.shiftleft(ix, 29) + iy),
+        )
+    )
+
+
 def cell_of_xy_expr(lon_col, lat_col, res: int):
     """cell_of as a pure Catalyst expression (no Python) — used for the
     reference-point pair dedup inside polygon-polygon cell joins, so the

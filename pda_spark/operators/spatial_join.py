@@ -142,15 +142,20 @@ def intersects_join(
     # bbox intersection, and that cell is guaranteed to be in both covers
     # only for bbox covers. A tight cover could drop that cell and
     # silently lose the pair.
+    # ONE Arrow stage per side (bbox decode); the bbox cover fans out as
+    # a codegen'd Catalyst expression — chaining a second cover UDF after
+    # bbox_arr costs a second Python worker per task (CLAUDE.md lesson)
     lb, rb = "_lbb", "_rbb"
-    lft = (
-        left.withColumn(lb, geo_udfs.bbox_arr(F.col(left_geom)))
-        .withColumn("_cell", F.explode(geo_udfs.cover_cells(res, tight=False)(F.col(left_geom))))
-    )
-    rgt = (
-        right.withColumn(rb, geo_udfs.bbox_arr(F.col(right_geom)))
-        .withColumn("_cell", F.explode(geo_udfs.cover_cells(res, tight=False)(F.col(right_geom))))
-    )
+
+    def with_cover(df, geom, bb):
+        df = df.withColumn(bb, geo_udfs.bbox_arr(F.col(geom)))
+        c = geo_udfs.cover_cells_bbox_expr(
+            F.col(bb)[0], F.col(bb)[1], F.col(bb)[2], F.col(bb)[3], res
+        )
+        return df.withColumn("_cell", F.explode(c))
+
+    lft = with_cover(left, left_geom, lb)
+    rgt = with_cover(right, right_geom, rb)
     lft = _salted(lft, salt, "big")
     rgt = _salted(rgt, salt, "small")
     keys = ["_cell", "_salt"] if salt > 1 else ["_cell"]

