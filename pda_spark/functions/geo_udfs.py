@@ -213,6 +213,37 @@ def cover_cells(res: int, tight: bool = True):
     return _cover
 
 
+def bbox_cover_struct(res: int, tight: bool = True):
+    """bbox AND cover cells in ONE decode pass -> struct(bbox, cells).
+    Chaining bbox_arr + cover_cells costs a second Python worker per
+    task (and doubles the per-action worker spin-up fixed cost on small
+    broadcast sides); this fuses them."""
+
+    @pandas_udf(T.StructType([
+        T.StructField("bbox", T.ArrayType(T.DoubleType())),
+        T.StructField("cells", T.ArrayType(T.LongType())),
+    ]))
+    def _bc(geom: pd.Series) -> pd.DataFrame:
+        get = _decode_cache()
+        bbs, covers = [], []
+        for buf in geom:
+            g = get(buf)
+            bb = kernels.bbox(g)
+            cover = cells.cover_bbox(*bb, res)
+            if tight and len(cover) > 4:
+                keep = []
+                for cid in cover:
+                    cb = cells.cell_bounds(int(cid))
+                    if kernels.polys_intersect(g, wkb.decode(wkb.box(*cb))):
+                        keep.append(int(cid))
+                cover = keep
+            bbs.append(list(bb))
+            covers.append([int(c) for c in cover])
+        return pd.DataFrame({"bbox": bbs, "cells": covers})
+
+    return _bc
+
+
 # ----------------------------------------------------- refine predicates
 
 

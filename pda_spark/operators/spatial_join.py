@@ -99,10 +99,12 @@ def points_in_polygons_join(
         pts = pts.withColumns(
             {"_cell": F.col("_pc.cell"), "_plon": F.col("_pc.lon"), "_plat": F.col("_pc.lat")}
         ).drop("_pc")
-    pys = (
-        polygons.withColumn("_pbb", geo_udfs.bbox_arr(F.col(poly_geom)))
-        .withColumn("_cell", F.explode(geo_udfs.cover_cells(res, tight=True)(F.col(poly_geom))))
-    )
+    # one fused decode on the polygon side: bbox + tight cover in a
+    # single Python stage (chained UDFs would spin up two workers)
+    pys = polygons.withColumn("_bc", geo_udfs.bbox_cover_struct(res, tight=True)(F.col(poly_geom)))
+    pys = pys.withColumns(
+        {"_pbb": F.col("_bc.bbox"), "_cell": F.explode(F.col("_bc.cells"))}
+    ).drop("_bc")
     pts = _salted(pts, salt, "big")
     pys = _salted(pys, salt, "small")
     keys = ["_cell", "_salt"] if salt > 1 else ["_cell"]
