@@ -72,11 +72,11 @@ def main() -> None:
         fn, _sql = registry.QUERIES[name]
         _force(fn(spark, warm_dir if os.path.isdir(warm_dir) else sf_dir))
 
-    # two measured repetitions per query, report the min — GC pauses and
-    # worker-pool growth from neighbouring queries otherwise leak into
-    # single samples.
+    # three measured repetitions per query, report the min — GC pauses,
+    # worker-pool growth from neighbouring queries, and this host's
+    # external noise episodes otherwise leak into single samples.
     times: dict[str, float] = {}
-    for _rep in range(2):
+    for _rep in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))):
         for name in HEADLINE:
             fn, _sql = registry.QUERIES[name]
             t0 = time.time()

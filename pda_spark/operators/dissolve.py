@@ -239,8 +239,11 @@ def coverage(
     table — unbounded at 100 TB)."""
     cls = cell_pieces(land_cover, res, geom="geom", key_col=key)
     img = cell_pieces(images, res, geom="geom").drop("key")
+    # no explicit broadcast hint: the distinct (key, cell) set is usually
+    # tiny, but at 100 TB with many classes x fine cells it can exceed
+    # driver memory — AQE picks broadcast automatically when it fits
     keys_by_cell = cls.select("key", "cell").distinct()
-    img_k = img.join(F.broadcast(keys_by_cell), on="cell").select("key", "cell", "piece")
+    img_k = img.join(keys_by_cell, on="cell").select("key", "cell", "piece")
     tagged = cls.withColumn("side", F.lit("c")).unionByName(
         img_k.withColumn("side", F.lit("i"))
     )
