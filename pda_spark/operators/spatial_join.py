@@ -284,8 +284,14 @@ def knn_join(
     exact: bool = True,
     max_retries: int = 3,
     lonlat_cols: tuple[str, str] | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """k nearest points for each query point (BASELINE north_star).
+
+    ``broadcast_queries=False`` switches the candidate join to a shuffled
+    hash join on the cell id — required when the query side itself is a
+    large table (a broadcast of 10M queries x ring cells would not fit);
+    both sides then partition by ``_cell`` and AQE handles skewed cells.
 
     Strategy: H3-style ring expansion — each query joins candidate points
     in its cell neighbourhood (Chebyshev ring ``max_ring``), distances are
@@ -369,7 +375,7 @@ def knn_join(
         q = q.withColumns(
             {"_guard": F.col("_rc.guard"), "_qlon": F.col("_rc.qlon"), "_qlat": F.col("_rc.qlat")}
         ).withColumn("_cell", F.explode(F.col("_rc.cells"))).drop("_rc")
-        cand = p.join(F.broadcast(q), on="_cell", how="inner")
+        cand = p.join(F.broadcast(q) if broadcast_queries else q, on="_cell", how="inner")
         if metric == "degrees":
             dx = F.col("_plon") - F.col("_qlon")
             dy = F.col("_plat") - F.col("_qlat")

@@ -231,3 +231,19 @@ def test_pip_join_rejects_unsupported_how(spark, world):
     polys = world["land_cover_classes"].select(F.col("id").alias("lc_id"), F.col("geom").alias("lc_geom"))
     with pytest.raises(ValueError, match="how"):
         spatial_join.points_in_polygons_join(pts, polys, res=7, poly_geom="lc_geom", how="left")
+
+
+def test_knn_shuffled_queries_matches_broadcast(spark, world):
+    """broadcast_queries=False (the huge-query-side plan: shuffled hash
+    join on cell) must return exactly the broadcast plan's answer."""
+    pts = world["cities"].select(F.col("id").alias("pt_id"), "geom")
+    queries = spark.createDataFrame(
+        [(0, bytearray(wkb.point(10.0, 50.0))), (1, bytearray(wkb.point(13.4, 52.5)))],
+        "query_id int, qgeom binary",
+    )
+    kw = dict(k=4, res=5, query_id="query_id", max_ring=3, tiebreak="pt_id")
+    a = spatial_join.knn_join(pts, queries, **kw)
+    b = spatial_join.knn_join(pts, queries, broadcast_queries=False, **kw)
+    sa = {(r["query_id"], r["pt_id"], r["knn_rank"]) for r in a.collect()}
+    sb = {(r["query_id"], r["pt_id"], r["knn_rank"]) for r in b.collect()}
+    assert sa == sb
