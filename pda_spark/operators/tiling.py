@@ -62,6 +62,18 @@ def rasterize_polygons(
     return out.dropDuplicates(["key", "tile"])
 
 
+def cluster_by_cell(df: DataFrame, cell_col: str = "tile", num_partitions: int | None = None) -> DataFrame:
+    """Range-partition + sort by cell id before writing (the north-star's
+    'repartitionByRange on cell id'): output parquet files then hold
+    disjoint, sorted cell ranges, so any downstream cell-range predicate
+    prunes whole files via parquet min/max stats, and cell-keyed
+    merge-joins read co-located data. Spatially adjacent cells share the
+    int64 prefix (res<<58|ix<<29|iy), so ranges are also spatially
+    coherent per x-stripe."""
+    parts = [num_partitions] if num_partitions else []
+    return df.repartitionByRange(*parts, F.col(cell_col)).sortWithinPartitions(cell_col)
+
+
 def zonal_count_join(
     points: DataFrame,
     polygons: DataFrame,

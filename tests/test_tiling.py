@@ -103,3 +103,19 @@ def test_rasterize_loose_equals_tight_for_boxes(spark, world):
     a = {(r["key"], r["tile"]) for r in tiling.rasterize_polygons(lc, res=7, tight=True).collect()}
     b = {(r["key"], r["tile"]) for r in tiling.rasterize_polygons(lc, res=7, tight=False).collect()}
     assert a <= b  # tight is always a subset of bbox cover
+
+
+def test_cluster_by_cell_disjoint_ranges(spark, world):
+    """Range clustering must yield disjoint sorted cell ranges per output
+    partition (the property parquet min/max file pruning relies on)."""
+    r = tiling.rasterize_polygons(world["land_cover_classes"], res=8)
+    clustered = tiling.cluster_by_cell(r, "tile", num_partitions=8)
+    stats = (
+        clustered.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.min("tile").alias("lo"), F.max("tile").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(stats) > 1
+    for prev, cur in zip(stats, stats[1:]):
+        assert prev["hi"] <= cur["lo"]  # ranges don't interleave
