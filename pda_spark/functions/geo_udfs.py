@@ -185,6 +185,20 @@ def lonlat_cell(res: int):
     return _cell
 
 
+def _geom_cover(g, res: int, tight: bool) -> list[int]:
+    """bbox cover of one decoded geometry, optionally tight-filtered
+    (drop cells whose rectangle doesn't intersect the geometry — the
+    tight-cover soundness invariant shared by every cover UDF)."""
+    cover = cells.cover_bbox(*kernels.bbox(g), res)
+    if tight and len(cover) > 4:
+        return [
+            int(cid)
+            for cid in cover
+            if kernels.polys_intersect(g, wkb.decode(wkb.box(*cells.cell_bounds(int(cid)))))
+        ]
+    return [int(c) for c in cover]
+
+
 def cover_cells(res: int, tight: bool = True):
     """Cover cells of polygonal geometries (array<long>, to be exploded).
 
@@ -196,19 +210,7 @@ def cover_cells(res: int, tight: bool = True):
     @pandas_udf(T.ArrayType(T.LongType()))
     def _cover(geom: pd.Series) -> pd.Series:
         get = _decode_cache()
-        out = []
-        for buf in geom:
-            g = get(buf)
-            cover = cells.cover_bbox(*kernels.bbox(g), res)
-            if tight and len(cover) > 4:
-                keep = []
-                for cid in cover:
-                    cb = cells.cell_bounds(int(cid))
-                    if kernels.polys_intersect(g, wkb.decode(wkb.box(*cb))):
-                        keep.append(int(cid))
-                cover = keep
-            out.append([int(c) for c in cover])
-        return pd.Series(out)
+        return pd.Series([_geom_cover(get(buf), res, tight) for buf in geom])
 
     return _cover
 
@@ -228,17 +230,8 @@ def bbox_cover_struct(res: int, tight: bool = True):
         bbs, covers = [], []
         for buf in geom:
             g = get(buf)
-            bb = kernels.bbox(g)
-            cover = cells.cover_bbox(*bb, res)
-            if tight and len(cover) > 4:
-                keep = []
-                for cid in cover:
-                    cb = cells.cell_bounds(int(cid))
-                    if kernels.polys_intersect(g, wkb.decode(wkb.box(*cb))):
-                        keep.append(int(cid))
-                cover = keep
-            bbs.append(list(bb))
-            covers.append([int(c) for c in cover])
+            bbs.append(list(kernels.bbox(g)))
+            covers.append(_geom_cover(g, res, tight))
         return pd.DataFrame({"bbox": bbs, "cells": covers})
 
     return _bc

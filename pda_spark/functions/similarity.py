@@ -133,11 +133,19 @@ def ivf_topk(
     0.96 at n_probe=2 over the synthetic embeddings (vs 0.62 for
     6-plane LSH at radius 2 scanning 3x more candidates)."""
 
+    import math
+
+    # centroid norms are driver-side constants: embedding them as float
+    # literals (rather than per-row sqrt(dot(c,c)) folds over constant
+    # arrays) shrinks the expression tree ~2x; the oracle embeds the SAME
+    # literals, so IEEE identity is preserved by construction
+    norms = [repr(math.sqrt(sum(x * x for x in c))) for c in centroids]
+
     def scores(vec: str) -> F.Column:
         return F.array(
             *[
-                (_dot(vec, _arr_lit(c)) / F.sqrt(_dot(_arr_lit(c), _arr_lit(c))))
-                for c in centroids
+                (_dot(vec, _arr_lit(c)) / F.expr(f"{n}D"))
+                for c, n in zip(centroids, norms)
             ]
         )
 
@@ -147,10 +155,10 @@ def ivf_topk(
     probe_structs = F.array(
         *[
             F.struct(
-                (_dot(query_vec_col, _arr_lit(c)) / F.sqrt(_dot(_arr_lit(c), _arr_lit(c)))).alias("s"),
+                (_dot(query_vec_col, _arr_lit(c)) / F.expr(f"{n}D")).alias("s"),
                 F.lit(i + 1).cast("long").alias("c"),
             )
-            for i, c in enumerate(centroids)
+            for i, (c, n) in enumerate(zip(centroids, norms))
         ]
     )
     q = queries.withColumn(

@@ -218,6 +218,41 @@ def intersect_union_area(
     return total
 
 
+def _chain_quads(bps, slab_intervals, edge_x) -> tuple[float, list[np.ndarray]]:
+    """Shared slab sweep: measure covered length per slab AND merge
+    vertically-adjacent trapezoids bounded by the same edge pair.
+    ``slab_intervals(ym)`` returns (starts, ends, left_eids, right_eids)
+    for the scanline at ym."""
+    total = 0.0
+    out: list[np.ndarray] = []
+    chains: dict[tuple[int, int], list[float]] = {}
+    for i in range(len(bps) - 1):
+        ylo, yhi = float(bps[i]), float(bps[i + 1])
+        h = yhi - ylo
+        if h <= 0.0:
+            continue
+        ym = 0.5 * (ylo + yhi)
+        s, e, le, re = slab_intervals(ym)
+        if len(s):
+            total += float(np.sum(e - s)) * h
+        nxt: dict[tuple[int, int], list[float]] = {}
+        for j in range(len(s)):
+            key = (int(le[j]), int(re[j]))
+            prev = chains.pop(key, None)
+            if prev is not None and prev[1] == ylo:
+                nxt[key] = [prev[0], yhi]
+            else:
+                if prev is not None:
+                    out.append(_emit_quad(edge_x, prev, key))
+                nxt[key] = [ylo, yhi]
+        for key, span in chains.items():
+            out.append(_emit_quad(edge_x, span, key))
+        chains = nxt
+    for key, span in chains.items():
+        out.append(_emit_quad(edge_x, span, key))
+    return total, [q for q in out if q is not None]
+
+
 def intersect_union_geometry(
     polys_a: list[list[np.ndarray]], polys_b: list[list[np.ndarray]]
 ) -> tuple[float, list[np.ndarray]]:
@@ -239,39 +274,14 @@ def intersect_union_geometry(
         dy = y1[eid] - y0[eid]
         return x0[eid] + (y - y0[eid]) * (x1[eid] - x0[eid]) / dy
 
-    bps = _slabs([ea, eb])
-    total = 0.0
-    out: list[np.ndarray] = []
-    chains: dict[tuple[int, int], list[float]] = {}
-    for i in range(len(bps) - 1):
-        ylo, yhi = float(bps[i]), float(bps[i + 1])
-        h = yhi - ylo
-        if h <= 0.0:
-            continue
-        ym = 0.5 * (ylo + yhi)
+    def slab_intervals(ym: float):
         sa, eaa, la, ra = _layer_union_intervals(ea, ym)
         sb, ebb, lb, rb = _layer_union_intervals(eb, ym)
-        s, e, le, re = _intersect_intervals(
+        return _intersect_intervals(
             sa, eaa, sb, ebb, ea_ids=(la, ra), eb_ids=(lb + off, rb + off)
         )
-        if len(s):
-            total += float(np.sum(e - s)) * h
-        nxt: dict[tuple[int, int], list[float]] = {}
-        for j in range(len(s)):
-            key = (int(le[j]), int(re[j]))
-            prev = chains.pop(key, None)
-            if prev is not None and prev[1] == ylo:
-                nxt[key] = [prev[0], yhi]
-            else:
-                if prev is not None:
-                    out.append(_emit_quad(edge_x, prev, key))
-                nxt[key] = [ylo, yhi]
-        for key, span in chains.items():
-            out.append(_emit_quad(edge_x, span, key))
-        chains = nxt
-    for key, span in chains.items():
-        out.append(_emit_quad(edge_x, span, key))
-    return total, [q for q in out if q is not None]
+
+    return _chain_quads(_slabs([ea, eb]), slab_intervals, edge_x)
 
 
 def union_geometry(polys: list[list[np.ndarray]]) -> tuple[float, list[np.ndarray]]:
@@ -291,36 +301,9 @@ def union_geometry(polys: list[list[np.ndarray]]) -> tuple[float, list[np.ndarra
         dy = y1[eid] - y0[eid]
         return x0[eid] + (y - y0[eid]) * (x1[eid] - x0[eid]) / dy
 
-    bps = _slabs([edges])
-    total = 0.0
-    out: list[np.ndarray] = []
-    # active chains: (l_eid, r_eid) -> [y_start, y_end]
-    chains: dict[tuple[int, int], list[float]] = {}
-    for i in range(len(bps) - 1):
-        ylo, yhi = float(bps[i]), float(bps[i + 1])
-        h = yhi - ylo
-        if h <= 0.0:
-            continue
-        ym = 0.5 * (ylo + yhi)
-        s, e, le, re = _layer_union_intervals(edges, ym)
-        if len(s):
-            total += float(np.sum(e - s)) * h
-        nxt: dict[tuple[int, int], list[float]] = {}
-        for j in range(len(s)):
-            key = (int(le[j]), int(re[j]))
-            prev = chains.pop(key, None)
-            if prev is not None and prev[1] == ylo:
-                nxt[key] = [prev[0], yhi]
-            else:
-                if prev is not None:
-                    out.append(_emit_quad(edge_x, prev, key))
-                nxt[key] = [ylo, yhi]
-        for key, span in chains.items():
-            out.append(_emit_quad(edge_x, span, key))
-        chains = nxt
-    for key, span in chains.items():
-        out.append(_emit_quad(edge_x, span, key))
-    return total, [q for q in out if q is not None]
+    return _chain_quads(
+        _slabs([edges]), lambda ym: _layer_union_intervals(edges, ym), edge_x
+    )
 
 
 def _emit_quad(edge_x, span, key):

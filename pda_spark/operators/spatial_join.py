@@ -405,14 +405,18 @@ def knn_join(
     ring = max_ring
     for _ in range(max_retries):
         # a query's answer is exact iff k candidates exist and the k-th
-        # distance is within the ring's guaranteed radius
+        # distance is within the ring's guaranteed radius. Queries with
+        # ZERO candidates produce no group at all, so completeness is
+        # checked against the query table (anti-join), not just the
+        # groups present in the result.
         stats = result.groupBy(query_id).agg(
             F.count(F.lit(1)).alias("_n"),
             F.max("dist_m").alias("_kth"),
             F.first("_guard").alias("_g"),
         )
-        incomplete = stats.filter((F.col("_n") < k) | (F.col("_kth") > F.col("_g")))
-        bad_ids = [r[0] for r in incomplete.select(query_id).collect()]
+        ok = stats.filter((F.col("_n") >= k) & (F.col("_kth") <= F.col("_g"))).select(query_id)
+        incomplete = queries.select(query_id).join(ok, on=query_id, how="left_anti")
+        bad_ids = [r[0] for r in incomplete.collect()]
         if not bad_ids:
             break
         ring *= 4

@@ -339,7 +339,7 @@ def _heat_sql(grain: str) -> str:
 
     field = GRAINS[grain]
     cast = "::DATE" if grain in _DATE_GRAINS else ""
-    step = _STEP[grain].upper().replace("INTERVAL ", "INTERVAL ")
+    step = _STEP[grain].upper()
     return f"""
 WITH pts AS ({_EVENT_POINTS_SQL}),
 agg AS (
@@ -721,17 +721,19 @@ def q33_ivf_ann(spark, sf_dir):
 
 
 def _ivf_sql(k: int = 5) -> str:
+    import math
+
     cents = _ivf_cents()
+    norms = [repr(math.sqrt(sum(x * x for x in c))) for c in cents]
 
     def lit(c):
         return "[" + ", ".join(repr(x) for x in c) + "]"
 
-    score = lambda vec, c: (
-        f"(list_dot_product({vec}::DOUBLE[], {lit(c)})"
-        f" / sqrt(list_dot_product({lit(c)}, {lit(c)})))"
-    )
-    scores_v = "[" + ", ".join(score("embedding", c) for c in cents) + "]"
-    probes = "[" + ", ".join(f"({score('embedding', c)}, {i + 1})" for i, c in enumerate(cents)) + "]"
+    score = lambda vec, c, n: f"(list_dot_product({vec}::DOUBLE[], {lit(c)}) / {n})"
+    scores_v = "[" + ", ".join(score("embedding", c, n) for c, n in zip(cents, norms)) + "]"
+    probes = "[" + ", ".join(
+        f"({score('embedding', c, n)}, {i + 1})" for i, (c, n) in enumerate(zip(cents, norms))
+    ) + "]"
     return f"""
 WITH v AS (
   SELECT vec_id, embedding, list_position(sc, list_max(sc)) AS cid

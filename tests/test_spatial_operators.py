@@ -247,3 +247,28 @@ def test_knn_shuffled_queries_matches_broadcast(spark, world):
     sa = {(r["query_id"], r["pt_id"], r["knn_rank"]) for r in a.collect()}
     sb = {(r["query_id"], r["pt_id"], r["knn_rank"]) for r in b.collect()}
     assert sa == sb
+
+
+def test_knn_zero_candidate_query_retries(spark):
+    """Regression: a query whose seed ring contains ZERO candidates used
+    to vanish silently from exact=True output (the guard aggregated only
+    groups present in the result); completeness is now checked against
+    the query table."""
+    pts = spark.createDataFrame(
+        [(i, bytearray(wkb.point(10.0 + i * 0.001, 50.0 + i * 0.001))) for i in range(20)],
+        "pt_id int, geom binary",
+    )
+    queries = spark.createDataFrame(
+        [(0, bytearray(wkb.point(10.0, 50.0))), (1, bytearray(wkb.point(-170.0, -80.0)))],
+        "query_id int, qgeom binary",
+    )
+    out = spatial_join.knn_join(
+        pts, queries, k=3, res=5, query_id="query_id", max_ring=2,
+        tiebreak="pt_id", exact=True, max_retries=5,
+    )
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["pt_id"])
+    assert set(by_q) == {0, 1}
+    assert len(by_q[0]) == 3 and len(by_q[1]) == 3
