@@ -153,6 +153,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def cdc_chunk_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    window: int = 8,
+    cut_prefix: str = "00",
+) -> DataFrame:
+    """Content-defined chunking (rolling-hash document fingerprinting):
+    cut the normalized text wherever the hash of the ``window``-char
+    rolling window starts with ``cut_prefix`` (P = 1/256 per position for
+    a 2-hex prefix -> ~256-char average chunks), fingerprint each chunk.
+
+    Partial-duplicate detection: shared chunks between documents survive
+    insertions/deletions elsewhere because cut points depend only on
+    LOCAL content — the property plain fixed-size shingling lacks.
+
+    Pure Catalyst (sequence/filter/transform + md5 inside lambdas, no
+    UDF): returns (doc_id, chunk_no, chunk_fp, chunk_len) — one
+    map-side-only stage plus the explode; dedup/grouping downstream is a
+    hash-agg on chunk_fp. Simplified FastCDC: no min/max chunk clamps
+    (documented deviation; adjacent cut points may produce short chunks).
+    """
+    w = int(window)
+    norm = f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
+    # sequence starts at 1 (Spark's sequence(2, 1) would generate a
+    # DESCENDING [2, 1]); position 1 is excluded in the filter so the
+    # first breakpoint stays unique
+    cuts = (
+        f"filter(sequence(1, greatest(length({norm}) - {w - 1}, 1)), "
+        f"i -> i >= 2 AND "
+        f"substring(md5(substring({norm}, i, {w})), 1, {len(cut_prefix)}) = '{cut_prefix}')"
+    )
+    bpts = f"concat(array(1), {cuts}, array(length({norm}) + 1))"
+    chunks = (
+        f"transform(sequence(1, size({bpts}) - 1), "
+        f"j -> substring({norm}, element_at({bpts}, j), "
+        f"element_at({bpts}, j + 1) - element_at({bpts}, j)))"
+    )
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.expr(chunks)).alias("chunk_no", "chunk"),
+    )
+    return out.select(
+        "doc_id",
+        "chunk_no",
+        F.md5("chunk").alias("chunk_fp"),
+        F.length("chunk").alias("chunk_len"),
+    ).filter(F.col("chunk_len") > 0)
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str = "text", k: int = 5, n_hashes: int = 16, seed: int = 42
 ) -> DataFrame:

@@ -502,6 +502,38 @@ JOIN sizes sb ON sb.doc_id = id_b
 WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= {_JACCARD_T}
 """
 
+_CDC_W = 8
+
+
+def q29_cdc_chunks(spark, sf_dir):
+    """Rolling-hash content-defined chunking (document fingerprinting for
+    partial-duplicate detection) — pure Catalyst; the oracle replays the
+    same hash-gated cut rule with DuckDB list comprehensions."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.cdc_chunk_fingerprints(docs, "doc_id", window=_CDC_W)
+
+
+Q29_SQL = rf"""
+WITH n AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents WHERE doc_id < 200
+), b AS (
+  SELECT doc_id, t,
+         [1] || [i for i in range(2, greatest(length(t) - {_CDC_W - 1}, 1) + 1)
+                 if substring(md5(substring(t, i, {_CDC_W})), 1, 2) = '00']
+             || [length(t) + 1] AS bp
+  FROM n
+), c AS (
+  SELECT doc_id,
+         unnest([j - 1 for j in range(1, len(bp))]) AS chunk_no,
+         unnest([substring(t, bp[j], bp[j + 1] - bp[j]) for j in range(1, len(bp))]) AS chunk
+  FROM b
+)
+SELECT doc_id, chunk_no, md5(chunk) AS chunk_fp, length(chunk) AS chunk_len
+FROM c WHERE length(chunk) > 0
+"""
+
+
 _MINHASH_N = 4
 
 
@@ -1142,6 +1174,7 @@ QUERIES: dict[str, tuple] = {
     "q26_minhash": (q26_minhash, _minhash_sql()),
     "q27_simhash": (q27_simhash, _simhash_sql()),
     "q28_media_features": (q28_media_features, _media_sql()),
+    "q29_cdc_chunks": (q29_cdc_chunks, Q29_SQL),
     "q30_cosine_topk": (q30_cosine_topk, Q30_SQL),
     "q31_lsh_ann": (q31_lsh_ann, _lsh_ann_sql()),
     "q32_cosine_neardup": (q32_cosine_neardup, Q32_SQL),

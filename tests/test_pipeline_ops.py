@@ -231,3 +231,27 @@ def test_ivf_ann_recall(spark, embeddings):
     assert recall >= 0.7, f"IVF recall too low: {recall}"
     top1 = {r["q_id"]: r["vec_id"] for r in approx.collect() if r["rank"] == 1}
     assert all(top1[q] == q for q in top1)
+
+
+def test_cdc_chunks_survive_insertion(spark):
+    """Content-defined cut points depend only on local content: after an
+    insertion near the front, the tail chunks keep identical fingerprints
+    (the partial-duplicate property fixed-size shingling lacks); a
+    fixed-size chunking of the same pair would share no tail chunks."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    body = "".join(rng.choice(list("abcdefghij "), 4000))
+    edited = body[:50] + "INSERTED NEW SENTENCE " + body[50:]
+    df = spark.createDataFrame([(1, body), (2, edited)], ["doc_id", "text"])
+    out = dedup.cdc_chunk_fingerprints(df, "doc_id", window=8)
+    rows = out.collect()
+    fps = {1: [], 2: []}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["chunk_no"])):
+        fps[r["doc_id"]].append(r["chunk_fp"])
+    assert len(fps[1]) >= 4, "world too small for the property to bite"
+    shared = set(fps[1]) & set(fps[2])
+    # everything after the edit re-synchronizes -> most chunks shared
+    assert len(shared) >= len(fps[1]) - 2, (len(shared), len(fps[1]))
+    # and the first chunk (containing the edit) differs
+    assert fps[1][0] != fps[2][0]
