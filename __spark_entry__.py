@@ -2,8 +2,10 @@
 
 Thin wrapper over pda_spark.plans.registry — one entry per implemented
 operator family from SURVEY.md §2 (relational, text/training-data, dedup,
-similarity, geo/spatial). Each query has a DuckDB oracle except the
-approximate-ANN one (recall-checked in pytest instead).
+similarity, geo/spatial, time series, multimodal, dissolve/coverage).
+Every query has a DuckDB oracle (approximate-ANN included: the seeded
+hyperplanes / centroid literals are replayed in SQL; recall properties
+are additionally pytest-pinned against the exact baselines).
 """
 
 from __future__ import annotations
