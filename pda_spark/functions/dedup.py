@@ -174,26 +174,43 @@ def cdc_chunk_fingerprints(
     map-side-only stage plus the explode; dedup/grouping downstream is a
     hash-agg on chunk_fp. Simplified FastCDC: no min/max chunk clamps
     (documented deviation; adjacent cut points may produce short chunks).
+
+    The normalized text and the breakpoint array are materialized as
+    intermediate columns on purpose: inlining them into the chunk lambda
+    re-evaluates the per-position md5 scan on every reference —
+    measured 42x slower at 4k chars, O(n^3)-ish growth.
     """
+    import re as _re
+
+    if not _re.fullmatch(r"[0-9a-f]+", cut_prefix):
+        # md5 hex is lowercase: an uppercase/non-hex prefix would silently
+        # never match and disable chunking entirely
+        raise ValueError(f"cut_prefix must be lowercase hex, got {cut_prefix!r}")
     w = int(window)
-    norm = f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')").alias("_t"),
+    )
     # sequence starts at 1 (Spark's sequence(2, 1) would generate a
     # DESCENDING [2, 1]); position 1 is excluded in the filter so the
     # first breakpoint stays unique
-    cuts = (
-        f"filter(sequence(1, greatest(length({norm}) - {w - 1}, 1)), "
-        f"i -> i >= 2 AND "
-        f"substring(md5(substring({norm}, i, {w})), 1, {len(cut_prefix)}) = '{cut_prefix}')"
+    out = out.withColumn(
+        "_bp",
+        F.expr(
+            f"concat(array(1), "
+            f"filter(sequence(1, greatest(length(_t) - {w - 1}, 1)), "
+            f"i -> i >= 2 AND substring(md5(substring(_t, i, {w})), 1, {len(cut_prefix)}) = '{cut_prefix}'), "
+            f"array(length(_t) + 1))"
+        ),
     )
-    bpts = f"concat(array(1), {cuts}, array(length({norm}) + 1))"
-    chunks = (
-        f"transform(sequence(1, size({bpts}) - 1), "
-        f"j -> substring({norm}, element_at({bpts}, j), "
-        f"element_at({bpts}, j + 1) - element_at({bpts}, j)))"
-    )
-    out = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.expr(chunks)).alias("chunk_no", "chunk"),
+    out = out.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(_bp) - 1), "
+                "j -> substring(_t, element_at(_bp, j), element_at(_bp, j + 1) - element_at(_bp, j)))"
+            )
+        ).alias("chunk_no", "chunk"),
     )
     return out.select(
         "doc_id",

@@ -237,10 +237,13 @@ def coverage(
     scanline kernel, and a per-key merge emits the ratio. No driver-side
     geometry collection anywhere (round-1 version collected the image
     table — unbounded at 100 TB)."""
-    # persist the clipped class pieces: they feed BOTH the key-by-cell
-    # dimension and the tagged union — without it the Arrow clip stage
-    # (the dominant Python cost) would execute twice per action
-    cls = cell_pieces(land_cover, res, geom="geom", key_col=key).persist()
+    # materialize the clipped class pieces once (lazy localCheckpoint):
+    # they feed BOTH the key-by-cell dimension and the tagged union —
+    # without it the Arrow clip stage (the dominant Python cost) executes
+    # twice per action. localCheckpoint (not persist) so the blocks are
+    # reclaimed by the ContextCleaner when the plan goes out of scope
+    # instead of pinning cache across repeated coverage() calls.
+    cls = cell_pieces(land_cover, res, geom="geom", key_col=key).localCheckpoint(eager=False)
     img = cell_pieces(images, res, geom="geom").drop("key")
     # no explicit broadcast hint: the distinct (key, cell) set is usually
     # tiny, but at 100 TB with many classes x fine cells it can exceed

@@ -402,25 +402,39 @@ def knn_join(
     # materialize once: the guard aggregation and the final consumer read
     # the checkpointed candidates instead of re-executing the join DAG
     result = result.localCheckpoint()
-    ring = max_ring
-    for _ in range(max_retries):
+    def incomplete_queries(res_df: DataFrame) -> DataFrame:
         # a query's answer is exact iff k candidates exist and the k-th
         # distance is within the ring's guaranteed radius. Queries with
         # ZERO candidates produce no group at all, so completeness is
         # checked against the query table (anti-join), not just the
         # groups present in the result.
-        stats = result.groupBy(query_id).agg(
+        stats = res_df.groupBy(query_id).agg(
             F.count(F.lit(1)).alias("_n"),
             F.max("dist_m").alias("_kth"),
             F.first("_guard").alias("_g"),
         )
         ok = stats.filter((F.col("_n") >= k) & (F.col("_kth") <= F.col("_g"))).select(query_id)
-        incomplete = queries.select(query_id).join(ok, on=query_id, how="left_anti")
-        bad_ids = [r[0] for r in incomplete.collect()]
-        if not bad_ids:
+        return queries.select(query_id).join(ok, on=query_id, how="left_anti")
+
+    ring = max_ring
+    for _ in range(max_retries):
+        # retries stay DataFrame-shaped (semi/anti joins on the bad-id
+        # set, never collect + isin): with a large query table even 1%
+        # incomplete would blow a literal IN-list
+        bad = incomplete_queries(result).localCheckpoint()
+        if bad.limit(1).count() == 0:
             break
         ring *= 4
-        redo = queries.filter(F.col(query_id).isin(bad_ids))
+        redo = queries.join(bad, on=query_id, how="left_semi")
         fixed = attempt(redo, ring)
-        result = result.filter(~F.col(query_id).isin(bad_ids)).unionByName(fixed).localCheckpoint()
+        result = result.join(bad, on=query_id, how="left_anti").unionByName(fixed).localCheckpoint()
+    else:
+        n_left = incomplete_queries(result).count()
+        if n_left:
+            raise RuntimeError(
+                f"knn_join: {n_left} queries still inexact after {max_retries} "
+                f"ring expansions (final ring {ring}) — fewer than k={k} points "
+                "may exist in reach; raise max_ring/max_retries or pass "
+                "exact=False for best-effort answers"
+            )
     return result.drop(*helper_cols)

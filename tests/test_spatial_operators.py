@@ -264,7 +264,7 @@ def test_knn_zero_candidate_query_retries(spark):
     )
     out = spatial_join.knn_join(
         pts, queries, k=3, res=5, query_id="query_id", max_ring=2,
-        tiebreak="pt_id", exact=True, max_retries=5,
+        tiebreak="pt_id", exact=True, max_retries=5, metric="degrees",
     )
     rows = out.collect()
     by_q = {}
@@ -272,3 +272,20 @@ def test_knn_zero_candidate_query_retries(spark):
         by_q.setdefault(r["query_id"], []).append(r["pt_id"])
     assert set(by_q) == {0, 1}
     assert len(by_q[0]) == 3 and len(by_q[1]) == 3
+
+
+def test_knn_exact_raises_when_k_unreachable(spark):
+    """exact=True must FAIL LOUDLY (not silently return fewer rows) when
+    fewer than k points exist at all — the exactness contract."""
+    pts = spark.createDataFrame(
+        [(1, bytearray(wkb.point(10.0, 50.0))), (2, bytearray(wkb.point(10.1, 50.1)))],
+        "pt_id int, geom binary",
+    )
+    queries = spark.createDataFrame(
+        [(0, bytearray(wkb.point(10.0, 50.0)))], "query_id int, qgeom binary"
+    )
+    with pytest.raises(RuntimeError, match="still inexact"):
+        spatial_join.knn_join(
+            pts, queries, k=5, res=5, query_id="query_id", max_ring=1,
+            tiebreak="pt_id", exact=True, max_retries=2, metric="degrees",
+        )
