@@ -190,6 +190,19 @@ def _segments_cross(a0, a1, b0, b1) -> bool:
     return bool((((d1 * d2) <= 0) & ((d3 * d4) <= 0)).any())
 
 
+def is_axis_rect(g: wkb.Geom) -> bool:
+    """True iff the geometry is a single closed axis-aligned rectangle
+    (5-point ring, every edge horizontal or vertical). For such a pair,
+    ST_Intersects == bbox overlap — an exact O(1) fast path."""
+    if g.gtype != wkb.POLYGON or len(g.parts) != 1:
+        return False
+    r = g.parts[0]
+    if len(r) != 5:
+        return False
+    d = np.diff(r, axis=0)
+    return bool(np.all((d[:, 0] == 0.0) | (d[:, 1] == 0.0)))
+
+
 def polys_intersect(ga: wkb.Geom, gb: wkb.Geom) -> bool:
     """ST_Intersects for polygonal/point operands (even-odd semantics)."""
     if ga.gtype == wkb.POINT and gb.gtype == wkb.POINT:

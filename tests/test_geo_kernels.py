@@ -190,3 +190,37 @@ def test_choose_res():
     assert cells.choose_res(360.0) <= 2
     assert cells.choose_res(0.001) >= 15
     assert 0 <= cells.choose_res(10.0) <= cells.MAX_RES
+
+
+def test_is_axis_rect_and_refine_fallback(spark):
+    """Rect fast path: detection is structural (axis-aligned 5-pt ring);
+    slanted polygons must fall through to the full predicate — two
+    slanted triangles with overlapping bboxes but no intersection would
+    be a false positive if the bbox shortcut leaked."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pda_spark.functions import geo_udfs
+    from pda_spark.geo import kernels, wkb
+
+    rect = wkb.decode(wkb.box(0, 0, 2, 1))
+    assert kernels.is_axis_rect(rect)
+    tri = np.array([[0, 0], [4, 0], [0, 4], [0, 0]], float)
+    assert not kernels.is_axis_rect(wkb.decode(wkb.polygon([tri])))
+    diamond = np.array([[1, 0], [2, 1], [1, 2], [0, 1], [1, 0]], float)  # 5 pts, slanted
+    assert not kernels.is_axis_rect(wkb.decode(wkb.polygon([diamond])))
+
+    # bbox-overlapping but disjoint slanted pair vs a genuinely hitting pair
+    t1 = np.array([[0, 0], [10, 0], [0, 10], [0, 0]], float)
+    t2 = np.array([[9.5, 9.5], [10, 9.5], [10, 10], [9.5, 9.5]], float)  # in t1's bbox corner
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(wkb.polygon([t1])), bytearray(wkb.polygon([t2]))),
+            (2, bytearray(wkb.box(0, 0, 1, 1)), bytearray(wkb.box(0.5, 0.5, 2, 2))),
+            (3, bytearray(wkb.box(0, 0, 1, 1)), bytearray(wkb.box(1.5, 0, 2, 1))),
+        ],
+        "i int, a binary, b binary",
+    )
+    got = {r["i"]: r["hit"] for r in df.select(
+        "i", geo_udfs.intersects_pair(F.col("a"), F.col("b")).alias("hit")).collect()}
+    assert got == {1: False, 2: True, 3: False}
