@@ -200,7 +200,18 @@ def is_axis_rect(g: wkb.Geom) -> bool:
     if len(r) != 5:
         return False
     d = np.diff(r, axis=0)
-    return bool(np.all((d[:, 0] == 0.0) | (d[:, 1] == 0.0)))
+    # Each edge must be strictly horizontal XOR strictly vertical (zero
+    # length or diagonal disqualifies), and orientation must alternate
+    # H/V/H/V or V/H/V/H — otherwise a zero-area zigzag/backtracking ring
+    # (e.g. HHVV) would take the bbox fast path and report intersections
+    # the exact kernel rejects (ADVICE r2).
+    horiz = (d[:, 1] == 0.0) & (d[:, 0] != 0.0)
+    vert = (d[:, 0] == 0.0) & (d[:, 1] != 0.0)
+    if not bool(np.all(horiz | vert)):
+        return False
+    return bool(np.all(horiz == np.array([True, False, True, False]))) or bool(
+        np.all(horiz == np.array([False, True, False, True]))
+    )
 
 
 def polys_intersect(ga: wkb.Geom, gb: wkb.Geom) -> bool:

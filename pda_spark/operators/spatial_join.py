@@ -413,7 +413,11 @@ def knn_join(
             F.max("dist_m").alias("_kth"),
             F.first("_guard").alias("_g"),
         )
-        ok = stats.filter((F.col("_n") >= k) & (F.col("_kth") <= F.col("_g"))).select(query_id)
+        # STRICT < : when the k-th distance exactly equals the guard
+        # radius, a point just outside the ring at the same distance could
+        # win the deterministic tiebreak — treat boundary ties as
+        # incomplete and expand the ring (ADVICE r2).
+        ok = stats.filter((F.col("_n") >= k) & (F.col("_kth") < F.col("_g"))).select(query_id)
         return queries.select(query_id).join(ok, on=query_id, how="left_anti")
 
     ring = max_ring

@@ -16,6 +16,8 @@ Conventions:
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -45,10 +47,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # deterministic point derivation from events (see module docstring)
 def _event_points(spark, sf_dir) -> DataFrame:
-    # local testdata is one small parquet file -> one input partition; at
-    # cluster scale the table is many files and this repartition is a
-    # no-op layout choice. Keeps UDF stages on all cores locally.
-    ev = _t(spark, sf_dir, "events").repartition(spark.sparkContext.defaultParallelism)
+    # No plan-level repartition: spark.sql.files.minPartitionNum (set in
+    # session.get_spark) splits even one small parquet file across cores
+    # at the scan, so the plan carries no Exchange the 100 TB story would
+    # have to explain away.
+    ev = _t(spark, sf_dir, "events")
     return ev.withColumn(
         "lon", F.pmod(F.col("user_id") * 97 + F.col("event_id") * 31, F.lit(4000)) / 100.0 - 20.0
     ).withColumn(
@@ -288,7 +291,10 @@ def q10_json_extract(spark, sf_dir):
 
 Q10_SQL = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       -- CAST the sum itself: DuckDB sum(BIGINT) yields HUGEINT, which
+       -- pandas (the driver canonicalizer) coerces to float64 and then
+       -- hashes 5.0 against Spark's 5 (CORRECTNESS_r02 root cause).
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        CAST(floor(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) * 1000000.0
                   / count(*)) AS BIGINT) AS avg_k_micro
 FROM events GROUP BY event_type
@@ -344,8 +350,10 @@ def _heat_sql(grain: str) -> str:
 WITH pts AS ({_EVENT_POINTS_SQL}),
 agg AS (
   SELECT date_trunc('{field}', ts){cast} AS bucket, count(*) AS n_events,
-         sum(CAST(floor(lat * 100.0) AS BIGINT)) AS sum_lat_c,
-         sum(CAST(floor(lon * 100.0) AS BIGINT)) AS sum_lon_c
+         -- outer CAST: DuckDB sum(BIGINT) is HUGEINT -> float64 in pandas,
+         -- which fails the driver's hash gate (5.0 vs 5). See Q10_SQL.
+         CAST(sum(CAST(floor(lat * 100.0) AS BIGINT)) AS BIGINT) AS sum_lat_c,
+         CAST(sum(CAST(floor(lon * 100.0) AS BIGINT)) AS BIGINT) AS sum_lon_c
   FROM pts GROUP BY 1
 ), buckets AS (
   SELECT unnest(generate_series(
@@ -472,8 +480,7 @@ def q25_ngram_jaccard(spark, sf_dir):
     # gate scales (max shingle df is 129 over these 150 docs), so the
     # uncapped DuckDB oracle still matches exactly; the binding case is
     # unit-tested in tests/test_pipeline_ops.py
-    docs = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < _JACCARD_LIMIT)
-            .repartition(spark.sparkContext.defaultParallelism))
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < _JACCARD_LIMIT)
     return dedup.ngram_jaccard_pairs(
         docs, "doc_id", k=_JACCARD_K, threshold=_JACCARD_T, max_doc_freq=_JACCARD_LIMIT
     )
@@ -538,8 +545,7 @@ _MINHASH_N = 4
 
 
 def q26_minhash(spark, sf_dir):
-    docs = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < _JACCARD_LIMIT)
-            .repartition(spark.sparkContext.defaultParallelism))
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < _JACCARD_LIMIT)
     return dedup.minhash_signatures(docs, "doc_id", k=_JACCARD_K, n_hashes=_MINHASH_N)
 
 
@@ -567,8 +573,7 @@ _SIMHASH_BITS = 16
 
 
 def q27_simhash(spark, sf_dir):
-    docs = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < _JACCARD_LIMIT)
-            .repartition(spark.sparkContext.defaultParallelism))
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < _JACCARD_LIMIT)
     return dedup.simhash(docs, "doc_id", n_bits=_SIMHASH_BITS)
 
 
@@ -724,19 +729,22 @@ def _ivf_cents() -> list[list[float]]:
     n_probe=2; seeded-gaussian centroids measured 0.36 — data-derived
     centroids matter, which is exactly why real IVF trains on data)."""
     if not hasattr(_ivf_cents, "_cache"):
-        try:
-            import duckdb
+        # No silent fallback (ADVICE r2): seeded-random centroids drop
+        # recall 0.96 -> 0.36 with no signal the gate can catch. A missing
+        # training snapshot is an error, exactly like a missing k-means
+        # output would be in production.
+        if not os.path.exists(_IVF_TRAIN):
+            raise FileNotFoundError(
+                f"IVF centroid training snapshot missing: {_IVF_TRAIN} "
+                "(fixed sf0.01 snapshot shared by the Spark plan and the "
+                "DuckDB oracle — regenerate testdata or repoint _IVF_TRAIN)"
+            )
+        import duckdb
 
-            rows = duckdb.sql(
-                f"SELECT embedding FROM '{_IVF_TRAIN}' ORDER BY vec_id LIMIT {_IVF_N_CENTROIDS}"
-            ).fetchall()
-            cents = [[float(x) for x in r[0]] for r in rows]
-        except Exception:
-            import numpy as np
-
-            rng = np.random.default_rng(42)
-            cents = rng.standard_normal((_IVF_N_CENTROIDS, 64)).tolist()
-        _ivf_cents._cache = cents
+        rows = duckdb.sql(
+            f"SELECT embedding FROM '{_IVF_TRAIN}' ORDER BY vec_id LIMIT {_IVF_N_CENTROIDS}"
+        ).fetchall()
+        _ivf_cents._cache = [[float(x) for x in r[0]] for r in rows]
     return _ivf_cents._cache
 
 
@@ -968,11 +976,7 @@ def q45_rect_intersects(spark, sf_dir):
     """Polygon x polygon intersects join through cover/dedup/refine —
     rectangles make the oracle a pure interval-overlap join. Exercises the
     reference-point dedup (no pair may appear twice)."""
-    o = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.pmod(F.col("o_orderkey"), F.lit(37)) == 0)
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    o = _t(spark, sf_dir, "orders").filter(F.pmod(F.col("o_orderkey"), F.lit(37)) == 0)
     img = o.select(
         F.col("o_orderkey").alias("img_id"),
         (F.pmod(F.col("o_orderkey") * 7, F.lit(4000)) / 100.0 - 20.0).alias("ix"),

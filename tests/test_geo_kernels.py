@@ -209,6 +209,16 @@ def test_is_axis_rect_and_refine_fallback(spark):
     assert not kernels.is_axis_rect(wkb.decode(wkb.polygon([tri])))
     diamond = np.array([[1, 0], [2, 1], [1, 2], [0, 1], [1, 0]], float)  # 5 pts, slanted
     assert not kernels.is_axis_rect(wkb.decode(wkb.polygon([diamond])))
+    # degenerate axis-aligned 5-pt rings must NOT take the fast path
+    # (ADVICE r2): HHVV backtracking zigzag with zero area ...
+    zigzag = np.array([[0, 0], [2, 0], [0, 0], [0, 2], [0, 0]], float)
+    assert not kernels.is_axis_rect(wkb.decode(wkb.polygon([zigzag])))
+    # ... zero-length edge (repeated vertex) ...
+    dup = np.array([[0, 0], [2, 0], [2, 0], [0, 1], [0, 0]], float)
+    assert not kernels.is_axis_rect(wkb.decode(wkb.polygon([dup])))
+    # ... and a ring whose closing edge is diagonal (not axis-aligned)
+    diag_close = np.array([[0, 0], [1, 0], [2, 0], [2, 1], [0, 0]], float)
+    assert not kernels.is_axis_rect(wkb.decode(wkb.polygon([diag_close])))
 
     # bbox-overlapping but disjoint slanted pair vs a genuinely hitting pair
     t1 = np.array([[0, 0], [10, 0], [0, 10], [0, 0]], float)
