@@ -39,6 +39,7 @@ HEADLINE = [
     "q44_tile_zonal",        # raster<->vector zonal tiles
     "q45_rect_intersects",   # polygon x polygon intersects join
     "q46_dissolve_area",     # geometric dissolve (scanline union kernel)
+    "q48_river_intersects",  # LineString x polygon intersects join (rivers)
 ]
 
 

@@ -172,7 +172,12 @@ def _edges(rings: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _segments_cross(a0, a1, b0, b1) -> bool:
-    """Any proper/improper crossing between edge sets (vectorized n x m)."""
+    """Any proper/improper crossing between edge sets (vectorized n x m).
+
+    The orientation-product test alone reports a false positive for
+    COLLINEAR-DISJOINT segment pairs (all four orientations zero); those
+    pairs additionally require per-axis interval overlap.
+    """
 
     def orient(p, q, r):
         return (q[..., 0] - p[..., 0]) * (r[..., 1] - p[..., 1]) - (
@@ -187,7 +192,34 @@ def _segments_cross(a0, a1, b0, b1) -> bool:
     d2 = orient(p, q, s)
     d3 = orient(r, s, p)
     d4 = orient(r, s, q)
-    return bool((((d1 * d2) <= 0) & ((d3 * d4) <= 0)).any())
+    hit = ((d1 * d2) <= 0) & ((d3 * d4) <= 0)
+    collinear = (d1 == 0) & (d2 == 0) & (d3 == 0) & (d4 == 0)
+    if bool((hit & collinear).any()):
+        ox = np.minimum(p[..., 0], q[..., 0]) <= np.maximum(r[..., 0], s[..., 0])
+        ox &= np.minimum(r[..., 0], s[..., 0]) <= np.maximum(p[..., 0], q[..., 0])
+        oy = np.minimum(p[..., 1], q[..., 1]) <= np.maximum(r[..., 1], s[..., 1])
+        oy &= np.minimum(r[..., 1], s[..., 1]) <= np.maximum(p[..., 1], q[..., 1])
+        hit &= ~collinear | (ox & oy)
+    return bool(hit.any())
+
+
+def _points_on_segments(pts: np.ndarray, e0: np.ndarray, e1: np.ndarray) -> np.ndarray:
+    """(N,) bool: each point lies on any segment (collinear + in bbox)."""
+    if len(pts) == 0 or len(e0) == 0:
+        return np.zeros(len(pts), dtype=bool)
+    p = pts[:, None, :]
+    a = e0[None, :, :]
+    b = e1[None, :, :]
+    cross = (b[..., 0] - a[..., 0]) * (p[..., 1] - a[..., 1]) - (
+        b[..., 1] - a[..., 1]
+    ) * (p[..., 0] - a[..., 0])
+    inx = (np.minimum(a[..., 0], b[..., 0]) <= p[..., 0]) & (
+        p[..., 0] <= np.maximum(a[..., 0], b[..., 0])
+    )
+    iny = (np.minimum(a[..., 1], b[..., 1]) <= p[..., 1]) & (
+        p[..., 1] <= np.maximum(a[..., 1], b[..., 1])
+    )
+    return ((cross == 0) & inx & iny).any(axis=1)
 
 
 def is_axis_rect(g: wkb.Geom) -> bool:
@@ -214,19 +246,66 @@ def is_axis_rect(g: wkb.Geom) -> bool:
     )
 
 
+# geometry-kind dispatch: point-like / lineal / polygonal
+_KIND = {
+    wkb.POINT: "pt",
+    wkb.MULTIPOINT: "pt",
+    wkb.LINESTRING: "ln",
+    wkb.MULTILINESTRING: "ln",
+    wkb.POLYGON: "pg",
+    wkb.MULTIPOLYGON: "pg",
+}
+
+
 def polys_intersect(ga: wkb.Geom, gb: wkb.Geom) -> bool:
-    """ST_Intersects for polygonal/point operands (even-odd semantics)."""
-    if ga.gtype == wkb.POINT and gb.gtype == wkb.POINT:
-        return bool((ga.parts[0][0] == gb.parts[0][0]).all())
-    if ga.gtype == wkb.POINT:
-        return bool(points_in_polygons(ga.parts[0], gb.polygons())[0])
-    if gb.gtype == wkb.POINT:
-        return bool(points_in_polygons(gb.parts[0], ga.polygons())[0])
-    pa, pb = ga.polygons(), gb.polygons()
+    """ST_Intersects for any point/line/polygon operand combination
+    (even-odd interior semantics; boundary contact counts).
+
+    Lineal operands added round 3: the reference's land-cover table mixes
+    urban polygons with river/lake centerline LineStrings
+    (/root/reference/api_importer/clients/geojson_xyz.py:59-70), and its
+    image x land_cover ST_Intersects join (database/db.py:116-122) runs
+    against those lines in production.
+    """
+    ka, kb = _KIND[ga.gtype], _KIND[gb.gtype]
     ax0, ay0, ax1, ay1 = bbox(ga)
     bx0, by0, bx1, by1 = bbox(gb)
     if ax1 < bx0 or bx1 < ax0 or ay1 < by0 or by1 < ay0:
         return False
+    # order operands pt < ln < pg so each mixed case is handled once
+    if (ka, kb) in (("ln", "pt"), ("pg", "pt"), ("pg", "ln")):
+        ga, gb, ka, kb = gb, ga, kb, ka
+
+    if ka == "pt" and kb == "pt":
+        pa, pb = ga.points(), gb.points()
+        return bool((pa[:, None, :] == pb[None, :, :]).all(axis=2).any())
+    if ka == "pt" and kb == "ln":
+        e0, e1 = _edges(gb.lines())
+        return bool(_points_on_segments(ga.points(), e0, e1).any())
+    if ka == "pt" and kb == "pg":
+        polys = gb.polygons()
+        pts = ga.points()
+        if points_in_polygons(pts, polys).any():
+            return True
+        e0, e1 = _edges([r for rings in polys for r in rings])
+        return bool(_points_on_segments(pts, e0, e1).any())
+    if ka == "ln" and kb == "ln":
+        ea0, ea1 = _edges(ga.lines())
+        eb0, eb1 = _edges(gb.lines())
+        return _segments_cross(ea0, ea1, eb0, eb1)
+    if ka == "ln" and kb == "pg":
+        lines = ga.lines()
+        polys = gb.polygons()
+        # any line vertex inside the polygon interior (even-odd handles
+        # holes: a river inside a lake-hole does not intersect) ...
+        if points_in_polygons(np.concatenate(lines), polys).any():
+            return True
+        # ... or any crossing/touch between line edges and ring edges
+        ea0, ea1 = _edges(lines)
+        eb0, eb1 = _edges([r for rings in polys for r in rings])
+        return _segments_cross(ea0, ea1, eb0, eb1)
+    # pg x pg
+    pa, pb = ga.polygons(), gb.polygons()
     av = np.concatenate([rings[0] for rings in pa])
     bv = np.concatenate([rings[0] for rings in pb])
     if points_in_polygons(av, pb).any() or points_in_polygons(bv, pa).any():

@@ -45,6 +45,18 @@ class Geom:
             return self.parts
         raise ValueError(f"not polygonal: gtype={self.gtype}")
 
+    def lines(self) -> list[np.ndarray]:
+        """Normalize to a list of polylines (each (N,2)). The reference's
+        land-cover table mixes urban polygons with river/lake centerline
+        LineStrings (/root/reference/api_importer/clients/geojson_xyz.py:59-70,
+        model database/db.py:248-253), so intersects kernels must accept
+        lineal operands."""
+        if self.gtype == LINESTRING:
+            return [self.parts[0]]
+        if self.gtype == MULTILINESTRING:
+            return [p[0] for p in self.parts]
+        raise ValueError(f"not lineal: gtype={self.gtype}")
+
     def points(self) -> np.ndarray:
         """All coordinates as a flat (N,2) array."""
         out = []

@@ -38,6 +38,22 @@ def _mk_point(lon: pd.Series, lat: pd.Series) -> pd.Series:
 def _mk_box(minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series) -> pd.Series:
     return pd.Series([W.box(a, b, c, d) for a, b, c, d in zip(minx, miny, maxx, maxy)])
 
+
+@pandas_udf(T.BinaryType())
+def _mk_staircase(ax: pd.Series, ay: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
+    """Axis-aligned 3-segment river centerline H-V-H:
+    (ax,ay) -> (ax+w,ay) -> (ax+w,ay+h) -> (ax+2w,ay+h). LineString WKB,
+    mirroring the reference's river/lake centerlines
+    (/root/reference/api_importer/clients/geojson_xyz.py:59-70)."""
+    import numpy as np
+
+    return pd.Series(
+        [
+            W.linestring(np.array([[a, b], [a + ww, b], [a + ww, b + hh], [a + 2 * ww, b + hh]]))
+            for a, b, ww, hh in zip(ax, ay, w, h)
+        ]
+    )
+
 # --------------------------------------------------------------- helpers
 
 
@@ -1023,6 +1039,89 @@ GROUP BY lc_id
 """
 
 
+def q48_river_intersects(spark, sf_dir):
+    """LineString x polygon ST_Intersects join (J2 with a lineal operand).
+
+    The reference's land-cover table mixes urban polygons with river/lake
+    centerline LineStrings (/root/reference/api_importer/clients/
+    geojson_xyz.py:59-70; model database/db.py:248-253), so its
+    image x land_cover join (database/db.py:116-122) runs against lines in
+    production. Rivers here are axis-aligned H-V-H staircase centerlines,
+    which makes the DuckDB oracle a pure interval-overlap predicate: an
+    axis-aligned segment's bbox IS the segment, so rect-intersects-segment
+    reduces to per-axis interval overlap, and the river hits the image iff
+    any of its 3 segments does. Same cover/dedup/refine plan as q45 — the
+    physical join is geometry-kind-agnostic (bbox covers + exact refine).
+    """
+    o = _t(spark, sf_dir, "orders").filter(F.pmod(F.col("o_orderkey"), F.lit(37)) == 0)
+    img = o.select(
+        F.col("o_orderkey").alias("img_id"),
+        (F.pmod(F.col("o_orderkey") * 7, F.lit(4000)) / 100.0 - 20.0).alias("ix"),
+        (F.pmod(F.col("o_orderkey") * 11, F.lit(2200)) / 100.0 + 37.0).alias("iy"),
+        (F.pmod(F.col("o_orderkey"), F.lit(10)) / 20.0 + 0.05).alias("ih"),
+    )
+    img = img.withColumn(
+        "geom",
+        _mk_box(
+            F.col("ix") - F.col("ih"),
+            F.col("iy") - F.col("ih"),
+            F.col("ix") + F.col("ih"),
+            F.col("iy") + F.col("ih"),
+        ),
+    )
+    n = _t(spark, sf_dir, "nation")
+    rivers = n.select(
+        F.col("n_nationkey").alias("river_id"),
+        (F.pmod(F.col("n_nationkey") * 19, F.lit(3600)) / 100.0 - 19.0).alias("ax"),
+        (F.pmod(F.col("n_nationkey") * 23, F.lit(2000)) / 100.0 + 38.0).alias("ay"),
+        (F.pmod(F.col("n_nationkey"), F.lit(5)) / 10.0 + 0.4).alias("w"),
+        (F.pmod(F.col("n_nationkey") * 3, F.lit(7)) / 10.0 - 0.35).alias("h"),
+    )
+    rivers = rivers.withColumn(
+        "river_geom", _mk_staircase(F.col("ax"), F.col("ay"), F.col("w"), F.col("h"))
+    )
+    pairs = spatial_join.intersects_join(
+        img.select("img_id", "geom"),
+        rivers.select("river_id", "river_geom"),
+        res=6,
+        left_geom="geom",
+        right_geom="river_geom",
+    )
+    return pairs.groupBy("river_id").agg(F.count(F.lit(1)).alias("n_images"))
+
+
+Q48_SQL = """
+WITH img AS (
+  SELECT o_orderkey AS img_id,
+         ((o_orderkey * 7) % 4000) / 100.0 - 20.0 AS ix,
+         ((o_orderkey * 11) % 2200) / 100.0 + 37.0 AS iy,
+         (o_orderkey % 10) / 20.0 + 0.05 AS ih
+  FROM orders WHERE o_orderkey % 37 = 0
+), rivers AS (
+  SELECT n_nationkey AS river_id,
+         ((n_nationkey * 19) % 3600) / 100.0 - 19.0 AS ax,
+         ((n_nationkey * 23) % 2000) / 100.0 + 38.0 AS ay,
+         (n_nationkey % 5) / 10.0 + 0.4 AS w,
+         ((n_nationkey * 3) % 7) / 10.0 - 0.35 AS h
+  FROM nation
+), segs AS (
+  -- H-V-H staircase: each axis-aligned segment's bbox IS the segment
+  SELECT river_id, ax AS x0, ax + w AS x1, ay AS y0, ay AS y1 FROM rivers
+  UNION ALL
+  SELECT river_id, ax + w, ax + w, least(ay, ay + h), greatest(ay, ay + h) FROM rivers
+  UNION ALL
+  SELECT river_id, ax + w, ax + 2 * w, ay + h, ay + h FROM rivers
+)
+SELECT river_id, count(*) AS n_images
+FROM (
+  SELECT DISTINCT img_id, river_id
+  FROM img JOIN segs
+    ON ix - ih <= x1 AND x0 <= ix + ih
+   AND iy - ih <= y1 AND y0 <= iy + ih
+) GROUP BY river_id
+"""
+
+
 def q46_dissolve_area(spark, sf_dir):
     """Geometric dissolve (ST_UNION GROUP BY, A6/A7) through the real
     scanline union kernel: per brand, heavily-overlapping axis-aligned
@@ -1191,4 +1290,5 @@ QUERIES: dict[str, tuple] = {
     "q45_rect_intersects": (q45_rect_intersects, Q45_SQL),
     "q46_dissolve_area": (q46_dissolve_area, Q46_SQL),
     "q47_coverage_pct": (q47_coverage_pct, Q47_SQL),
+    "q48_river_intersects": (q48_river_intersects, Q48_SQL),
 }

@@ -121,6 +121,7 @@ def scaled_world(
     n_cities: int = 200,
     seed: int = 42,
     partitions: int | None = None,
+    river_lines: bool = False,
 ) -> dict[str, DataFrame]:
     """Seeded synthetic world over Europe (lon -10..30, lat 40..62).
 
@@ -128,6 +129,14 @@ def scaled_world(
     polygons are larger axis-aligned boxes (~0.5 deg) — both convex so
     exact coverage kernels apply. Distribution is intentionally skewed:
     ~20% of images cluster near (13.4, 52.5) to exercise salting.
+
+    ``river_lines=True`` reproduces the reference's production land-cover
+    shape: River/Lake classes become slanted polyline CENTERLINES
+    (LineString WKB) instead of boxes, matching
+    /root/reference/api_importer/clients/geojson_xyz.py:59-70 (rivers and
+    lake centerlines are ingested as GeoJSON LineStrings; model
+    database/db.py:248-253). Polygon-only consumers (dissolve, tiling)
+    keep the default.
     """
     rng = np.random.default_rng(seed)
 
@@ -172,20 +181,26 @@ def scaled_world(
 
     lc_lon, lc_lat = sample_lonlat(n_land_cover)
     lc_half = rng.uniform(0.2, 0.5, n_land_cover)
-    lc_rows = [
-        (
-            i,
-            ["Urban area", "River", "Lake", "Forest"][i % 4],
-            bytearray(
-                wkb.box(
-                    float(lc_lon[i] - lc_half[i]),
-                    float(lc_lat[i] - lc_half[i]),
-                    float(lc_lon[i] + lc_half[i]),
-                    float(lc_lat[i] + lc_half[i]),
+
+    def lc_geom(i: int, cls: str) -> bytes:
+        cx, cy, h = float(lc_lon[i]), float(lc_lat[i]), float(lc_half[i])
+        if river_lines and cls in ("River", "Lake"):
+            # slanted 4-vertex centerline meandering through the cell
+            return wkb.linestring(
+                np.array(
+                    [
+                        (cx - h, cy - h),
+                        (cx - h / 3.0, cy + h / 2.0),
+                        (cx + h / 3.0, cy - h / 4.0),
+                        (cx + h, cy + h),
+                    ]
                 )
-            ),
-        )
-        for i in range(n_land_cover)
+            )
+        return wkb.box(cx - h, cy - h, cx + h, cy + h)
+
+    lc_rows = [
+        (i, cls, bytearray(lc_geom(i, cls)))
+        for i, cls in ((i, ["Urban area", "River", "Lake", "Forest"][i % 4]) for i in range(n_land_cover))
     ]
     land_cover = spark.createDataFrame(lc_rows, schemas.LAND_COVER_CLASSES)
 

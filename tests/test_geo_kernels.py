@@ -234,3 +234,53 @@ def test_is_axis_rect_and_refine_fallback(spark):
     got = {r["i"]: r["hit"] for r in df.select(
         "i", geo_udfs.intersects_pair(F.col("a"), F.col("b")).alias("hit")).collect()}
     assert got == {1: False, 2: True, 3: False}
+
+
+def test_line_intersects_kernel():
+    """LineString operands in polys_intersect (round-3: reference rivers,
+    geojson_xyz.py:59-70 ingests river/lake centerlines as LineStrings)."""
+    import struct
+
+    box = wkb.decode(wkb.box(0, 0, 10, 10))
+    hole_poly = wkb.decode(
+        wkb.polygon(
+            [
+                np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float),
+                np.array([[3, 3], [7, 3], [7, 7], [3, 7], [3, 3]], float),
+            ]
+        )
+    )
+    ln = lambda pts: wkb.decode(wkb.linestring(np.array(pts, float)))
+
+    # line x polygon
+    assert kernels.polys_intersect(ln([[-5, 5], [15, 5]]), box)  # crosses
+    assert kernels.polys_intersect(box, ln([[-5, 5], [15, 5]]))  # symmetric
+    assert not kernels.polys_intersect(ln([[-5, 20], [15, 20]]), box)  # misses
+    assert not kernels.polys_intersect(ln([[4, 4], [6, 6]]), hole_poly)  # in hole
+    assert kernels.polys_intersect(ln([[1, 1], [2, 2]]), hole_poly)  # in interior
+    assert kernels.polys_intersect(ln([[-5, 0], [15, 0]]), box)  # along boundary
+
+    # line x line
+    assert kernels.polys_intersect(ln([[0, 0], [10, 10]]), ln([[0, 10], [10, 0]]))
+    assert not kernels.polys_intersect(ln([[0, 0], [10, 10]]), ln([[0, 1], [10, 11]]))
+    # collinear: disjoint must be False (orientation products alone say True)
+    assert not kernels.polys_intersect(ln([[0, 0], [1, 0]]), ln([[2, 0], [3, 0]]))
+    assert kernels.polys_intersect(ln([[0, 0], [1, 0]]), ln([[0.5, 0], [3, 0]]))
+    # shared endpoint counts as touching
+    assert kernels.polys_intersect(ln([[0, 0], [1, 0]]), ln([[1, 0], [1, 5]]))
+
+    # point x line
+    pt = wkb.decode(wkb.point(5.0, 5.0))
+    assert kernels.polys_intersect(pt, ln([[-5, 5], [15, 5]]))
+    assert not kernels.polys_intersect(wkb.decode(wkb.point(5.0, 6.0)), ln([[-5, 5], [15, 5]]))
+
+    # point on polygon boundary counts (round-3: boundary-exact pt x pg)
+    assert kernels.polys_intersect(wkb.decode(wkb.point(0.0, 5.0)), box)
+
+    # multilinestring: second part hits
+    mls = struct.pack("<BII", 1, wkb.MULTILINESTRING, 2) + wkb.linestring(
+        np.array([[0, 20], [1, 20]], float)
+    ) + wkb.linestring(np.array([[-5, 5], [15, 5]], float))
+    g = wkb.decode(mls)
+    assert g.gtype == wkb.MULTILINESTRING and len(g.lines()) == 2
+    assert kernels.polys_intersect(g, box)

@@ -66,6 +66,37 @@ def test_intersects_join_salted_identical(spark, world):
     assert salted.count() == len(s)
 
 
+def test_intersects_join_river_lines(spark):
+    """Production land-cover shape (reference geojson_xyz.py:59-70):
+    River/Lake classes are LineString centerlines, not polygons. The join
+    plan (bbox cover -> reference-point dedup -> exact refine) must accept
+    lineal operands and match brute force; the per-class histogram must
+    report river hits."""
+    w = scaled_world(spark, n_images=300, n_land_cover=48, n_cities=5, seed=23, river_lines=True)
+    imgs = [(r["id"], bytes(r["geom"])) for r in w["sat_images"].collect()]
+    lcs = [(r["id"], bytes(r["geom"])) for r in w["land_cover_classes"].collect()]
+    # the fixture world must actually contain LineStrings
+    gtypes = {wkb.decode(g).gtype for _, g in lcs}
+    assert wkb.LINESTRING in gtypes and wkb.POLYGON in gtypes
+    expected = _brute_pairs(imgs, lcs)
+    pairs = spatial_join.intersects_join(
+        w["sat_images"].select(F.col("id").alias("img_id"), "geom"),
+        w["land_cover_classes"].select(
+            F.col("id").alias("lc_id"), "featureclass", F.col("geom").alias("lc_geom")
+        ),
+        res=6,
+        right_geom="lc_geom",
+    )
+    rows = pairs.collect()
+    got = {(r["img_id"], r["lc_id"]) for r in rows}
+    assert got == expected
+    assert len(rows) == len(got)  # reference-point dedup holds for lines
+    hist = {}
+    for r in rows:
+        hist[r["featureclass"]] = hist.get(r["featureclass"], 0) + 1
+    assert hist.get("River", 0) > 0 and hist.get("Lake", 0) > 0
+
+
 def test_pip_join_matches_bruteforce(spark, world):
     pts = world["cities"].select(F.col("id").alias("pt_id"), "geom")
     polys = world["land_cover_classes"].select(F.col("id").alias("lc_id"), F.col("geom").alias("lc_geom"))
