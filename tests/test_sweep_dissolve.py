@@ -150,6 +150,51 @@ def test_dissolve_cell_routed_matches(spark, holed_world):
             assert kernels.area_planar(g) == pytest.approx(exact[r["featureclass"]], rel=1e-9)
 
 
+def test_dissolve_auto_routes_hot_key(spark):
+    """Round-3 auto-routing: a hot key above the piece threshold must be
+    dissolved via the cell-partitioned path (no single straggler task),
+    with EXACT area parity against a numpy 1D interval-union oracle
+    (boxes share one y-band, so union area = interval union x height)."""
+    n = 6000
+    i = np.arange(n)
+    x0 = (i * 13 % 1000).astype(float)
+    x1 = x0 + (i % 40) + 1.0
+    rows = [("hot", bytearray(wkb.box(a, 0.0, b, 1.0))) for a, b in zip(x0, x1)]
+    rows += [("cold", bytearray(wkb.box(float(j), 0.0, float(j) + 0.5, 1.0))) for j in range(10)]
+    df = spark.createDataFrame(rows, "featureclass string, geom binary")
+
+    # numpy oracle: 1D interval union of the hot key
+    order = np.lexsort((x1, x0))
+    area = 0.0
+    cur0, cur1 = None, None
+    for a, b in zip(x0[order], x1[order]):
+        if cur0 is None or a > cur1:
+            if cur0 is not None:
+                area += cur1 - cur0
+            cur0, cur1 = a, b
+        else:
+            cur1 = max(cur1, b)
+    area += cur1 - cur0
+
+    out = dissolve.dissolve(df, cells_res="auto", route_threshold=1000)
+    # the auto decision must have picked the cell path: two grouped
+    # pandas stages (per-cell union + per-key merge) instead of one
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 2, "hot key was not cell-routed"
+    got = {r["featureclass"]: r["union_area"] for r in out.collect()}
+    assert got["hot"] == pytest.approx(area, rel=1e-12)
+    assert got["cold"] == pytest.approx(5.0, rel=1e-12)
+
+    # below the threshold the same input stays on the one-task path
+    plan2 = (
+        dissolve.dissolve(df, cells_res="auto", route_threshold=100_000)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan2.count("FlatMapGroupsInPandas") == 1
+
+
 def test_union_area_by_cells_handles_holes(spark, holed_world):
     lc, _ = holed_world
     got = {r["key"]: r["union_area"] for r in tiling.union_area_by_cells(lc, res=6).collect()}
