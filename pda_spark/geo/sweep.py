@@ -43,6 +43,7 @@ __all__ = [
     "intersect_union_area",
     "union_geometry",
     "intersect_union_geometry",
+    "merged_boundary_polygons",
 ]
 
 
@@ -317,3 +318,171 @@ def _emit_quad(edge_x, span, key):
     if abs((xr0 - xl0) + (xr1 - xl1)) * (ye - ys) < 1e-300:
         return None
     return ring
+
+
+# ------------------------------------------- boundary merging (round 3)
+
+
+def _ring_area(pts: list[tuple]) -> float:
+    a = 0.0
+    n = len(pts)
+    for i in range(n):
+        x0, y0 = pts[i]
+        x1, y1 = pts[(i + 1) % n]
+        a += x0 * y1 - x1 * y0
+    return a / 2.0
+
+
+def _pip(px: float, py: float, ring: np.ndarray) -> bool:
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    cond = (y0 > py) != (y1 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0 + (py - y0) * (x1 - x0) / (y1 - y0)
+    return bool(((cond) & (px < xint)).sum() % 2 == 1)
+
+
+def merged_boundary_polygons(quads: list[np.ndarray]) -> list[list[np.ndarray]]:
+    """Stitch a non-overlapping trapezoid decomposition (the output of
+    ``union_geometry``) into merged-boundary polygons-with-holes — the
+    shape PostGIS ST_UNION emits (reference app/query.py:195-213), with
+    internal horizontal seams cancelled and collinear vertices removed.
+
+    Exactness model: every vertex y is an exact slab breakpoint shared by
+    construction; x's are edge interpolations that can differ by ~1 ulp
+    between adjacent quads, so x's are snapped per exact-y level within a
+    relative 1e-9 tolerance before seam cancellation and stitching.
+    CW rings (holes of the union) are attached to the smallest CCW outer
+    containing them. If stitching hits a degenerate pinch topology the
+    function falls back to the decomposition itself (one polygon per
+    quad) — same region, unmerged boundaries.
+    """
+    if not quads:
+        return []
+    fallback = [[np.asarray(q, dtype=np.float64)] for q in quads]
+
+    # 1. collect corner x's per exact y level and snap within tolerance
+    levels: dict[float, list] = {}
+    corners = []
+    for q in quads:
+        xl0, ys = float(q[0][0]), float(q[0][1])
+        xr0 = float(q[1][0])
+        xr1, ye = float(q[2][0]), float(q[2][1])
+        xl1 = float(q[3][0])
+        corners.append((xl0, xr0, ys, xl1, xr1, ye))
+        levels.setdefault(ys, []).extend((xl0, xr0))
+        levels.setdefault(ye, []).extend((xl1, xr1))
+    scale = max(1.0, max(abs(x) for c in corners for x in (c[0], c[1], c[3], c[4])))
+    eps = 1e-9 * scale
+    snap: dict[float, dict[float, float]] = {}
+    for y, xs in levels.items():
+        m: dict[float, float] = {}
+        rep = None
+        for x in sorted(set(xs)):
+            if rep is None or x - rep > eps:
+                rep = x
+            m[x] = rep
+        snap[y] = m
+
+    # 2. directed boundary segments (interior on the left); horizontal
+    #    edges go through per-level seam cancellation
+    segs: list[tuple] = []
+    horiz: dict[float, list] = {}
+    for xl0, xr0, ys, xl1, xr1, ye in corners:
+        a0, b0 = snap[ys][xl0], snap[ys][xr0]
+        a1, b1 = snap[ye][xl1], snap[ye][xr1]
+        if (b0, ys) != (b1, ye):
+            segs.append((b0, ys, b1, ye))  # right side, upward
+        if (a1, ye) != (a0, ys):
+            segs.append((a1, ye, a0, ys))  # left side, downward
+        if b0 > a0:
+            horiz.setdefault(ys, []).append((a0, b0, 1))  # bottom
+        if b1 > a1:
+            horiz.setdefault(ye, []).append((a1, b1, -1))  # top
+    for y, items in horiz.items():
+        xs = sorted({x for x0, x1, _ in items for x in (x0, x1)})
+        for i in range(len(xs) - 1):
+            a, b = xs[i], xs[i + 1]
+            mid = 0.5 * (a + b)
+            f = sum(s for x0, x1, s in items if x0 < mid < x1)
+            if f > 0:
+                segs.append((a, y, b, y))  # bottom boundary, +x
+            elif f < 0:
+                segs.append((b, y, a, y))  # top boundary, -x
+
+    # 3. walk cycles; at junctions take the sharpest left turn (keeps
+    #    rings simple at pinch points, interior stays on the left)
+    import math
+    from collections import defaultdict
+
+    out_map = defaultdict(list)
+    for i, s in enumerate(segs):
+        out_map[(s[0], s[1])].append(i)
+    used = [False] * len(segs)
+    rings: list[list[tuple]] = []
+    for i0 in range(len(segs)):
+        if used[i0]:
+            continue
+        start = (segs[i0][0], segs[i0][1])
+        pts = [start]
+        cur = i0
+        ok = True
+        for _guard in range(len(segs) + 1):
+            used[cur] = True
+            ax, ay, bx, by = segs[cur]
+            pts.append((bx, by))
+            if (bx, by) == start:
+                break
+            cands = [j for j in out_map[(bx, by)] if not used[j]]
+            if not cands:
+                ok = False
+                break
+            if len(cands) == 1:
+                cur = cands[0]
+            else:
+                din = (bx - ax, by - ay)
+
+                def turn(j):
+                    cx, cy = segs[j][2] - segs[j][0], segs[j][3] - segs[j][1]
+                    return math.atan2(din[0] * cy - din[1] * cx, din[0] * cx + din[1] * cy)
+
+                cur = max(cands, key=turn)
+        else:
+            ok = False
+        if not ok:
+            return fallback
+        # drop collinear vertices
+        core = pts[:-1]
+        n = len(core)
+        keep = []
+        for i in range(n):
+            p, v, q = core[i - 1], core[i], core[(i + 1) % n]
+            if (v[0] - p[0]) * (q[1] - v[1]) - (v[1] - p[1]) * (q[0] - v[0]) != 0.0:
+                keep.append(v)
+        if len(keep) >= 3:
+            rings.append(keep)
+
+    # 4. CCW rings are outers, CW rings are holes of their smallest
+    #    containing outer (probe an edge midpoint — strictly interior)
+    outers: list[tuple] = []
+    holes: list[list[tuple]] = []
+    for r in rings:
+        a = _ring_area(r)
+        arr = np.array(r + [r[0]], dtype=np.float64)
+        if a > 0:
+            outers.append((a, arr))
+        elif a < 0:
+            holes.append(arr)
+    if not outers:
+        return fallback
+    polys: list[list[np.ndarray]] = [[arr] for _a, arr in outers]
+    order = sorted(range(len(outers)), key=lambda i: outers[i][0])
+    for h in holes:
+        mx, my = 0.5 * (h[0][0] + h[1][0]), 0.5 * (h[0][1] + h[1][1])
+        for i in order:  # smallest containing outer first
+            if _pip(mx, my, outers[i][1]):
+                polys[i].append(h)
+                break
+        else:
+            return fallback
+    return polys

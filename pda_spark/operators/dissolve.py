@@ -253,7 +253,10 @@ def dissolve(
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         polys = [p for g in pdf[geom] for p in _polys(g)]
         area, quads = sweep.union_geometry(polys)
-        out_geom = wkb.multipolygon([[q] for q in quads])
+        # merged-boundary multipolygon (PostGIS ST_UNION output shape,
+        # reference app/query.py:195-213) instead of the raw trapezoid
+        # decomposition — same region, renderer-clean rings
+        out_geom = wkb.multipolygon(sweep.merged_boundary_polygons(quads))
         return pd.DataFrame(
             {"featureclass": [pdf[key].iloc[0]], "geom": [out_geom], "union_area": [area]}
         )

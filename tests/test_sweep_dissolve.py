@@ -234,3 +234,85 @@ def test_coverage_no_matching_images_empty(spark, holed_world):
     lc, img = holed_world
     far = img.withColumn("geom", F.lit(bytearray(wkb.polygon([sq(50, 50, 51, 51)]))))
     assert dissolve.coverage(lc, far, res=4).count() == 0
+
+
+def test_merged_boundary_shapes():
+    """Round-3: merged-boundary output (PostGIS ST_UNION shape) — ring
+    and vertex counts are minimal, area is shoelace-exact, holes attach
+    to the right outer."""
+    # L-union of two overlapping squares -> ONE ring, exactly 8 vertices
+    polys = [
+        [np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float)],
+        [np.array([[2, 2], [6, 2], [6, 6], [2, 6], [2, 2]], float)],
+    ]
+    area, quads = sweep.union_geometry(polys)
+    merged = sweep.merged_boundary_polygons(quads)
+    assert len(merged) == 1 and len(merged[0]) == 1
+    ring = merged[0][0]
+    assert len(ring) - 1 == 8  # no collinear trapezoid slivers
+    assert abs(kernels.ring_area_signed(ring)) == pytest.approx(28.0, rel=1e-12)
+
+    # frame (square with hole): outer 4 vertices + hole 4 vertices
+    frame = [
+        [
+            np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float),
+            np.array([[3, 3], [7, 3], [7, 7], [3, 7], [3, 3]], float),
+        ]
+    ]
+    a2, q2 = sweep.union_geometry(frame)
+    m2 = sweep.merged_boundary_polygons(q2)
+    assert len(m2) == 1 and len(m2[0]) == 2
+    assert len(m2[0][0]) - 1 == 4 and len(m2[0][1]) - 1 == 4
+    assert kernels.polygons_area(m2) == pytest.approx(84.0, rel=1e-12)
+
+    # two disjoint squares -> two polygons, 4 vertices each
+    two = [
+        [np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], float)],
+        [np.array([[5, 5], [6, 5], [6, 6], [5, 6], [5, 5]], float)],
+    ]
+    _a3, q3 = sweep.union_geometry(two)
+    m3 = sweep.merged_boundary_polygons(q3)
+    assert sorted(len(p[0]) - 1 for p in m3) == [4, 4] and len(m3) == 2
+
+
+def test_merged_boundary_random_property():
+    """Random slanted triangles + boxes: merged output must preserve the
+    exact union area (shoelace over polygons-with-holes) and agree with
+    the trapezoid decomposition on a PIP probe grid."""
+    rng = np.random.default_rng(3)
+    polys = []
+    for _ in range(12):
+        cx, cy = rng.uniform(0, 10, 2)
+        w, h = rng.uniform(0.5, 3.0, 2)
+        polys.append([np.array([[cx, cy], [cx + w, cy], [cx + w, cy + h], [cx, cy + h], [cx, cy]])])
+    for _ in range(8):
+        p = rng.uniform(0, 10, (3, 2))
+        if abs(kernels.ring_area_signed(np.vstack([p, p[:1]]))) < 0.2:
+            continue
+        polys.append([np.vstack([p, p[:1]])])
+    area, quads = sweep.union_geometry(polys)
+    merged = sweep.merged_boundary_polygons(quads)
+    assert kernels.polygons_area(merged) == pytest.approx(area, rel=1e-9)
+    # vertex economy: merged boundary has far fewer vertices than the quads
+    n_quad_verts = sum(len(q) - 1 for q in quads)
+    n_merged_verts = sum(len(r) - 1 for p in merged for r in p)
+    assert n_merged_verts < n_quad_verts
+    # PIP parity on a probe grid (strictly between boundaries a.s.)
+    gx, gy = np.meshgrid(np.linspace(0.05, 10.05, 41), np.linspace(0.05, 10.05, 41))
+    probes = np.column_stack([gx.ravel(), gy.ravel()])
+    got = kernels.points_in_polygons(probes, merged)
+    exp = kernels.points_in_polygons(probes, [[q] for q in quads])
+    assert (got == exp).all()
+
+
+def test_dissolve_output_is_merged(spark, holed_world):
+    """dissolve() geometry is the merged-boundary multipolygon: the
+    'urban' key (two overlapping holed shapes) must come back with a
+    small ring count, not hundreds of trapezoid slivers."""
+    lc, _ = holed_world
+    rows = {r["featureclass"]: r for r in dissolve.dissolve(lc).collect()}
+    g = wkb.decode(bytes(rows["urban"]["geom"]))
+    n_rings = sum(len(rings) for rings in g.polygons())
+    n_verts = sum(len(r) - 1 for rings in g.polygons() for r in rings)
+    assert n_rings <= 6 and n_verts <= 60
+    assert kernels.area_planar(g) == pytest.approx(EXPECT_URBAN_AREA, rel=1e-12)
