@@ -31,6 +31,7 @@ HEADLINE = [
     "q30_cosine_topk",       # brute-force ANN baseline
     "q31_lsh_ann",           # LSH ANN (multi-probe)
     "q33_ivf_ann",           # IVF ANN (centroid lists)
+    "q34_lsh_neardup",       # LSH-bucketed near-dup pairs (scale path)
     "q13_heat_weekly",       # period bucketing + gap fill heat series
     "q28_media_features",    # multimodal mapInPandas feature extraction
     "q40_cell_assign",       # cell index (pure Catalyst)

@@ -26,6 +26,16 @@ Scale shape (100 TB):
   list — unbounded at scale). Image pieces join class cells by cell id,
   one grouped aggregation computes per-cell numerator/denominator, and a
   per-key merge emits the ratio + intersection geometry.
+
+Documented deviation — ST_Buffer(geom, 1) cleanup: the reference wraps
+union inputs in a 1 m buffer (/root/reference/app/query.py:158) purely to
+heal invalid/degenerate GEOS geometries before ST_UNION; it inflates
+every area by a ~1 m rim. Our scanline kernel is exact on touching /
+degenerate rings (slab topology is computed from the raw edges, no GEOS
+validity precondition), so no cleanup step exists here and areas are the
+UNBUFFERED exact values — intentionally closer to the mathematical union
+than the reference's output, and the reason coverage parity tests use
+unbuffered expectations.
 """
 
 from __future__ import annotations

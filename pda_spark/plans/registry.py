@@ -831,6 +831,56 @@ SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.35
 """
 
 
+def q34_lsh_neardup(spark, sf_dir):
+    """Embedding near-dup pairs via the LSH-bucketed SCALE path
+    (exact=False): candidates restricted to bucket pairs within hamming
+    distance 1 of seeded hyperplane signatures, then the exact cosine
+    refine. Round-3: the 100 TB path itself is driver-gated (round-2
+    VERDICT ask #8) — the planes are deterministic driver literals, so
+    the DuckDB twin replays the identical bucket assignment, mask
+    explode, and refine (same pattern as q31's _lsh_ann_sql)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_neardup_pairs(
+        emb, threshold=0.35, exact=False, n_planes=8, dim=64, seed=42, probe_radius=1
+    )
+
+
+def _lsh_neardup_sql(
+    threshold: float = 0.35, n_planes: int = 8, dim: int = 64, seed: int = 42,
+    probe_radius: int = 1,
+) -> str:
+    planes = similarity.hyperplanes(dim, n_planes, seed)
+    masks = similarity.probe_masks(n_planes, probe_radius)
+
+    def bucket(vec: str) -> str:
+        bits = []
+        for i, p in enumerate(planes):
+            arr = "[" + ", ".join(repr(x) for x in p) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product({vec}::DOUBLE[], {arr}) > 0 THEN {1 << i} ELSE 0 END)"
+            )
+        return "(" + " + ".join(bits) + ")"
+
+    # mask-explode side a only: a pair within hamming distance r meets on
+    # exactly ONE (a-probe = b-home) bucket (m = home_a XOR home_b), so no
+    # dedup is needed — mirrors cosine_neardup_pairs(exact=False)
+    return f"""
+WITH av AS (
+  SELECT vec_id AS id_a, embedding AS va, xor(home, unnest({list(masks)})) AS bucket
+  FROM (SELECT vec_id, embedding, {bucket('embedding')} AS home FROM embeddings)
+), bv AS (
+  SELECT vec_id AS id_b, embedding AS vb, {bucket('embedding')} AS bucket FROM embeddings
+), pairs AS (
+  SELECT id_a, id_b,
+         round(list_dot_product(va::DOUBLE[], vb::DOUBLE[])
+               / (sqrt(list_dot_product(va::DOUBLE[], va::DOUBLE[]))
+                  * sqrt(list_dot_product(vb::DOUBLE[], vb::DOUBLE[]))), 6) AS cosine
+  FROM av JOIN bv USING (bucket) WHERE id_a < id_b
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {threshold}
+"""
+
+
 # ============================================================== geo
 
 
@@ -1282,6 +1332,7 @@ QUERIES: dict[str, tuple] = {
     "q31_lsh_ann": (q31_lsh_ann, _lsh_ann_sql()),
     "q32_cosine_neardup": (q32_cosine_neardup, Q32_SQL),
     "q33_ivf_ann": (q33_ivf_ann, _ivf_sql()),
+    "q34_lsh_neardup": (q34_lsh_neardup, _lsh_neardup_sql()),
     "q40_cell_assign": (q40_cell_assign, Q40_SQL),
     "q41_pip_join": (q41_pip_join, Q41_SQL),
     "q42_knn": (q42_knn, Q42_SQL),

@@ -23,7 +23,9 @@ AUDITED = [
     "q13_heat_weekly",
     "q31_lsh_ann",
     "q32_cosine_neardup",
+    "q34_lsh_neardup",
     "q46_dissolve_area",
+    "q48_river_intersects",
 ]
 
 
