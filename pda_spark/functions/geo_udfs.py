@@ -345,6 +345,45 @@ def distance_m_lonlat():
     return _dist
 
 
+@pandas_udf(T.DoubleType())
+def line_length_planar(geom: pd.Series) -> pd.Series:
+    """ST_Length (planar, geometry units) of LineString/MultiLineString.
+
+    IEEE754-deterministic: per-segment sqrt(dx*dx + dy*dy), accumulated
+    strictly left-to-right in vertex order (matching a SQL oracle's
+    left-associated `sqrt(..) + sqrt(..) + ...` chain bit-for-bit when
+    the coordinates come from identical arithmetic)."""
+    get = _decode_cache()
+    out = np.zeros(len(geom))
+    for i, buf in enumerate(geom):
+        total = 0.0
+        for line in get(buf).lines():
+            dx = np.diff(line[:, 0])
+            dy = np.diff(line[:, 1])
+            for v in np.sqrt(dx * dx + dy * dy):
+                total += float(v)
+        out[i] = total
+    return pd.Series(out)
+
+
+@pandas_udf(T.DoubleType())
+def line_length_m(geom: pd.Series) -> pd.Series:
+    """ST_Length in EPSG:3035 metres: project each vertex, then the same
+    sequential hypot sum (the meters sibling of line_length_planar)."""
+    from pda_spark.geo import proj
+
+    get = _decode_cache()
+    out = np.zeros(len(geom))
+    for i, buf in enumerate(geom):
+        total = 0.0
+        for line in get(buf).lines():
+            x, y = proj.fwd(line[:, 0], line[:, 1])
+            for v in np.hypot(np.diff(x), np.diff(y)):
+                total += float(v)
+        out[i] = total
+    return pd.Series(out)
+
+
 def distance_deg():
     """Planar lon/lat Euclidean distance (degrees) between point columns —
     identical IEEE754 op sequence to the SQL oracle's sqrt(dx^2+dy^2)."""

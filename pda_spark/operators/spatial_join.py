@@ -395,6 +395,9 @@ def knn_join(
         )
 
     helper_cols = ["_guard", "_plon", "_plat"]
+    if max_ring < 1:
+        # ring 0 would also break the retry loop (ring *= 4 keeps it 0)
+        raise ValueError(f"knn_join: max_ring must be >= 1, got {max_ring}")
     result = attempt(queries, max_ring)
     if not exact:
         return result.drop(*helper_cols)

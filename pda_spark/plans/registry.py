@@ -40,6 +40,16 @@ def _mk_box(minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series) 
 
 
 @pandas_udf(T.BinaryType())
+def _mk_segment(x0: pd.Series, y0: pd.Series, x1: pd.Series, y1: pd.Series) -> pd.Series:
+    """Two-point LineString WKB (road segments for the line x line join)."""
+    import numpy as np
+
+    return pd.Series(
+        [W.linestring(np.array([[a, b], [c, d]])) for a, b, c, d in zip(x0, y0, x1, y1)]
+    )
+
+
+@pandas_udf(T.BinaryType())
 def _mk_staircase(ax: pd.Series, ay: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
     """Axis-aligned 3-segment river centerline H-V-H:
     (ax,ay) -> (ax+w,ay) -> (ax+w,ay+h) -> (ax+2w,ay+h). LineString WKB,
@@ -1119,15 +1129,7 @@ def q48_river_intersects(spark, sf_dir):
             F.col("iy") + F.col("ih"),
         ),
     )
-    n = _t(spark, sf_dir, "nation")
-    rivers = n.select(
-        F.col("n_nationkey").alias("river_id"),
-        (F.pmod(F.col("n_nationkey") * 19, F.lit(3600)) / 100.0 - 19.0).alias("ax"),
-        (F.pmod(F.col("n_nationkey") * 23, F.lit(2000)) / 100.0 + 38.0).alias("ay"),
-        (F.pmod(F.col("n_nationkey"), F.lit(5)) / 10.0 + 0.4).alias("w"),
-        (F.pmod(F.col("n_nationkey") * 3, F.lit(7)) / 10.0 - 0.35).alias("h"),
-    )
-    rivers = rivers.withColumn(
+    rivers = _rivers(spark, sf_dir).withColumn(
         "river_geom", _mk_staircase(F.col("ax"), F.col("ay"), F.col("w"), F.col("h"))
     )
     pairs = spatial_join.intersects_join(
@@ -1169,6 +1171,139 @@ FROM (
     ON ix - ih <= x1 AND x0 <= ix + ih
    AND iy - ih <= y1 AND y0 <= iy + ih
 ) GROUP BY river_id
+"""
+
+
+@pandas_udf(T.BinaryType())
+def _mk_river_line(ax: pd.Series, ay: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
+    """5-vertex river centerline: the q48 H-V-H staircase plus one
+    DIAGONAL tail segment (exercises the hypot leg of ST_Length):
+    (ax,ay) -> (ax+w,ay) -> (ax+w,ay+h) -> (ax+2w,ay+h) -> (ax+3w,ay+2h)."""
+    import numpy as np
+
+    return pd.Series(
+        [
+            W.linestring(
+                np.array(
+                    [
+                        [a, b],
+                        [a + ww, b],
+                        [a + ww, b + hh],
+                        [a + 2 * ww, b + hh],
+                        [a + 3 * ww, b + 2 * hh],
+                    ]
+                )
+            )
+            for a, b, ww, hh in zip(ax, ay, w, h)
+        ]
+    )
+
+
+def _rivers(spark, sf_dir) -> DataFrame:
+    """Shared deterministic river dimension (see q48 docstring)."""
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        F.col("n_nationkey").alias("river_id"),
+        (F.pmod(F.col("n_nationkey") * 19, F.lit(3600)) / 100.0 - 19.0).alias("ax"),
+        (F.pmod(F.col("n_nationkey") * 23, F.lit(2000)) / 100.0 + 38.0).alias("ay"),
+        (F.pmod(F.col("n_nationkey"), F.lit(5)) / 10.0 + 0.4).alias("w"),
+        (F.pmod(F.col("n_nationkey") * 3, F.lit(7)) / 10.0 - 0.35).alias("h"),
+    )
+
+
+_RIVERS_SQL = """
+  SELECT n_nationkey AS river_id,
+         ((n_nationkey * 19) % 3600) / 100.0 - 19.0 AS ax,
+         ((n_nationkey * 23) % 2000) / 100.0 + 38.0 AS ay,
+         (n_nationkey % 5) / 10.0 + 0.4 AS w,
+         ((n_nationkey * 3) % 7) / 10.0 - 0.35 AS h
+  FROM nation
+"""
+
+
+def q49_river_length(spark, sf_dir):
+    """ST_Length over LineString rivers (planar degrees — F-function
+    coverage for the lineal geometry family). The 5-vertex centerline
+    includes a diagonal segment, so the UDF's sqrt(dx*dx+dy*dy) path is
+    exercised; the oracle replays the identical per-segment op chain and
+    the identical left-to-right accumulation, so the doubles match
+    bit-for-bit with no rounding."""
+    rivers = _rivers(spark, sf_dir).withColumn(
+        "river_geom", _mk_river_line(F.col("ax"), F.col("ay"), F.col("w"), F.col("h"))
+    )
+    return rivers.select(
+        "river_id", geo_udfs.line_length_planar(F.col("river_geom")).alias("length_deg")
+    )
+
+
+Q49_SQL = f"""
+WITH rivers AS ({_RIVERS_SQL}),
+p AS (
+  SELECT river_id,
+         ax AS x0, ay AS y0,
+         ax + w AS x1, ay AS y1,
+         ax + w AS x2, ay + h AS y2,
+         ax + 2 * w AS x3, ay + h AS y3,
+         ax + 3 * w AS x4, ay + 2 * h AS y4
+  FROM rivers
+)
+SELECT river_id,
+       sqrt((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0))
+     + sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))
+     + sqrt((x3 - x2) * (x3 - x2) + (y3 - y2) * (y3 - y2))
+     + sqrt((x4 - x3) * (x4 - x3) + (y4 - y3) * (y4 - y3)) AS length_deg
+FROM p
+"""
+
+
+def q50_river_crossings(spark, sf_dir):
+    """LineString x LineString intersects join (river staircases x
+    vertical road segments) — the line-line leg of the generalized
+    refine kernel, driver-gated. Roads sit at x's with a .005 offset so
+    no road is ever collinear with a river's vertical segment; only
+    H-river-segment x V-road crossings exist, which the oracle expresses
+    as pure interval predicates."""
+    rivers = _rivers(spark, sf_dir).withColumn(
+        "river_geom", _mk_staircase(F.col("ax"), F.col("ay"), F.col("w"), F.col("h"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    roads = s.select(
+        F.col("s_suppkey").alias("road_id"),
+        (F.pmod(F.col("s_suppkey") * 29, F.lit(3900)) / 100.0 - 19.005).alias("rx"),
+        (F.pmod(F.col("s_suppkey") * 31, F.lit(1900)) / 100.0 + 38.0).alias("ry0"),
+    ).withColumn("ry1", F.col("ry0") + F.pmod(F.col("road_id"), F.lit(6)) / 2.0 + 0.5)
+    roads = roads.withColumn(
+        "road_geom", _mk_segment(F.col("rx"), F.col("ry0"), F.col("rx"), F.col("ry1"))
+    )
+    pairs = spatial_join.intersects_join(
+        roads.select("road_id", "road_geom"),
+        rivers.select("river_id", "river_geom"),
+        res=6,
+        left_geom="road_geom",
+        right_geom="river_geom",
+    )
+    return pairs.groupBy("road_id").agg(F.count(F.lit(1)).alias("n_rivers"))
+
+
+Q50_SQL = f"""
+WITH rivers AS ({_RIVERS_SQL}),
+hsegs AS (
+  SELECT river_id, ax AS hx0, ax + w AS hx1, ay AS hy FROM rivers
+  UNION ALL
+  SELECT river_id, ax + w, ax + 2 * w, ay + h FROM rivers
+), roads AS (
+  SELECT s_suppkey AS road_id,
+         ((s_suppkey * 29) % 3900) / 100.0 - 19.005 AS rx,
+         ((s_suppkey * 31) % 1900) / 100.0 + 38.0 AS ry0,
+         ((s_suppkey * 31) % 1900) / 100.0 + 38.0 + (s_suppkey % 6) / 2.0 + 0.5 AS ry1
+  FROM supplier
+)
+SELECT road_id, count(*) AS n_rivers
+FROM (
+  SELECT DISTINCT river_id, road_id
+  FROM hsegs JOIN roads
+    ON hx0 <= rx AND rx <= hx1 AND ry0 <= hy AND hy <= ry1
+) GROUP BY road_id
 """
 
 
@@ -1342,4 +1477,6 @@ QUERIES: dict[str, tuple] = {
     "q46_dissolve_area": (q46_dissolve_area, Q46_SQL),
     "q47_coverage_pct": (q47_coverage_pct, Q47_SQL),
     "q48_river_intersects": (q48_river_intersects, Q48_SQL),
+    "q49_river_length": (q49_river_length, Q49_SQL),
+    "q50_river_crossings": (q50_river_crossings, Q50_SQL),
 }
