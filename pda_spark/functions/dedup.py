@@ -263,6 +263,11 @@ def minhash_lsh_candidates(
             F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bh")) for b in range(bands)])
         ).alias("e"),
     ).select("doc_id", "e.band", "e.bh")
+    # Persist the banded signatures: the self-join references `stacked`
+    # twice, and without this the whole shingle->minhash pipeline (the
+    # expensive leg) executes once PER SIDE. At cluster scale this is
+    # the signature table you would persist/bucket anyway.
+    stacked = stacked.persist()
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (

@@ -1,0 +1,116 @@
+"""Connected components over candidate-pair edges — dedup clustering.
+
+The missing last step of fuzzy dedup: MinHash-LSH banding (dedup.py)
+yields candidate PAIRS, but a training-data pipeline needs CLUSTERS
+(each document labeled with a canonical representative) so that "keep
+one doc per near-dup group" is a single filter.
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) expressed as
+DataFrame rounds. Each round is one symmetrize (map-side union), one
+``groupBy(min)`` and one equi-join on the node id — the published
+O(log n)-round shape that runs on trillion-edge graphs. No driver-side
+graph state: the driver loop only compares an aggregate fingerprint per
+round (a count plus a hash sum) to detect the fixed point, and
+``localCheckpoint`` truncates the growing lineage each round.
+
+Scale notes (100 TB): near-dup candidate graphs are a forest of small
+dense blobs (boilerplate clusters), so the min-aggregation per round is
+map-side combinable and the join keys are the nodes themselves —
+skewed super-clusters (a hot template shared by millions of pages)
+concentrate on the cluster-min key only in the FINAL star, and the
+per-round neighborhoods stay bounded by the star contraction. Round
+count is O(log n) by the paper's potential argument; real web dedup
+graphs converge in < 10 rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _stars(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star (attach bigger neighbors to the local min) or
+    small-star (attach smaller neighbors and self to the local min)
+    round. ``edges`` is an undirected edge list (u, v), u != v."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select("u", F.least(F.col("u"), F.col("_mn")).alias("m"))
+    )
+    j = sym.join(mins, "u")
+    if large:
+        out = j.filter(F.col("v") > F.col("u")).select(F.col("v").alias("u"), F.col("m").alias("v"))
+    else:
+        smaller = j.filter(F.col("v") < F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        out = smaller.union(mins.select(F.col("u"), F.col("m").alias("v")))
+    return out.filter(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+) -> DataFrame:
+    """(id, component) for every id in ``edges``; component = the
+    minimum id of the connected component. Ids must be non-null longs
+    (or any orderable type with a total min).
+
+    Raises RuntimeError if the fixed point is not reached in
+    ``max_iter`` large+small rounds (theory says O(log n); 25 covers
+    graphs far beyond any candidate-pair set this engine emits).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+        .localCheckpoint(eager=False)
+    )
+    prev_fp = None
+    for _ in range(max_iter):
+        # Lazy checkpoint: the fingerprint aggregate below is the action
+        # that materializes it — one job per round, not two.
+        e = _stars(_stars(e, large=True), large=False).localCheckpoint(eager=False)
+        # Fixed-point probe: one tiny aggregate per round, no collect of
+        # the edge set itself. (count, hash-sum, min, max) is equal for
+        # equal sets; a false positive needs a 64-bit hash-sum collision
+        # between consecutive rounds of a deterministic contraction.
+        fp = tuple(
+            e.agg(
+                F.count(F.lit(1)),
+                F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1_000_000_007))),
+                F.min("u"),
+                F.max("u"),
+            ).first()
+        )
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    else:
+        raise RuntimeError(f"connected_components: no fixed point after {max_iter} rounds")
+    # At the fixed point the edge set is a star forest: every edge is
+    # (node, component-min). Centers appear only on the v side.
+    labels = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    centers = e.select(F.col("v").alias("id")).distinct().withColumn("component", F.col("id"))
+    return labels.union(centers.join(labels, "id", "left_anti")).localCheckpoint(eager=False)
+
+
+def dedup_cluster_labels(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id", src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Every doc labeled with its near-dup cluster id (component min;
+    docs with no candidate pair become their own singleton cluster) and
+    the cluster size. 'Keep one per cluster' is then
+    ``filter(doc_id == cluster_id)``."""
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs, src, dst)
+    labeled = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("cluster_id"))
+    )
+    w = Window.partitionBy("cluster_id")
+    return labeled.withColumn("cluster_size", F.count(F.lit(1)).over(w))

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from pda_spark.functions import dedup, geo_udfs, similarity, text
+from pda_spark.functions import dedup, geo_udfs, graph, similarity, text
 from pda_spark.geo import wkb as W
 from pda_spark.operators import spatial_join
 
@@ -1307,6 +1307,49 @@ FROM (
 """
 
 
+def q51_dedup_clusters(spark, sf_dir):
+    """Fuzzy-dedup CLUSTERING: MinHash-LSH candidate pairs (bit-for-bit
+    the q26 signatures, banded 2x2) -> connected components via
+    alternating large-star/small-star (graph.py) -> every doc labeled
+    with its cluster min + cluster size. The DuckDB oracle recomputes
+    the same pairs as minhash-tuple equality per band and resolves
+    components with a recursive min-label CTE — a full end-to-end check
+    of the iterative DataFrame algorithm, not just one round."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < _JACCARD_LIMIT)
+    pairs = dedup.minhash_lsh_candidates(
+        docs, "doc_id", k=_JACCARD_K, n_hashes=_MINHASH_N, bands=2, seed=42
+    )
+    return graph.dedup_cluster_labels(docs, pairs)
+
+
+def _q51_sql() -> str:
+    # bands of 2 rows over the 4 q26 minhash columns: a pair is a
+    # candidate iff band 0 (mh_0, mh_1) or band 1 (mh_2, mh_3) matches
+    # exactly — identical to Spark's xxhash64-bucket equi-join modulo a
+    # 64-bit band-hash collision (which the value-hash gate would expose)
+    return f"""
+WITH RECURSIVE
+sig AS (SELECT * FROM ({_minhash_sql()})),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS s, b.doc_id AS d
+  FROM sig a JOIN sig b
+    ON a.doc_id < b.doc_id
+   AND ((a.mh_0 = b.mh_0 AND a.mh_1 = b.mh_1)
+     OR (a.mh_2 = b.mh_2 AND a.mh_3 = b.mh_3))
+),
+edges AS (SELECT s, d FROM pairs UNION ALL SELECT d, s FROM pairs),
+walk(id, lab) AS (
+  SELECT doc_id, doc_id FROM documents WHERE doc_id < {_JACCARD_LIMIT}
+  UNION
+  SELECT e.d, w.lab FROM walk w JOIN edges e ON e.s = w.id
+),
+comp AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM walk GROUP BY id)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM comp
+"""
+
+
 def q46_dissolve_area(spark, sf_dir):
     """Geometric dissolve (ST_UNION GROUP BY, A6/A7) through the real
     scanline union kernel: per brand, heavily-overlapping axis-aligned
@@ -1479,4 +1522,5 @@ QUERIES: dict[str, tuple] = {
     "q48_river_intersects": (q48_river_intersects, Q48_SQL),
     "q49_river_length": (q49_river_length, Q49_SQL),
     "q50_river_crossings": (q50_river_crossings, Q50_SQL),
+    "q51_dedup_clusters": (q51_dedup_clusters, _q51_sql()),
 }

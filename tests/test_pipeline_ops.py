@@ -255,3 +255,69 @@ def test_cdc_chunks_survive_insertion(spark):
     assert len(shared) >= len(fps[1]) - 2, (len(shared), len(fps[1]))
     # and the first chunk (containing the edit) differs
     assert fps[1][0] != fps[2][0]
+
+
+def _uf_components(n_ids, edges):
+    """Driver-side union-find oracle (test-only)."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_topologies(spark):
+    """Chain, triangle, two merged stars, isolated pair — against a
+    union-find oracle."""
+    from pda_spark.functions import graph
+
+    edges = [
+        (1, 2), (2, 3), (3, 4),          # chain -> comp 1
+        (10, 11), (11, 12), (12, 10),    # triangle -> comp 10
+        (20, 21), (20, 22), (23, 21),    # two stars sharing 21 -> comp 20
+        (30, 31),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r["component"] for r in graph.connected_components(df).collect()}
+    want = _uf_components(None, edges)
+    assert got == want
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """200-node random graph, seeded — exact match with union-find."""
+    import numpy as np
+
+    from pda_spark.functions import graph
+
+    rng = np.random.default_rng(7)
+    edges = [tuple(sorted(map(int, rng.integers(0, 200, 2)))) for _ in range(180)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r["component"] for r in graph.connected_components(df).collect()}
+    want = _uf_components(None, edges)
+    assert got == want
+
+
+def test_dedup_cluster_labels_singletons_and_sizes(spark):
+    from pda_spark.functions import graph
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], ["doc_id"])
+    pairs = spark.createDataFrame([(0, 3), (3, 5), (1, 2)], ["id_a", "id_b"])
+    rows = graph.dedup_cluster_labels(docs, pairs).collect()
+    lab = {r["doc_id"]: (r["cluster_id"], r["cluster_size"]) for r in rows}
+    assert lab[0] == (0, 3) and lab[3] == (0, 3) and lab[5] == (0, 3)
+    assert lab[1] == (1, 2) and lab[2] == (1, 2)
+    for solo in (4, 6, 7):
+        assert lab[solo] == (solo, 1)
+    # canonical-keep filter: exactly one representative per cluster
+    keep = {r["doc_id"] for r in rows if r["doc_id"] == r["cluster_id"]}
+    assert keep == {0, 1, 4, 6, 7}
