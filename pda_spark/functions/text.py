@@ -97,3 +97,61 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     for lang in LANG_STOPWORDS:  # first-match tie-break, fixed order
         pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
     return scored.withColumn("lang_pred", pred)
+
+
+def repetition_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition metrics per document: word count, the
+    count of the most frequent word and of the most frequent word
+    bigram, plus parts-per-million fractions. Docs dominated by one
+    token or one phrase (boilerplate, keyword stuffing, template spam)
+    get filtered on these in web-corpus curation.
+
+    Shape: two explode->count->max aggregations (word and bigram), each
+    map-side combinable on (doc, gram), joined back on the doc id —
+    three shuffles total, all on doc-ish keys, no Python anywhere.
+    Bigrams come from zip_with over two slices of the split array
+    (pure Catalyst, no posexplode/window needed).
+    """
+    c = F.col(text_col)
+    words = F.split(F.lower(F.trim(c)), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        words.alias("_w"),
+        F.size(words).alias("n_words"),
+    )
+    bigrams = F.expr(
+        "zip_with(slice(_w, 1, greatest(size(_w) - 1, 0)),"
+        "         slice(_w, 2, greatest(size(_w) - 1, 0)),"
+        "         (a, b) -> concat(a, ' ', b))"
+    )
+
+    def top_count(grams: Column, alias: str) -> DataFrame:
+        per_gram = (
+            base.select("doc_id", F.explode(grams).alias("_g"))
+            .groupBy("doc_id", "_g")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        return per_gram.groupBy("doc_id").agg(F.max("_c").alias(alias))
+
+    uni = top_count(F.col("_w"), "top_word_count")
+    bi = top_count(bigrams, "top_bigram_count")
+    out = (
+        base.select("doc_id", "n_words")
+        .join(uni, "doc_id", "left")
+        .join(bi, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.coalesce("top_word_count", F.lit(0)).alias("top_word_count"),
+            F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"),
+        )
+    )
+    return out.select(
+        "*",
+        F.floor(F.lit(1000000.0) * F.col("top_word_count") / F.col("n_words"))
+        .cast("long")
+        .alias("top_word_ppm"),
+        F.floor(F.lit(1000000.0) * F.col("top_bigram_count") / F.col("n_words"))
+        .cast("long")
+        .alias("top_bigram_ppm"),
+    )

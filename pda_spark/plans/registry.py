@@ -1350,6 +1350,46 @@ FROM comp
 """
 
 
+def q52_repetition_quality(spark, sf_dir):
+    """Gopher-style repetition filters over all documents: most-frequent
+    word / word-bigram counts and ppm fractions (pure-Catalyst explode +
+    two map-side-combinable aggs, text.repetition_features). ppm uses
+    floor((1e6 * top) / n) so both engines hit the same double before
+    truncating — no round() half-way hazards."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.repetition_features(docs)
+
+
+Q52_SQL = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l FROM documents
+),
+uc AS (
+  SELECT doc_id, max(c) AS top_word_count FROM (
+    SELECT doc_id, count(*) AS c
+    FROM (SELECT doc_id, unnest(l) AS g FROM w) GROUP BY doc_id, g
+  ) GROUP BY doc_id
+),
+bc AS (
+  SELECT doc_id, max(c) AS top_bigram_count FROM (
+    SELECT doc_id, count(*) AS c
+    FROM (SELECT doc_id,
+                 unnest([l[i] || ' ' || l[i + 1] for i in range(1, len(l))]) AS g
+          FROM w) GROUP BY doc_id, g
+  ) GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(len(w.l) AS BIGINT) AS n_words,
+       CAST(coalesce(uc.top_word_count, 0) AS BIGINT) AS top_word_count,
+       CAST(coalesce(bc.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+       CAST(floor(1000000.0 * coalesce(uc.top_word_count, 0) / len(w.l)) AS BIGINT)
+         AS top_word_ppm,
+       CAST(floor(1000000.0 * coalesce(bc.top_bigram_count, 0) / len(w.l)) AS BIGINT)
+         AS top_bigram_ppm
+FROM w LEFT JOIN uc USING (doc_id) LEFT JOIN bc USING (doc_id)
+"""
+
+
 def q46_dissolve_area(spark, sf_dir):
     """Geometric dissolve (ST_UNION GROUP BY, A6/A7) through the real
     scanline union kernel: per brand, heavily-overlapping axis-aligned
@@ -1523,4 +1563,5 @@ QUERIES: dict[str, tuple] = {
     "q49_river_length": (q49_river_length, Q49_SQL),
     "q50_river_crossings": (q50_river_crossings, Q50_SQL),
     "q51_dedup_clusters": (q51_dedup_clusters, _q51_sql()),
+    "q52_repetition_quality": (q52_repetition_quality, Q52_SQL),
 }

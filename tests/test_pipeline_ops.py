@@ -321,3 +321,21 @@ def test_dedup_cluster_labels_singletons_and_sizes(spark):
     # canonical-keep filter: exactly one representative per cluster
     keep = {r["doc_id"] for r in rows if r["doc_id"] == r["cluster_id"]}
     assert keep == {0, 1, 4, 6, 7}
+
+
+def test_repetition_features_hand_computed(spark):
+    rows = [
+        (1, "spam spam spam eggs"),           # top word 3, top bigram "spam spam" 2
+        (2, "a b a b a"),                     # top word a=3, bigram "a b"=2
+        (3, "unique words only here"),        # all counts 1
+        (4, "x"),                             # single word: no bigrams
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in text.repetition_features(df).collect()}
+    assert (got[1]["n_words"], got[1]["top_word_count"], got[1]["top_bigram_count"]) == (4, 3, 2)
+    assert (got[2]["n_words"], got[2]["top_word_count"], got[2]["top_bigram_count"]) == (5, 3, 2)
+    assert (got[3]["top_word_count"], got[3]["top_bigram_count"]) == (1, 1)
+    assert (got[4]["n_words"], got[4]["top_word_count"], got[4]["top_bigram_count"]) == (1, 1, 0)
+    assert got[1]["top_word_ppm"] == 750000
+    assert got[2]["top_word_ppm"] == 600000
+    assert got[4]["top_bigram_ppm"] == 0
