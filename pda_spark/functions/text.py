@@ -155,3 +155,50 @@ def repetition_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "
         .cast("long")
         .alias("top_bigram_ppm"),
     )
+
+
+def hash_split(id_col: Column, train_pct: int = 80, val_pct: int = 10) -> Column:
+    """Deterministic train/val/test assignment from a stable id hash
+    (md5 folded to a bigint, mod 100) — the standard leakage-safe way to
+    split a 100 TB corpus: no sampling state, no shuffle, stable under
+    re-partitioning and re-runs, and near-dup cluster members can be
+    routed by cluster_id instead of doc_id to keep leakage out of val."""
+    from pda_spark.functions.dedup import hex_to_long
+
+    bucket = F.pmod(hex_to_long(F.md5(id_col.cast("string"))), F.lit(100))
+    return (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical URL form for exact URL dedup: lowercase scheme+host,
+    strip www. and the scheme's default port, drop the fragment, drop
+    the query when it is purely tracking (``?utm_...``), strip a
+    trailing slash. Every pattern is backreference-free and matches at
+    most once, so Spark's replace-all and DuckDB's replace-first
+    regexp_replace semantics coincide — the oracle runs the identical
+    chain. (Mixed tracking+real query strings are left untouched:
+    reordering/filtering individual params is beyond portable regex and
+    out of scope.)"""
+    u = F.regexp_replace(url, r"#.*$", "")              # fragment
+    u = F.regexp_replace(u, r"\?utm_[^?]*$", "")        # all-tracking query
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z]+)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[A-Za-z]+://([^/?#]+)", 1))
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    host = F.when(scheme == "https", F.regexp_replace(host, r":443$", "")).otherwise(
+        F.regexp_replace(host, r":80$", "")
+    )
+    rest = F.regexp_extract(u, r"^[A-Za-z]+://[^/?#]+([/?].*)?$", 1)
+    rest = F.regexp_replace(rest, r"/$", "")
+    return F.concat(scheme, F.lit("://"), host, rest)
+
+
+def url_host(url: Column) -> Column:
+    """Registrable-ish host: lowercased authority, www. and port
+    stripped (suffix-list precision is out of scope — deterministic and
+    portable beats exhaustive here)."""
+    h = F.lower(F.regexp_extract(url, r"^[A-Za-z]+://([^/:?#]+)", 1))
+    return F.regexp_replace(h, r"^www\.", "")

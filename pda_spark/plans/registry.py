@@ -1390,6 +1390,97 @@ FROM w LEFT JOIN uc USING (doc_id) LEFT JOIN bc USING (doc_id)
 """
 
 
+def q53_train_split(spark, sf_dir):
+    """Deterministic hash-based train/val/test split (80/10/10): stable
+    under re-partitioning and re-runs (pure function of doc_id via md5),
+    the leakage-safe way to split at 100 TB. Gate output is the per
+    (lang, split) histogram."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", text.hash_split(F.col("doc_id")).alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+Q53_SQL = """
+SELECT lang,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM (
+  SELECT lang,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100 AS b
+  FROM documents
+)
+GROUP BY 1, 2
+"""
+
+
+def q54_url_normalize(spark, sf_dir):
+    """URL canonicalization + host extraction over a deterministic raw
+    url synthesized from (source, doc_id) — messy casing, www., default
+    port, trailing slash, tracking query, fragment — plus the per-host
+    doc count. Pure-Catalyst regexp chain (text.normalize_url), every
+    pattern single-match so the DuckDB twin is byte-identical."""
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.pmod(F.col("doc_id"), F.lit(4)) == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.pmod(F.col("doc_id"), F.lit(5)) == 0, F.lit("?utm_source=x")).otherwise(F.lit("")),
+        F.when(F.pmod(F.col("doc_id"), F.lit(7)) == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    base = docs.select(
+        "doc_id",
+        text.normalize_url(raw).alias("url_norm"),
+        text.url_host(raw).alias("host"),
+    )
+    w = Window.partitionBy("host")
+    return base.withColumn("n_host_docs", F.count(F.lit(1)).over(w))
+
+
+Q54_SQL = r"""
+WITH raw AS (
+  SELECT doc_id,
+         'HTTPS://WWW.' || source || '.Example.COM'
+         || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+         || '/p/' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN '?utm_source=x' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END AS url
+  FROM documents
+), step AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(url, '#.*$', ''), '\?utm_[^?]*$', '') AS u
+  FROM raw
+), parts AS (
+  SELECT doc_id, u,
+         lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme,
+         regexp_replace(lower(regexp_extract(u, '^[A-Za-z]+://([^/?#]+)', 1)),
+                        '^www\.', '') AS hostport,
+         regexp_replace(regexp_extract(u, '^[A-Za-z]+://[^/?#]+([/?].*)?$', 1),
+                        '/$', '') AS rest
+  FROM step
+), norm AS (
+  SELECT doc_id,
+         scheme || '://'
+         || (CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                  ELSE regexp_replace(hostport, ':80$', '') END)
+         || rest AS url_norm,
+         regexp_replace(lower(regexp_extract(u, '^[A-Za-z]+://([^/:?#]+)', 1)),
+                        '^www\.', '') AS host
+  FROM parts
+)
+SELECT doc_id, url_norm, host,
+       CAST(count(*) OVER (PARTITION BY host) AS BIGINT) AS n_host_docs
+FROM norm
+"""
+
+
 def q46_dissolve_area(spark, sf_dir):
     """Geometric dissolve (ST_UNION GROUP BY, A6/A7) through the real
     scanline union kernel: per brand, heavily-overlapping axis-aligned
@@ -1564,4 +1655,6 @@ QUERIES: dict[str, tuple] = {
     "q50_river_crossings": (q50_river_crossings, Q50_SQL),
     "q51_dedup_clusters": (q51_dedup_clusters, _q51_sql()),
     "q52_repetition_quality": (q52_repetition_quality, Q52_SQL),
+    "q53_train_split": (q53_train_split, Q53_SQL),
+    "q54_url_normalize": (q54_url_normalize, Q54_SQL),
 }

@@ -339,3 +339,30 @@ def test_repetition_features_hand_computed(spark):
     assert got[1]["top_word_ppm"] == 750000
     assert got[2]["top_word_ppm"] == 600000
     assert got[4]["top_bigram_ppm"] == 0
+
+
+def test_normalize_url_cases(spark):
+    cases = [
+        ("HTTPS://WWW.Site.COM:443/a/b/", "https://site.com/a/b"),
+        ("http://site.com:80/x?utm_source=a#f", "http://site.com/x"),
+        ("https://site.com:8080/x", "https://site.com:8080/x"),   # non-default port kept
+        ("https://site.com/x?q=1&utm_b=2", "https://site.com/x?q=1&utm_b=2"),  # mixed query kept
+        ("https://site.com", "https://site.com"),
+        ("https://site.com/", "https://site.com"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], ["i", "url"])
+    got = {r["i"]: r["n"] for r in df.select("i", text.normalize_url(F.col("url")).alias("n")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
+
+
+def test_hash_split_stable_and_proportional(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["doc_id"])
+    out = df.select("doc_id", text.hash_split(F.col("doc_id")).alias("s"))
+    counts = {r["s"]: r["c"] for r in out.groupBy("s").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert 0.75 < counts["train"] / 2000 < 0.85
+    assert 0.06 < counts["val"] / 2000 < 0.14
+    # stable: same assignment on a re-partitioned copy
+    again = {r["doc_id"]: r["s"] for r in out.repartition(7).collect()}
+    first = {r["doc_id"]: r["s"] for r in out.collect()}
+    assert again == first
