@@ -106,45 +106,37 @@ def repetition_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     token or one phrase (boilerplate, keyword stuffing, template spam)
     get filtered on these in web-corpus curation.
 
-    Shape: two explode->count->max aggregations (word and bigram), each
-    map-side combinable on (doc, gram), joined back on the doc id —
-    three shuffles total, all on doc-ish keys, no Python anywhere.
-    Bigrams come from zip_with over two slices of the split array
-    (pure Catalyst, no posexplode/window needed).
+    Shape: ONE pass — unigrams and bigrams are tagged structs in a
+    single exploded array, so the whole operator is one scan, one
+    (doc, kind, gram) count and one per-doc aggregate: exactly two
+    shuffles, both on doc-ish keys, both map-side combinable, no joins,
+    no Python anywhere. n_words falls out as the sum of the unigram
+    counts. Bigrams come from zip_with over two slices of the split
+    array (pure Catalyst, no posexplode/window needed).
     """
     c = F.col(text_col)
     words = F.split(F.lower(F.trim(c)), r"\s+")
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        words.alias("_w"),
-        F.size(words).alias("n_words"),
+    base = df.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
+    tagged = F.expr(
+        "concat("
+        "  transform(_w, w -> struct(1 AS kind, w AS g)),"
+        "  transform("
+        "    zip_with(slice(_w, 1, greatest(size(_w) - 1, 0)),"
+        "             slice(_w, 2, greatest(size(_w) - 1, 0)),"
+        "             (a, b) -> concat(a, ' ', b)),"
+        "    w -> struct(2 AS kind, w AS g)))"
     )
-    bigrams = F.expr(
-        "zip_with(slice(_w, 1, greatest(size(_w) - 1, 0)),"
-        "         slice(_w, 2, greatest(size(_w) - 1, 0)),"
-        "         (a, b) -> concat(a, ' ', b))"
+    per_gram = (
+        base.select("doc_id", F.explode(tagged).alias("e"))
+        .groupBy("doc_id", F.col("e.kind").alias("_k"), F.col("e.g").alias("_g"))
+        .agg(F.count(F.lit(1)).alias("_c"))
     )
-
-    def top_count(grams: Column, alias: str) -> DataFrame:
-        per_gram = (
-            base.select("doc_id", F.explode(grams).alias("_g"))
-            .groupBy("doc_id", "_g")
-            .agg(F.count(F.lit(1)).alias("_c"))
-        )
-        return per_gram.groupBy("doc_id").agg(F.max("_c").alias(alias))
-
-    uni = top_count(F.col("_w"), "top_word_count")
-    bi = top_count(bigrams, "top_bigram_count")
-    out = (
-        base.select("doc_id", "n_words")
-        .join(uni, "doc_id", "left")
-        .join(bi, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("n_words").cast("long").alias("n_words"),
-            F.coalesce("top_word_count", F.lit(0)).alias("top_word_count"),
-            F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"),
-        )
+    k1 = F.when(F.col("_k") == 1, F.col("_c"))
+    k2 = F.when(F.col("_k") == 2, F.col("_c"))
+    out = per_gram.groupBy("doc_id").agg(
+        F.sum(k1).cast("long").alias("n_words"),
+        F.max(k1).alias("top_word_count"),
+        F.coalesce(F.max(k2), F.lit(0)).alias("top_bigram_count"),
     )
     return out.select(
         "*",
