@@ -32,6 +32,8 @@ HEADLINE = [
     "q31_lsh_ann",           # LSH ANN (multi-probe)
     "q33_ivf_ann",           # IVF ANN (centroid lists)
     "q34_lsh_neardup",       # LSH-bucketed near-dup pairs (scale path)
+    "q51_dedup_clusters",    # LSH pairs -> connected-components clustering
+    "q52_repetition_quality",  # Gopher-style repetition filters (one-pass)
     "q13_heat_weekly",       # period bucketing + gap fill heat series
     "q28_media_features",    # multimodal mapInPandas feature extraction
     "q40_cell_assign",       # cell index (pure Catalyst)
