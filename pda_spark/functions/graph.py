@@ -30,10 +30,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _stars(edges: DataFrame, large: bool) -> DataFrame:
+def _stars(edges: DataFrame, large: bool, dedup: bool = True) -> DataFrame:
     """One large-star (attach bigger neighbors to the local min) or
     small-star (attach smaller neighbors and self to the local min)
-    round. ``edges`` is an undirected edge list (u, v), u != v."""
+    round. ``edges`` is an undirected edge list (u, v), u != v.
+
+    ``dedup=False`` skips the output dropDuplicates (one shuffle): valid
+    whenever the consumer is another _stars round, whose min-aggregate
+    is multiplicity-insensitive. Only the per-round FINAL edge set needs
+    dedup (the convergence fingerprint hash-sums rows, so multiplicity
+    must be canonical there)."""
     sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = (
         sym.groupBy("u")
@@ -48,7 +54,8 @@ def _stars(edges: DataFrame, large: bool) -> DataFrame:
             F.col("v").alias("u"), F.col("m").alias("v")
         )
         out = smaller.union(mins.select(F.col("u"), F.col("m").alias("v")))
-    return out.filter(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
+    out = out.filter(F.col("u") != F.col("v"))
+    return out.dropDuplicates(["u", "v"]) if dedup else out
 
 
 def connected_components(
@@ -72,7 +79,7 @@ def connected_components(
     for _ in range(max_iter):
         # Lazy checkpoint: the fingerprint aggregate below is the action
         # that materializes it — one job per round, not two.
-        e = _stars(_stars(e, large=True), large=False).localCheckpoint(eager=False)
+        e = _stars(_stars(e, large=True, dedup=False), large=False).localCheckpoint(eager=False)
         # Fixed-point probe: one tiny aggregate per round, no collect of
         # the edge set itself. (count, hash-sum, min, max) is equal for
         # equal sets; a false positive needs a 64-bit hash-sum collision
