@@ -276,14 +276,20 @@ def intersects_pair(geom_a: pd.Series, geom_b: pd.Series) -> pd.Series:
     )
     out = overlap.copy()
     slow = ~(rect_a[codes_a] & rect_b[codes_b]) & overlap
-    memo: dict[tuple[bytes, bytes], bool] = {}
-    for i in np.nonzero(slow)[0]:
-        key = (ka[i], kb[i])
-        v = memo.get(key)
-        if v is None:
-            v = kernels.polys_intersect(get(ka[i]), get(kb[i]))
-            memo[key] = v
-        out[i] = v
+    slow_i = np.nonzero(slow)[0]
+    if slow_i.size:
+        # batch the non-rect refine: dedup to unique (A, B) pairs, then
+        # staged vectorized decision (grouped vertex containment, edge
+        # crossing only for the undecided remainder) — same values as
+        # the scalar kernel pair-by-pair, ~10x fewer numpy dispatches
+        pk = codes_a[slow_i].astype(np.int64) * np.int64(len(uniq_b)) + codes_b[slow_i]
+        up, inv = np.unique(pk, return_inverse=True)
+        ia = (up // len(uniq_b)).astype(np.int64)
+        ib = (up % len(uniq_b)).astype(np.int64)
+        ga_list = [get(b) for b in uniq_a]
+        gb_list = [get(b) for b in uniq_b]
+        res_u = kernels.polys_intersect_batch(ga_list, gb_list, ia, ib)
+        out[slow_i] = res_u[inv]
     return pd.Series(out)
 
 

@@ -419,3 +419,104 @@ def union_intersection_area(target: wkb.Geom, others: list[wkb.Geom], max_exact:
 
     rec(0, tring, 0)
     return total
+
+
+def polys_intersect_batch(
+    ga_list: list[wkb.Geom], gb_list: list[wkb.Geom], ia: np.ndarray, ib: np.ndarray
+) -> np.ndarray:
+    """Batched ST_Intersects over UNIQUE candidate pairs
+    ``(ga_list[ia[k]], gb_list[ib[k]])`` — same decision values as
+    ``polys_intersect`` pair-by-pair (same PIP / crossing primitives on
+    the same arrays), restructured so a batch of thousands of pairs does
+    a handful of large numpy calls instead of thousands of small ones:
+
+    1. bbox reject (vectorized);
+    2. grouped vertex containment — ONE ray-cast per distinct polygon
+       against the concatenated outer-ring vertices of every partner it
+       is paired with (``np.add.reduceat`` recovers per-pair "any");
+    3. per-pair edge crossing only for still-undecided pairs (pairs that
+       neither contain a partner vertex nor are bbox-disjoint — rare in
+       footprint data).
+
+    Non-polygonal operands (points/lines) fall back to the scalar
+    kernel per pair.
+    """
+    n = len(ia)
+    out = np.zeros(n, dtype=bool)
+    if n == 0:
+        return out
+    gt_a = np.array([g.gtype for g in ga_list], dtype=np.int64)
+    gt_b = np.array([g.gtype for g in gb_list], dtype=np.int64)
+    is_pg_a = (gt_a == wkb.POLYGON) | (gt_a == wkb.MULTIPOLYGON)
+    is_pg_b = (gt_b == wkb.POLYGON) | (gt_b == wkb.MULTIPOLYGON)
+    pg_pair = is_pg_a[ia] & is_pg_b[ib]
+
+    for k in np.nonzero(~pg_pair)[0]:
+        out[k] = polys_intersect(ga_list[ia[k]], gb_list[ib[k]])
+
+    alive = np.nonzero(pg_pair)[0]
+    if alive.size == 0:
+        return out
+
+    bb_a = np.array([bbox(g) for g in ga_list])
+    bb_b = np.array([bbox(g) for g in gb_list])
+    A = bb_a[ia[alive]]
+    B = bb_b[ib[alive]]
+    overlap = (A[:, 0] <= B[:, 2]) & (B[:, 0] <= A[:, 2]) & (A[:, 1] <= B[:, 3]) & (B[:, 1] <= A[:, 3])
+    alive = alive[overlap]  # bbox-disjoint pairs stay False, decided
+    if alive.size == 0:
+        return out
+
+    # per-unique-geometry tables (outer-ring vertices; lazily built)
+    overts_a: dict[int, np.ndarray] = {}
+    overts_b: dict[int, np.ndarray] = {}
+
+    def outer(gl, cache, j):
+        v = cache.get(j)
+        if v is None:
+            v = np.concatenate([rings[0] for rings in gl[j].polygons()])
+            cache[j] = v
+        return v
+
+    def contain_stage(group_of, vert_side_idx, vert_gl, vert_cache, poly_gl, poly_side_idx, live):
+        """any(outer vertex of vert side in poly side), grouped by the
+        poly side's unique geometry; returns bool array over ``live``."""
+        hit = np.zeros(live.size, dtype=bool)
+        order = np.argsort(group_of[live], kind="stable")
+        lv = live[order]
+        gcodes = group_of[lv]
+        starts = np.nonzero(np.r_[True, gcodes[1:] != gcodes[:-1]])[0]
+        for s, e in zip(starts, np.r_[starts[1:], gcodes.size]):
+            pj = gcodes[s]
+            ks = lv[s:e]
+            vlists = [outer(vert_gl, vert_cache, j) for j in vert_side_idx[ks]]
+            lens = np.array([len(v) for v in vlists])
+            ins = points_in_polygons(np.concatenate(vlists), poly_gl[pj].polygons())
+            offs = np.r_[0, np.cumsum(lens[:-1])]
+            hit[order[s:e]] = np.add.reduceat(ins, offs) > 0
+        return hit
+
+    h1 = contain_stage(ib, ia, ga_list, overts_a, gb_list, ib, alive)
+    out[alive[h1]] = True
+    alive = alive[~h1]
+    if alive.size:
+        h2 = contain_stage(ia, ib, gb_list, overts_b, ga_list, ia, alive)
+        out[alive[h2]] = True
+        alive = alive[~h2]
+
+    # stage 3: per-pair edge crossing (cache edge arrays per unique geom)
+    edges_a: dict[int, tuple] = {}
+    edges_b: dict[int, tuple] = {}
+
+    def edges_of(gl, cache, j):
+        v = cache.get(j)
+        if v is None:
+            v = _edges([r for rings in gl[j].polygons() for r in rings])
+            cache[j] = v
+        return v
+
+    for k in alive:
+        ea0, ea1 = edges_of(ga_list, edges_a, ia[k])
+        eb0, eb1 = edges_of(gb_list, edges_b, ib[k])
+        out[k] = _segments_cross(ea0, ea1, eb0, eb1)
+    return out

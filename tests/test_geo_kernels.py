@@ -284,3 +284,34 @@ def test_line_intersects_kernel():
     g = wkb.decode(mls)
     assert g.gtype == wkb.MULTILINESTRING and len(g.lines()) == 2
     assert kernels.polys_intersect(g, box)
+
+
+def test_polys_intersect_batch_parity_random():
+    """Batched staged refine decides exactly like the scalar kernel on
+    irregular (non-rect) polygons, dense and sparse, plus lineal
+    fallback operands."""
+    import numpy as np
+
+    from pda_spark.geo import kernels, wkb
+
+    rng = np.random.default_rng(123)
+
+    def rand_poly(cx, cy, r, nv):
+        ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        rad = r * rng.uniform(0.4, 1.0, nv)
+        ring = np.column_stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)])
+        return wkb.decode(wkb.polygon([np.vstack([ring, ring[:1]])]))
+
+    ga = [rand_poly(rng.uniform(0, 3), rng.uniform(0, 3), 0.7, int(rng.integers(5, 12))) for _ in range(120)]
+    gb = [rand_poly(rng.uniform(0, 3), rng.uniform(0, 3), 0.7, int(rng.integers(5, 12))) for _ in range(120)]
+    gl = [
+        wkb.decode(wkb.linestring(rng.uniform(0, 3, (3, 2))))
+        for _ in range(30)
+    ]
+    mixed = ga[:90] + gl
+    ia = rng.integers(0, 120, 3000).astype(np.int64)
+    ib = rng.integers(0, 120, 3000).astype(np.int64)
+    batch = kernels.polys_intersect_batch(mixed, gb, ia, ib)
+    scalar = np.array([kernels.polys_intersect(mixed[i], gb[j]) for i, j in zip(ia, ib)])
+    assert (batch == scalar).all()
+    assert 0 < batch.sum() < len(ia)  # non-trivial on both sides
