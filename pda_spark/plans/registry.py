@@ -575,7 +575,12 @@ def q26_minhash(spark, sf_dir):
     return dedup.minhash_signatures(docs, "doc_id", k=_JACCARD_K, n_hashes=_MINHASH_N)
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(src: str | None = None) -> str:
+    """DuckDB minhash-signature fragment; ``src`` overrides the FROM
+    clause (must expose doc_id, text) so pipeline oracles (q56) can
+    compute signatures over an intermediate CTE instead of the table."""
+    if src is None:
+        src = f"documents WHERE doc_id < {_JACCARD_LIMIT}"
     coeffs = dedup.minhash_coeffs(_MINHASH_N, seed=42)
     mins = ", ".join(
         f"min((({a % 4096} * h + {b % (1 << 50)}) % {dedup.MINHASH_PRIME})) AS mh_{i}"
@@ -584,7 +589,7 @@ def _minhash_sql() -> str:
     return rf"""
 WITH norm AS (
   SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-  FROM documents WHERE doc_id < {_JACCARD_LIMIT}
+  FROM {src}
 ), sh AS (
   SELECT DISTINCT doc_id,
          ('0x' || substring(md5(unnest([substring(t, i, {_JACCARD_K})
@@ -1481,6 +1486,151 @@ FROM norm
 """
 
 
+_SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+def q55_sessionize(spark, sf_dir):
+    """Sessionization (gaps-and-islands over the event stream): a new
+    session starts after a >30 min silence per user; output is one row
+    per session with event count and micro-second-exact bounds. One
+    shuffle on user_id, two streaming window passes, one partial-agg
+    group — the canonical clickstream shape at any scale. Epoch
+    MICROSECONDS throughout (unix_micros / epoch_us) so both engines
+    compare exact integers — no seconds-truncation divergence."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    # ts is TIMESTAMP_NTZ in the parquet; session TZ is pinned UTC
+    # (session.py), so the cast is an exact epoch reinterpretation that
+    # matches DuckDB's epoch_us over the same naive value
+    e = ev.select(
+        "user_id", "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    lag = F.lag("us").over(w)
+    new_sess = (lag.isNull() | ((F.col("us") - lag) > _SESSION_GAP_US)).cast("long")
+    s = e.withColumn("session_no", F.sum(new_sess).over(w))
+    return s.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("sess_start_us"),
+        F.max("us").alias("sess_end_us"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+    )
+
+
+Q55_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+), f AS (
+  SELECT user_id, us, event_id,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > {_SESSION_GAP_US} THEN 1 ELSE 0 END AS nf
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), s AS (
+  SELECT user_id, us,
+         CAST(sum(nf) OVER (PARTITION BY user_id ORDER BY us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+  FROM f
+)
+SELECT user_id, session_no,
+       count(*) AS n_events,
+       min(us) AS sess_start_us,
+       max(us) AS sess_end_us,
+       max(us) - min(us) AS duration_us
+FROM s GROUP BY user_id, session_no
+"""
+
+
+def q56_curation_pipeline(spark, sf_dir):
+    """End-to-end corpus curation — the composition a real training-data
+    run executes, as ONE lazy DAG plus the CC driver loop:
+
+      quality filter (n_words >= 25, top-word <= 150000 ppm)
+        -> exact dedup (keep min doc_id per normalized-text fingerprint)
+        -> near-dup clustering (MinHash-LSH pairs -> connected
+           components), keep the cluster representative
+        -> deterministic hash split
+        -> per (split, lang) corpus counts.
+
+    The DuckDB oracle replays every stage including the recursive-CTE
+    component resolution, so the whole pipeline — not just each operator
+    in isolation — is value-verified."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < _JACCARD_LIMIT)
+    rep = text.repetition_features(docs)
+    qual = rep.filter((F.col("n_words") >= 25) & (F.col("top_word_ppm") <= 150000)).select(
+        "doc_id"
+    )
+    survivors = docs.join(qual, "doc_id")
+    fp = survivors.withColumn("fp", text.fingerprint(F.col("text")))
+    wfp = Window.partitionBy("fp")
+    exact = (
+        fp.withColumn("_mn", F.min("doc_id").over(wfp))
+        .filter(F.col("doc_id") == F.col("_mn"))
+        .drop("_mn", "fp")
+    )
+    pairs = dedup.minhash_lsh_candidates(
+        exact, "doc_id", k=_JACCARD_K, n_hashes=_MINHASH_N, bands=2, seed=42
+    )
+    labels = graph.dedup_cluster_labels(exact, pairs)
+    keep = labels.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    final = keep.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "lang", text.hash_split(F.col("doc_id")).alias("split")
+    )
+    return final.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _q56_sql() -> str:
+    sig_over_exact = _minhash_sql("ex JOIN documents USING (doc_id)")
+    return rf"""
+WITH RECURSIVE
+docs0 AS (SELECT doc_id, text, lang FROM documents WHERE doc_id < {_JACCARD_LIMIT}),
+wl AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l FROM docs0),
+uc AS (
+  SELECT doc_id, max(c) AS twc FROM (
+    SELECT doc_id, count(*) AS c
+    FROM (SELECT doc_id, unnest(l) AS g FROM wl) GROUP BY doc_id, g
+  ) GROUP BY doc_id
+),
+qual AS (
+  SELECT wl.doc_id FROM wl JOIN uc USING (doc_id)
+  WHERE len(l) >= 25 AND floor(1000000.0 * twc / len(l)) <= 150000
+),
+fp AS (
+  SELECT d.doc_id, md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')) AS f
+  FROM docs0 d JOIN qual USING (doc_id)
+),
+ex AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS mn FROM fp
+  ) WHERE doc_id = mn
+),
+sig AS (SELECT * FROM ({sig_over_exact})),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS s, b.doc_id AS d
+  FROM sig a JOIN sig b
+    ON a.doc_id < b.doc_id
+   AND ((a.mh_0 = b.mh_0 AND a.mh_1 = b.mh_1)
+     OR (a.mh_2 = b.mh_2 AND a.mh_3 = b.mh_3))
+),
+edges AS (SELECT s, d FROM pairs UNION ALL SELECT d, s FROM pairs),
+walk(id, lab) AS (
+  SELECT doc_id, doc_id FROM ex
+  UNION
+  SELECT e.d, w.lab FROM walk w JOIN edges e ON e.s = w.id
+),
+comp AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM walk GROUP BY id),
+keep AS (SELECT doc_id FROM comp WHERE doc_id = cluster_id),
+final AS (
+  SELECT d.lang,
+         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+           ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100 AS b
+    FROM keep
+  ) JOIN docs0 d USING (doc_id)
+)
+SELECT split, lang, count(*) AS n_docs FROM final GROUP BY 1, 2
+"""
+
+
 def q46_dissolve_area(spark, sf_dir):
     """Geometric dissolve (ST_UNION GROUP BY, A6/A7) through the real
     scanline union kernel: per brand, heavily-overlapping axis-aligned
@@ -1657,4 +1807,6 @@ QUERIES: dict[str, tuple] = {
     "q52_repetition_quality": (q52_repetition_quality, Q52_SQL),
     "q53_train_split": (q53_train_split, Q53_SQL),
     "q54_url_normalize": (q54_url_normalize, Q54_SQL),
+    "q55_sessionize": (q55_sessionize, Q55_SQL),
+    "q56_curation_pipeline": (q56_curation_pipeline, _q56_sql()),
 }
