@@ -1,0 +1,96 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and interval
+(range) join — expressed as shuffle-bounded DataFrame compositions, not
+driver-side loops or per-key pandas merges.
+
+Scale notes (100 TB):
+- ``asof_join`` is ONE shuffle on the key: tag both streams, union,
+  window-fill the right side's values forward in (ts, tag) order, keep
+  the left rows. No join fan-out at all, no state beyond the running
+  window; hot keys salt like any window partition (or pre-split by time
+  range when one entity dominates).
+- ``interval_join`` buckets time: intervals explode to the buckets they
+  cover, facts land in exactly one bucket, the equi-join on bucket id
+  replaces the BroadcastNestedLoop a naive theta join degenerates to.
+  Each (fact, interval) candidate appears exactly once (a fact has one
+  bucket), so no pair dedup is needed. Bucket width trades fan-out for
+  candidate precision exactly like the spatial cell index (geo/cells).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Backward (inclusive) as-of join: each left row is annotated with
+    ``right_cols`` from the LATEST right row with ``right.ts <= left.ts``
+    within the same ``by`` keys — the semantics of DuckDB/kdb ASOF JOIN
+    and pandas merge_asof(direction='backward'). Rows with no preceding
+    right row get nulls.
+
+    Right rows must be unique per (by, ts) — with duplicates the winner
+    is undefined (same caveat as DuckDB ASOF JOIN); pre-dedup with a
+    row_number if needed.
+    """
+    left_other = [c for c in left.columns if c not in by and c != ts]
+    lu = left.select(
+        *by,
+        ts,
+        *left_other,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
+        F.lit(1).alias("_is_left"),
+    )
+    ru = right.select(
+        *by,
+        ts,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_other],
+        *right_cols,
+        F.lit(0).alias("_is_left"),
+    )
+    u = lu.unionByName(ru)
+    # right rows sort BEFORE left rows at equal ts (tag 0 < 1), so the
+    # inclusive <= semantics falls out of the running window
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(ts, "_is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in right_cols:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return u.filter(F.col("_is_left") == 1).drop("_is_left")
+
+
+def interval_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    ts: str = "us",
+    start: str = "start_us",
+    end: str = "end_us",
+    bucket: int = 3_600_000_000,
+    broadcast_intervals: bool = True,
+) -> DataFrame:
+    """Facts joined to every interval containing them
+    (``start <= ts <= end``), via a time-bucket equi-join + exact refine
+    instead of the theta join Spark would plan as a nested loop.
+
+    ``bucket`` is in the ts unit (default 1 h in microseconds); choose
+    it near the typical interval length so the per-interval explode
+    fan-out stays O(1).
+    """
+    ib = intervals.withColumn(
+        "_b", F.explode(F.sequence(F.expr(f"{start} DIV {bucket}"), F.expr(f"{end} DIV {bucket}")))
+    )
+    fb = facts.withColumn("_b", F.expr(f"{ts} DIV {bucket}"))
+    rhs = F.broadcast(ib) if broadcast_intervals else ib
+    return (
+        fb.join(rhs, "_b")
+        .filter((F.col(start) <= F.col(ts)) & (F.col(ts) <= F.col(end)))
+        .drop("_b")
+    )

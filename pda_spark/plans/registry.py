@@ -1631,6 +1631,91 @@ SELECT split, lang, count(*) AS n_docs FROM final GROUP BY 1, 2
 """
 
 
+def _events_us(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
+
+
+def q57_asof_join(spark, sf_dir):
+    """As-of join (operators/temporal.py): each purchase event gets the
+    value of the user's LATEST preceding view event — one shuffle on the
+    key, union + window forward-fill, no join fan-out. The oracle is
+    DuckDB's NATIVE ASOF LEFT JOIN, i.e. an independent reference
+    implementation of the semantics, not a transcription of ours."""
+    from pda_spark.operators import temporal
+
+    e = _events_us(spark, sf_dir)
+    quotes = e.filter(F.col("event_type") == "view").select(
+        "user_id", "us", F.col("value").alias("quote_value")
+    )
+    trades = e.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "us")
+    j = temporal.asof_join(trades, quotes, by=["user_id"], ts="us", right_cols=["quote_value"])
+    return j.select(
+        "event_id", "user_id", "us", F.coalesce("quote_value", F.lit(-1.0)).alias("quote_value")
+    )
+
+
+Q57_SQL = """
+WITH e AS (SELECT *, epoch_us(ts) AS us FROM events),
+q AS (SELECT user_id, us, value AS quote_value FROM e WHERE event_type = 'view'),
+t AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'purchase')
+SELECT t.event_id, t.user_id, t.us,
+       coalesce(q.quote_value, -1.0) AS quote_value
+FROM t ASOF LEFT JOIN q ON t.user_id = q.user_id AND t.us >= q.us
+"""
+
+
+def q58_interval_join(spark, sf_dir):
+    """Interval (range) join via the time-bucket equi-join
+    (operators/temporal.py) — the temporal sibling of the spatial cell
+    index, replacing the BroadcastNestedLoop a raw theta join plans.
+    25 maintenance windows are derived arithmetically from the nation
+    table anchored at the events' min timestamp; output is per-window
+    event count + value sum. Oracle runs the naive theta join."""
+    from pda_spark.operators import temporal
+
+    e = _events_us(spark, sf_dir).select("event_id", "us", "value")
+    t0 = e.agg(F.min("us").alias("t0"))
+    n = _t(spark, sf_dir, "nation")
+    wins = (
+        n.crossJoin(F.broadcast(t0))
+        .select(
+            F.col("n_nationkey").alias("win_id"),
+            (F.col("t0") + F.col("n_nationkey") * F.lit(7_200_000_000)).alias("start_us"),
+        )
+        .withColumn(
+            "end_us",
+            F.col("start_us")
+            + (F.pmod(F.col("win_id"), F.lit(5)) + 1) * F.lit(1_800_000_000).cast("long"),
+        )
+    )
+    j = temporal.interval_join(e, wins, ts="us", start="start_us", end="end_us")
+    # value is 2-decimal money: per-row exact cents, then a LONG sum —
+    # a double sum's partial-agg order differs between engines and
+    # value*N sits on integer boundaries where ulp drift flips floor()
+    cents = F.round(F.col("value") * 100).cast("long")
+    return j.groupBy("win_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents).alias("sum_value_cents"),
+    )
+
+
+Q58_SQL = """
+WITH e AS (SELECT event_id, epoch_us(ts) AS us, value FROM events),
+t0 AS (SELECT min(us) AS t0 FROM e),
+wins AS (
+  SELECT n_nationkey AS win_id,
+         t0 + n_nationkey * 7200000000 AS start_us,
+         t0 + n_nationkey * 7200000000 + ((n_nationkey % 5) + 1) * CAST(1800000000 AS BIGINT) AS end_us
+  FROM nation, t0
+)
+SELECT win_id, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM e JOIN wins ON start_us <= us AND us <= end_us
+GROUP BY win_id
+"""
+
+
 def q46_dissolve_area(spark, sf_dir):
     """Geometric dissolve (ST_UNION GROUP BY, A6/A7) through the real
     scanline union kernel: per brand, heavily-overlapping axis-aligned
@@ -1809,4 +1894,6 @@ QUERIES: dict[str, tuple] = {
     "q54_url_normalize": (q54_url_normalize, Q54_SQL),
     "q55_sessionize": (q55_sessionize, Q55_SQL),
     "q56_curation_pipeline": (q56_curation_pipeline, _q56_sql()),
+    "q57_asof_join": (q57_asof_join, Q57_SQL),
+    "q58_interval_join": (q58_interval_join, Q58_SQL),
 }

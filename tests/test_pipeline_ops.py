@@ -366,3 +366,41 @@ def test_hash_split_stable_and_proportional(spark):
     again = {r["doc_id"]: r["s"] for r in out.repartition(7).collect()}
     first = {r["doc_id"]: r["s"] for r in out.collect()}
     assert again == first
+
+
+def test_asof_join_hand_computed(spark):
+    from pda_spark.operators import temporal
+
+    quotes = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 20, 2.0), (1, 30, 3.0), (2, 15, 9.0)],
+        ["k", "us", "v"],
+    )
+    trades = spark.createDataFrame(
+        [(1, 5, "a"), (1, 10, "b"), (1, 25, "c"), (1, 30, "d"), (2, 14, "e"), (3, 99, "f")],
+        ["k", "us", "tid"],
+    )
+    out = {r["tid"]: r["v"] for r in temporal.asof_join(trades, quotes, ["k"], "us", ["v"]).collect()}
+    assert out["a"] is None          # before any quote
+    assert out["b"] == 1.0           # inclusive at equal ts
+    assert out["c"] == 2.0
+    assert out["d"] == 3.0
+    assert out["e"] is None
+    assert out["f"] is None          # key with no quotes at all
+
+
+def test_interval_join_hand_computed(spark):
+    from pda_spark.operators import temporal
+
+    facts = spark.createDataFrame([(i, i * 100) for i in range(10)], ["fid", "us"])
+    wins = spark.createDataFrame(
+        [(1, 0, 250), (2, 240, 900), (3, 5000, 6000)], ["win_id", "start_us", "end_us"]
+    )
+    out = temporal.interval_join(facts, wins, bucket=300).collect()
+    got = sorted((r["fid"], r["win_id"]) for r in out)
+    want = sorted(
+        [(f, w) for f in range(10) for (w, s, e) in [(1, 0, 250), (2, 240, 900), (3, 5000, 6000)]
+         if s <= f * 100 <= e]
+    )
+    assert got == want
+    # boundary inclusivity both ends
+    assert (0, 1) in got and (9, 2) in got
