@@ -1716,6 +1716,76 @@ GROUP BY win_id
 """
 
 
+def q59_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: exactly 20 docs per lang,
+    chosen by md5-hash order (stable under re-partitioning and re-runs,
+    unlike rand()-based sampleBy) — how an over-represented language
+    gets down-weighted reproducibly in corpus assembly. Window top-k per
+    stratum; at scale the per-stratum heap (WindowGroupLimit) keeps it
+    one shuffle, no global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    h = dedup.hex_to_long(F.md5(F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+Q59_SQL = """
+SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT, doc_id
+         ) AS rk
+  FROM documents
+) WHERE rk <= 20
+"""
+
+
+def q60_vocabulary(spark, sf_dir):
+    """Corpus vocabulary building: global word counts, top 50 by
+    (count desc, word) with document frequency — the explode-heavy
+    aggregation every tokenizer-training / corpus-stats pass runs. Two
+    map-side-combinable shuffles on the word, then a 50-row window
+    limit."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    )
+    counts = toks.groupBy("w").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    # distributed top-k (TakeOrderedAndProject) FIRST — a global
+    # row_number over the full vocabulary would drag every word into one
+    # partition; ranking only the 50 survivors is free
+    top = counts.orderBy(F.col("n_occurrences").desc(), F.col("w").asc()).limit(50)
+    win = Window.orderBy(F.col("n_occurrences").desc(), F.col("w").asc())
+    return top.select(
+        "w", "n_occurrences", "n_docs", F.row_number().over(win).cast("long").alias("rk")
+    )
+
+
+Q60_SQL = r"""
+SELECT w, n_occurrences, n_docs, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT w, n_occurrences, n_docs,
+         row_number() OVER (ORDER BY n_occurrences DESC, w) AS rk
+  FROM (
+    SELECT w, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+    FROM (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      FROM documents
+    ) GROUP BY w
+  )
+) WHERE rk <= 50
+"""
+
+
 def q46_dissolve_area(spark, sf_dir):
     """Geometric dissolve (ST_UNION GROUP BY, A6/A7) through the real
     scanline union kernel: per brand, heavily-overlapping axis-aligned
@@ -1896,4 +1966,6 @@ QUERIES: dict[str, tuple] = {
     "q56_curation_pipeline": (q56_curation_pipeline, _q56_sql()),
     "q57_asof_join": (q57_asof_join, Q57_SQL),
     "q58_interval_join": (q58_interval_join, Q58_SQL),
+    "q59_stratified_sample": (q59_stratified_sample, Q59_SQL),
+    "q60_vocabulary": (q60_vocabulary, Q60_SQL),
 }
