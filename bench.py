@@ -34,6 +34,10 @@ HEADLINE = [
     "q34_lsh_neardup",       # LSH-bucketed near-dup pairs (scale path)
     "q51_dedup_clusters",    # LSH pairs -> connected-components clustering
     "q52_repetition_quality",  # Gopher-style repetition filters (one-pass)
+    "q55_sessionize",        # gaps-and-islands sessions (events)
+    "q57_asof_join",         # as-of join (union + window fill)
+    "q58_interval_join",     # range join via time buckets
+    "q60_vocabulary",        # corpus vocab top-k (explode-agg)
     "q13_heat_weekly",       # period bucketing + gap fill heat series
     "q28_media_features",    # multimodal mapInPandas feature extraction
     "q40_cell_assign",       # cell index (pure Catalyst)

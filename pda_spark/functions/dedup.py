@@ -120,6 +120,12 @@ def ngram_jaccard_pairs(
     # self-join on h -> one pair aggregation.
     sets = doc_shingle_sets(df, id_col, text_col, k)
     sh = sets.select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("h"))
+    # Persist the exploded shingle table: the self-join references it
+    # twice and the hot-shingle doc-frequency aggregate a third time —
+    # without this the codegen'd shingling (the expensive string leg)
+    # executes once per reference. At cluster scale this is the shingle
+    # index you would persist anyway.
+    sh = sh.persist()
     if max_doc_freq is not None:
         # the HOT set (df > cap) is small by construction (boilerplate
         # only) -> broadcast anti-join; never materialize the rare set
