@@ -26,6 +26,17 @@ AUDITED = [
     "q34_lsh_neardup",
     "q46_dissolve_area",
     "q48_river_intersects",
+    "q49_river_length",
+    "q50_river_crossings",
+    "q52_repetition_quality",
+    "q53_train_split",
+    "q54_url_normalize",
+    "q55_sessionize",
+    "q56_curation_pipeline",
+    "q57_asof_join",
+    "q58_interval_join",
+    "q59_stratified_sample",
+    "q60_vocabulary",
 ]
 
 
