@@ -440,3 +440,30 @@ def cell_of_xy_expr(lon_col, lat_col, res: int):
     ix = F.least(F.greatest(F.floor((lon_col + 180.0) / 360.0 * n), F.lit(0)), n - 1).cast("long")
     iy = F.least(F.greatest(F.floor((lat_col + 90.0) / 180.0 * n), F.lit(0)), n - 1).cast("long")
     return (F.lit(res).cast("long") * F.lit(1 << 58).cast("long")) + F.shiftleft(ix, 29) + iy
+
+
+@pandas_udf(T.BinaryType())
+def simplify_geom(geom: pd.Series, tol: pd.Series) -> pd.Series:
+    """ST_Simplify (Douglas-Peucker, kernels.dp_simplify): per-polyline /
+    per-ring, with a ring-collapse guard. tol in geometry units."""
+    get = _decode_cache()
+    out = []
+    for buf, t in zip(geom, tol):
+        out.append(wkb.encode(kernels.simplify_geom(get(buf), float(t))))
+    return pd.Series(out)
+
+
+@pandas_udf(T.LongType())
+def num_points(geom: pd.Series) -> pd.Series:
+    """ST_NPoints: total vertex count over all parts/rings."""
+    get = _decode_cache()
+    out = np.zeros(len(geom), dtype=np.int64)
+    for i, buf in enumerate(geom):
+        g = get(buf)
+        if g.gtype in (wkb.LINESTRING, wkb.MULTILINESTRING):
+            out[i] = sum(len(ln) for ln in g.lines())
+        elif g.gtype in (wkb.POLYGON, wkb.MULTIPOLYGON):
+            out[i] = sum(len(r) for rings in g.polygons() for r in rings)
+        else:
+            out[i] = len(g.points())
+    return pd.Series(out)

@@ -520,3 +520,61 @@ def polys_intersect_batch(
         eb0, eb1 = edges_of(gb_list, edges_b, ib[k])
         out[k] = _segments_cross(ea0, ea1, eb0, eb1)
     return out
+
+
+def dp_simplify(pts: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker polyline simplification (iterative stack, no
+    recursion depth limit). Keeps endpoints; a vertex survives iff its
+    distance to the current anchor segment exceeds ``tol``. For a CLOSED
+    ring pass the full ring (first == last): the zero-length anchor
+    segment degenerates to distance-from-ring[0], which keeps the
+    farthest vertex first — exactly the split-at-farthest-vertex scheme
+    GEOS uses for rings."""
+    n = len(pts)
+    if n <= 2:
+        return pts.copy()
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        seg = pts[j] - pts[i]
+        l2 = float(seg @ seg)
+        sub = pts[i + 1 : j]
+        if l2 == 0.0:
+            d2 = ((sub - pts[i]) ** 2).sum(axis=1)
+        else:
+            t = np.clip((sub - pts[i]) @ seg / l2, 0.0, 1.0)
+            proj = pts[i] + t[:, None] * seg
+            d2 = ((sub - proj) ** 2).sum(axis=1)
+        k = int(np.argmax(d2))
+        if d2[k] > tol * tol:
+            ki = i + 1 + k
+            keep[ki] = True
+            stack.append((i, ki))
+            stack.append((ki, j))
+    return pts[keep]
+
+
+def simplify_geom(g: wkb.Geom, tol: float) -> wkb.Geom:
+    """ST_Simplify over any supported geometry: DP per polyline / per
+    ring. A ring that would collapse below 4 points (triangle + closure)
+    is returned unsimplified (ST_SimplifyPreserveTopology-ish guard)."""
+    if g.gtype in (wkb.POINT, wkb.MULTIPOINT):
+        return g
+    if g.gtype in (wkb.LINESTRING, wkb.MULTILINESTRING):
+        lines = [dp_simplify(ln, tol) for ln in g.lines()]
+        if g.gtype == wkb.LINESTRING:
+            return wkb.Geom(wkb.LINESTRING, [lines[0]])
+        return wkb.Geom(wkb.MULTILINESTRING, [[ln] for ln in lines])
+
+    def ring_ok(r):
+        s = dp_simplify(r, tol)
+        return s if len(s) >= 4 else r
+
+    polys = [[ring_ok(r) for r in rings] for rings in g.polygons()]
+    if g.gtype == wkb.POLYGON:
+        return wkb.Geom(wkb.POLYGON, polys[0])
+    return wkb.Geom(wkb.MULTIPOLYGON, polys)

@@ -171,6 +171,26 @@ def multipolygon(polys: list[list[np.ndarray]]) -> bytes:
     return struct.pack("<BII", 1, MULTIPOLYGON, len(polys)) + body
 
 
+def multilinestring(lines: list[np.ndarray]) -> bytes:
+    body = b"".join(linestring(ln) for ln in lines)
+    return struct.pack("<BII", 1, MULTILINESTRING, len(lines)) + body
+
+
+def encode(g: Geom) -> bytes:
+    """Geom -> little-endian WKB (inverse of decode for supported kinds)."""
+    if g.gtype == POINT:
+        return points_vec(g.parts[0][:, 0][:1], g.parts[0][:, 1][:1])[0]
+    if g.gtype == LINESTRING:
+        return linestring(g.parts[0])
+    if g.gtype == MULTILINESTRING:
+        return multilinestring([p[0] for p in g.parts])
+    if g.gtype == POLYGON:
+        return polygon(g.parts)
+    if g.gtype == MULTIPOLYGON:
+        return multipolygon(g.parts)
+    raise ValueError(f"encode: unsupported gtype {g.gtype}")
+
+
 def close_ring(ring: np.ndarray) -> np.ndarray:
     ring = np.asarray(ring, dtype=np.float64)
     if len(ring) == 0 or (ring[0] == ring[-1]).all():

@@ -1786,6 +1786,71 @@ SELECT w, n_occurrences, n_docs, CAST(rk AS BIGINT) AS rk FROM (
 """
 
 
+@pandas_udf(T.BinaryType())
+def _mk_staircase_dense(ax: pd.Series, ay: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
+    """The q48 H-V-H staircase with a redundant COLLINEAR midpoint on
+    each segment (7 vertices) — the DP-simplify fixture."""
+    import numpy as np
+
+    out = []
+    for a, b, ww, hh in zip(ax, ay, w, h):
+        pts = np.array(
+            [
+                [a, b],
+                [a + ww / 2, b],
+                [a + ww, b],
+                [a + ww, b + hh / 2],
+                [a + ww, b + hh],
+                [a + 1.5 * ww, b + hh],
+                [a + 2 * ww, b + hh],
+            ]
+        )
+        out.append(W.linestring(pts))
+    return pd.Series(out)
+
+
+def q61_simplify(spark, sf_dir):
+    """ST_Simplify (Douglas-Peucker, kernels.dp_simplify) through the
+    gate: rivers densified with exactly-collinear midpoints must
+    simplify back to their 4 corners — vertex counts before/after plus
+    the post-simplify ST_Length. The oracle knows the exact answer
+    arithmetically (collinear points have deviation exactly 0, corners
+    exceed any tol < min(w,|h|)/2), including the bit-exact length sqrt
+    chain of the simplified segments."""
+    rivers = _rivers(spark, sf_dir).withColumn(
+        "dense_geom", _mk_staircase_dense(F.col("ax"), F.col("ay"), F.col("w"), F.col("h"))
+    )
+    simp = rivers.withColumn(
+        "simple_geom", geo_udfs.simplify_geom(F.col("dense_geom"), F.lit(1e-9))
+    )
+    return simp.select(
+        "river_id",
+        geo_udfs.num_points(F.col("dense_geom")).alias("n_pts_before"),
+        geo_udfs.num_points(F.col("simple_geom")).alias("n_pts_after"),
+        geo_udfs.line_length_planar(F.col("simple_geom")).alias("length_deg"),
+    )
+
+
+Q61_SQL = f"""
+WITH rivers AS ({_RIVERS_SQL}),
+p AS (
+  SELECT river_id,
+         ax AS x0, ay AS y0,
+         ax + w AS x1, ay AS y1,
+         ax + w AS x2, ay + h AS y2,
+         ax + 2 * w AS x3, ay + h AS y3
+  FROM rivers
+)
+SELECT river_id,
+       CAST(7 AS BIGINT) AS n_pts_before,
+       CAST(4 AS BIGINT) AS n_pts_after,
+       sqrt((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0))
+     + sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))
+     + sqrt((x3 - x2) * (x3 - x2) + (y3 - y2) * (y3 - y2)) AS length_deg
+FROM p
+"""
+
+
 def q46_dissolve_area(spark, sf_dir):
     """Geometric dissolve (ST_UNION GROUP BY, A6/A7) through the real
     scanline union kernel: per brand, heavily-overlapping axis-aligned
@@ -1968,4 +2033,5 @@ QUERIES: dict[str, tuple] = {
     "q58_interval_join": (q58_interval_join, Q58_SQL),
     "q59_stratified_sample": (q59_stratified_sample, Q59_SQL),
     "q60_vocabulary": (q60_vocabulary, Q60_SQL),
+    "q61_simplify": (q61_simplify, Q61_SQL),
 }

@@ -315,3 +315,34 @@ def test_polys_intersect_batch_parity_random():
     scalar = np.array([kernels.polys_intersect(mixed[i], gb[j]) for i, j in zip(ia, ib)])
     assert (batch == scalar).all()
     assert 0 < batch.sum() < len(ia)  # non-trivial on both sides
+
+
+def test_dp_simplify_properties():
+    import numpy as np
+
+    from pda_spark.geo import kernels, wkb
+
+    rng = np.random.default_rng(5)
+    # property: every dropped vertex is within tol of the simplified chain
+    for _ in range(20):
+        n = int(rng.integers(5, 40))
+        pts = np.cumsum(rng.normal(0, 1, (n, 2)), axis=0)
+        tol = float(rng.uniform(0.05, 2.0))
+        out = kernels.dp_simplify(pts, tol)
+        assert (out[0] == pts[0]).all() and (out[-1] == pts[-1]).all()
+        # distance of each original point to the simplified polyline
+        def dist_to_chain(p):
+            best = np.inf
+            for a, b in zip(out[:-1], out[1:]):
+                seg = b - a
+                l2 = seg @ seg
+                t = 0.0 if l2 == 0 else float(np.clip((p - a) @ seg / l2, 0, 1))
+                best = min(best, float(np.linalg.norm(p - (a + t * seg))))
+            return best
+        assert max(dist_to_chain(p) for p in pts) <= tol + 1e-12
+
+    # ring-collapse guard: a ring that would drop below 4 points stays
+    tri = np.array([[0.0, 0], [1, 0], [0.5, 0.1], [0, 0]])
+    g = wkb.decode(wkb.polygon([tri]))
+    s = kernels.simplify_geom(g, 10.0)
+    assert s.polygons()[0][0].shape[0] == 4  # unchanged
