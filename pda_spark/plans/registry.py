@@ -1082,6 +1082,55 @@ def q45_rect_intersects(spark, sf_dir):
     return pairs.groupBy("lc_id").agg(F.count(F.lit(1)).alias("n_images"))
 
 
+def q62_salted_intersects(spark, sf_dir):
+    """The q45 polygon x polygon join through the SKEW-SALTED path
+    (salt=8: the broadcast side replicates per salt value, the big side
+    scatters, so one hot cell splits across 8 tasks) — driver-verifies
+    that salting is result-identical, not just pytest-identical. Same
+    oracle as q45."""
+    o = _t(spark, sf_dir, "orders").filter(F.pmod(F.col("o_orderkey"), F.lit(37)) == 0)
+    img = o.select(
+        F.col("o_orderkey").alias("img_id"),
+        (F.pmod(F.col("o_orderkey") * 7, F.lit(4000)) / 100.0 - 20.0).alias("ix"),
+        (F.pmod(F.col("o_orderkey") * 11, F.lit(2200)) / 100.0 + 37.0).alias("iy"),
+        (F.pmod(F.col("o_orderkey"), F.lit(10)) / 20.0 + 0.05).alias("ih"),
+    )
+    img = img.withColumn(
+        "geom",
+        _mk_box(
+            F.col("ix") - F.col("ih"),
+            F.col("iy") - F.col("ih"),
+            F.col("ix") + F.col("ih"),
+            F.col("iy") + F.col("ih"),
+        ),
+    )
+    p = _t(spark, sf_dir, "part").filter(F.pmod(F.col("p_partkey"), F.lit(11)) == 0)
+    lc = p.select(
+        F.col("p_partkey").alias("lc_id"),
+        (F.pmod(F.col("p_partkey") * 13, F.lit(4000)) / 100.0 - 19.9987).alias("cx"),
+        (F.pmod(F.col("p_partkey") * 17, F.lit(2200)) / 100.0 + 37.0013).alias("cy"),
+        (F.pmod(F.col("p_partkey"), F.lit(8)) / 10.0 + 0.2).alias("ch"),
+    )
+    lc = lc.withColumn(
+        "lc_geom",
+        _mk_box(
+            F.col("cx") - F.col("ch"),
+            F.col("cy") - F.col("ch"),
+            F.col("cx") + F.col("ch"),
+            F.col("cy") + F.col("ch"),
+        ),
+    )
+    pairs = spatial_join.intersects_join(
+        img.select("img_id", "geom"),
+        lc.select("lc_id", "lc_geom"),
+        res=6,
+        left_geom="geom",
+        right_geom="lc_geom",
+        salt=8,
+    )
+    return pairs.groupBy("lc_id").agg(F.count(F.lit(1)).alias("n_images"))
+
+
 Q45_SQL = """
 WITH img AS (
   SELECT o_orderkey AS img_id,
@@ -2034,4 +2083,5 @@ QUERIES: dict[str, tuple] = {
     "q59_stratified_sample": (q59_stratified_sample, Q59_SQL),
     "q60_vocabulary": (q60_vocabulary, Q60_SQL),
     "q61_simplify": (q61_simplify, Q61_SQL),
+    "q62_salted_intersects": (q62_salted_intersects, Q45_SQL),
 }

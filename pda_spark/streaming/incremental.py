@@ -146,3 +146,43 @@ def stream_hourly_counts(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> None:
+    """Session windows as a STREAM (F.session_window + watermark): the
+    incremental counterpart of the batch gaps-and-islands q55 — Spark
+    merges overlapping per-event windows into sessions and finalizes a
+    session once the watermark passes its close. With no timestamp gap
+    exactly equal to ``gap`` the finalized sessions are identical to the
+    batch operator's (tested); AvailableNow drains pending files per
+    invocation."""
+    ev = spark.readStream.schema(
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    ).parquet(events_dir)
+    agg = (
+        ev.withColumn("ets", F.col("ts").cast("timestamp"))
+        .withWatermark("ets", watermark)
+        .groupBy(F.session_window("ets", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("sess_start_us"),
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -102,3 +102,34 @@ def test_stream_dedup_first_seen_stateful(spark, tmp_path):
     out = spark.read.parquet(out_dir)
     got = {(r["doc_id"], r["url"]) for r in out.collect()}
     assert got == {(1, "u1"), (2, "u2"), (5, "u5")}
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """Streaming session_window sessions (those finalized before the
+    terminal watermark) must EXACTLY match the batch gaps-and-islands
+    operator (q55 semantics) on (user, session start, event count)."""
+    from pda_spark.plans import registry
+
+    sf = "/root/testdata/sf0.001"
+    ev_dir, out_dir, ck = str(tmp_path / "ev"), str(tmp_path / "sess"), str(tmp_path / "ck")
+    spark.read.parquet(f"{sf}/events.parquet").write.mode("overwrite").parquet(ev_dir)
+
+    incremental.stream_sessionize(spark, ev_dir, out_dir, ck)
+    streamed = {
+        (r["user_id"], r["sess_start_us"]): r["n_events"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert streamed, "terminal watermark closed no sessions — widen the fixture"
+
+    batch = {
+        (r["user_id"], r["sess_start_us"]): r["n_events"]
+        for r in registry.QUERIES["q55_sessionize"][0](spark, sf).collect()
+    }
+    # every finalized streaming session is identical to its batch twin
+    for key, n in streamed.items():
+        assert batch.get(key) == n, (key, n, batch.get(key))
+    # and the un-emitted remainder is only the watermark tail
+    max_us = max(k[1] for k in batch)
+    tail = 2 * 3600 * 1_000_000
+    for key in set(batch) - set(streamed):
+        assert key[1] >= max_us - tail - 30 * 60 * 1_000_000, key
