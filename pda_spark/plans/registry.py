@@ -1900,6 +1900,33 @@ FROM p
 """
 
 
+def q63_video_frames(spark, sf_dir):
+    """Video frame-sampling PLUMBING through the gate (multimodal
+    mapInPandas, q28's sibling): which (media, frame_no) rows the
+    sampler emits is pure arithmetic on payload length (no codecs in
+    this env — decode is the documented stub), so the oracle replays it
+    with a range() expansion. every_n=3 over fake 64-byte frames."""
+    from pda_spark.functions import multimodal
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(F.lit(0).alias("width"), F.lit(0).alias("height"), F.lit("x-fake/video").alias("mime")).alias("meta"),
+    )
+    frames = multimodal.frame_sample(media, every_n=3)
+    return frames.select("media_id", F.col("frame_no").cast("long").alias("frame_no"))
+
+
+Q63_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(unnest(range(0, greatest(octet_length(CAST(text AS BLOB)) // 64, 1), 3)) AS BIGINT)
+         AS frame_no
+FROM documents WHERE doc_id < 100
+"""
+
+
 def q46_dissolve_area(spark, sf_dir):
     """Geometric dissolve (ST_UNION GROUP BY, A6/A7) through the real
     scanline union kernel: per brand, heavily-overlapping axis-aligned
@@ -2084,4 +2111,5 @@ QUERIES: dict[str, tuple] = {
     "q60_vocabulary": (q60_vocabulary, Q60_SQL),
     "q61_simplify": (q61_simplify, Q61_SQL),
     "q62_salted_intersects": (q62_salted_intersects, Q45_SQL),
+    "q63_video_frames": (q63_video_frames, Q63_SQL),
 }
