@@ -120,12 +120,15 @@ def ngram_jaccard_pairs(
     # self-join on h -> one pair aggregation.
     sets = doc_shingle_sets(df, id_col, text_col, k)
     sh = sets.select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("h"))
-    # Persist the exploded shingle table: the self-join references it
-    # twice and the hot-shingle doc-frequency aggregate a third time —
-    # without this the codegen'd shingling (the expensive string leg)
-    # executes once per reference. At cluster scale this is the shingle
-    # index you would persist anyway.
-    sh = sh.persist()
+    # Materialize the exploded shingle table once: the self-join
+    # references it twice and the hot-shingle doc-frequency aggregate a
+    # third time — without this the codegen'd shingling (the expensive
+    # string leg) executes once per reference. localCheckpoint (lazy),
+    # NOT persist: persisted blocks pin the cache manager until an
+    # explicit unpersist, so repeated calls leak storage memory for the
+    # session lifetime (ADVICE r3); checkpoint blocks are reclaimed by
+    # the ContextCleaner when the plan goes out of scope.
+    sh = sh.localCheckpoint(eager=False)
     if max_doc_freq is not None:
         # the HOT set (df > cap) is small by construction (boilerplate
         # only) -> broadcast anti-join; never materialize the rare set
@@ -269,11 +272,13 @@ def minhash_lsh_candidates(
             F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bh")) for b in range(bands)])
         ).alias("e"),
     ).select("doc_id", "e.band", "e.bh")
-    # Persist the banded signatures: the self-join references `stacked`
-    # twice, and without this the whole shingle->minhash pipeline (the
-    # expensive leg) executes once PER SIDE. At cluster scale this is
-    # the signature table you would persist/bucket anyway.
-    stacked = stacked.persist()
+    # Materialize the banded signatures once: the self-join references
+    # `stacked` twice, and without this the whole shingle->minhash
+    # pipeline (the expensive leg) executes once PER SIDE. localCheckpoint
+    # (lazy), NOT persist — persisted blocks leak until an explicit
+    # unpersist across repeated calls (ADVICE r3); checkpoint blocks are
+    # ContextCleaner-reclaimed when the plan is dropped.
+    stacked = stacked.localCheckpoint(eager=False)
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (

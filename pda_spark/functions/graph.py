@@ -84,13 +84,17 @@ def connected_components(
         # that materializes it — one job per round, not two.
         e = _stars(_stars(e, large=True, dedup=False), large=False).localCheckpoint(eager=False)
         # Fixed-point probe: one tiny aggregate per round, no collect of
-        # the edge set itself. (count, hash-sum, min, max) is equal for
-        # equal sets; a false positive needs a 64-bit hash-sum collision
-        # between consecutive rounds of a deterministic contraction.
+        # the edge set itself. Each hash is pmod-folded BEFORE the sum
+        # (ANSI mode overflows on sum(raw xxhash64)), which leaves only
+        # ~30 bits of entropy per sum — so TWO independent folds (seeded
+        # by column order, distinct primes) are combined: a false
+        # positive needs consecutive non-equal edge sets to collide in
+        # count, min, max AND both ~30-bit sums simultaneously (~2^-60).
         fp = tuple(
             e.agg(
                 F.count(F.lit(1)),
                 F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1_000_000_007))),
+                F.sum(F.pmod(F.xxhash64("v", "u"), F.lit(998_244_353))),
                 F.min("u"),
                 F.max("u"),
             ).first()

@@ -220,12 +220,15 @@ def dissolve(
 ) -> DataFrame:
     """ST_UNION(geom) GROUP BY key. Returns (key, geom, union_area).
 
-    ``geom`` is the TRUE dissolved geometry: a y-monotone trapezoid
-    decomposition of the union — non-overlapping parts covering exactly
-    the union region (PostGIS would emit a merged-boundary multipolygon;
-    the decomposition is geometrically the same region, verified by PIP
-    parity + exact area in tests). ``union_area`` is the exact planar
-    union area. Handles non-convex polygons and holes.
+    ``geom`` is the TRUE dissolved geometry as a merged-boundary
+    multipolygon (PostGIS ST_UNION output shape). Representation caveat:
+    the grid-partitioned routes (``cells_res`` int or an 'auto' reroute)
+    merge boundaries per tile, so rings are additionally split along
+    tile borders — the same region with extra collinear seams, while the
+    single-task path emits globally merged rings. Consumers must treat
+    the output as a region, not as canonical ring bytes. ``union_area``
+    is the exact planar union area either way. Handles non-convex
+    polygons and holes.
 
     ``cells_res``:
     - "auto" (default): probe the max per-key row count with one cheap
@@ -234,8 +237,10 @@ def dissolve(
       PLANAR-grid-partitioned path at a data-derived step. The planar
       grid (``planar_pieces``) is unclamped, so auto-routing is exact
       for any coordinates — including abstract planar inputs outside the
-      lon/lat domain that the geo cell index would truncate. The probes
-      are two small eager jobs — metadata-scale next to the union itself.
+      lon/lat domain that the geo cell index would truncate. NOTE:
+      'auto' makes dissolve() EAGER at plan-construction time — the
+      count probe (and, if rerouted, the bbox-sample step probe) are
+      one/two small Spark jobs, metadata-scale next to the union itself.
     - int: force the geo-cell-partitioned path at that resolution
       (valid for lon/lat-domain geometry only).
     - None: force the single-task-per-key scanline path.
@@ -286,11 +291,14 @@ _CELL_UNION_SCHEMA = T.StructType(
 def _dissolve_cell_fn(pdf: pd.DataFrame) -> pd.DataFrame:
     polys = [_polys(p)[0] for p in pdf["piece"]]
     area, quads = sweep.union_geometry(polys)
+    # merged-boundary rings WITHIN the cell (same representation as the
+    # single-task path, ADVICE r3) — seams remain only on cell borders,
+    # where adjacent cells' unions are clipped anyway
     return pd.DataFrame(
         {
             "key": [pdf["key"].iloc[0]],
             "area": [area],
-            "geom": [wkb.multipolygon([[q] for q in quads])],
+            "geom": [wkb.multipolygon(sweep.merged_boundary_polygons(quads))],
         }
     )
 

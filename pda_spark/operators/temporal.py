@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -38,20 +39,29 @@ def asof_join(
     Right rows must be unique per (by, ts) — with duplicates the winner
     is undefined (same caveat as DuckDB ASOF JOIN); pre-dedup with a
     row_number if needed.
+
+    All ``right_cols`` come from the SINGLE matched right row — including
+    that row's NULLs. The forward-fill therefore carries ONE struct of
+    the right columns (null struct on left rows, so ignorenulls skips
+    exactly the left rows and never skips a right row whose individual
+    column is null), then unpacks its fields. Filling each column
+    independently would let different output columns come from different
+    right rows whenever a column is legitimately null (ADVICE r3).
     """
     left_other = [c for c in left.columns if c not in by and c != ts]
+    rstruct_t = T.StructType([T.StructField(c, right.schema[c].dataType) for c in right_cols])
     lu = left.select(
         *by,
         ts,
         *left_other,
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
+        F.lit(None).cast(rstruct_t).alias("_rv"),
         F.lit(1).alias("_is_left"),
     )
     ru = right.select(
         *by,
         ts,
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_other],
-        *right_cols,
+        F.struct(*right_cols).alias("_rv"),
         F.lit(0).alias("_is_left"),
     )
     u = lu.unionByName(ru)
@@ -62,9 +72,9 @@ def asof_join(
         .orderBy(ts, "_is_left")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in right_cols:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return u.filter(F.col("_is_left") == 1).drop("_is_left")
+    u = u.withColumn("_rv", F.last("_rv", ignorenulls=True).over(w))
+    u = u.withColumns({c: F.col(f"_rv.{c}") for c in right_cols})
+    return u.filter(F.col("_is_left") == 1).drop("_is_left", "_rv")
 
 
 def interval_join(

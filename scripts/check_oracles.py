@@ -38,7 +38,10 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def canon_cell(v):
     """Canonical value preserving the int-vs-float distinction the
     driver's pandas-based hasher sees."""
-    if v is None:
+    if v is None or v is pd.NaT:
+        # NaT FIRST: NaTType subclasses datetime.datetime, so the
+        # datetime branches below would otherwise swallow it as
+        # ('t', 'NaT') on one side vs ('null',) on the other (ADVICE r3)
         return ("null",)
     if isinstance(v, (np.floating, float)):
         f = float(v)
@@ -63,8 +66,6 @@ def canon_cell(v):
         return ("a", tuple(canon_cell(x) for x in v))
     if isinstance(v, bytes):
         return ("y", v)
-    if v is pd.NaT:
-        return ("null",)
     return ("s", str(v))
 
 

@@ -388,6 +388,29 @@ def test_asof_join_hand_computed(spark):
     assert out["f"] is None          # key with no quotes at all
 
 
+def test_asof_join_matched_row_nulls_preserved(spark):
+    """All right_cols must come from the SINGLE matched right row,
+    including its NULLs — a legitimately-NULL latest quote may not be
+    replaced by an older non-null one, and two output columns may never
+    mix values from different right rows (ADVICE r3)."""
+    from pda_spark.operators import temporal
+
+    quotes = spark.createDataFrame(
+        [(1, 10, 1.0, 100.0), (1, 20, None, 200.0), (1, 30, 3.0, None)],
+        "k int, us int, bid double, ask double",
+    )
+    trades = spark.createDataFrame(
+        [(1, 15, "a"), (1, 25, "b"), (1, 35, "c")], ["k", "us", "tid"]
+    )
+    out = {
+        r["tid"]: (r["bid"], r["ask"])
+        for r in temporal.asof_join(trades, quotes, ["k"], "us", ["bid", "ask"]).collect()
+    }
+    assert out["a"] == (1.0, 100.0)
+    assert out["b"] == (None, 200.0)   # matched row ts=20: bid IS null
+    assert out["c"] == (3.0, None)     # matched row ts=30: ask IS null
+
+
 def test_interval_join_hand_computed(spark):
     from pda_spark.operators import temporal
 
