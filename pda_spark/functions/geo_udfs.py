@@ -172,7 +172,11 @@ def point_cell_lonlat(res: int):
         lon, lat = _decode_points(geom)
         return pd.DataFrame({"cell": cells.cell_of(lon, lat, res), "lon": lon, "lat": lat})
 
-    return _cell
+    # asNondeterministic: the function IS deterministic, but the flag
+    # stops CollapseProject from inlining the call once per struct-field
+    # access — without it the WKB decode runs 3x per row on the fact
+    # table (one ArrowEvalPython per .cell/.lon/.lat read, VERDICT r3)
+    return _cell.asNondeterministic()
 
 
 def lonlat_cell(res: int):
@@ -234,7 +238,9 @@ def bbox_cover_struct(res: int, tight: bool = True):
             covers.append(_geom_cover(g, res, tight))
         return pd.DataFrame({"bbox": bbs, "cells": covers})
 
-    return _bc
+    # single evaluation per row (see point_cell_lonlat): Catalyst would
+    # otherwise duplicate the UDF once per struct-field read
+    return _bc.asNondeterministic()
 
 
 # ----------------------------------------------------- refine predicates
@@ -388,6 +394,36 @@ def line_length_m(geom: pd.Series) -> pd.Series:
                 total += float(v)
         out[i] = total
     return pd.Series(out)
+
+
+def distance_geodesic_lonlat():
+    """Great-circle (haversine) distance in metres on the authalic
+    sphere (radius proj.RQ — same sphere the EPSG:3035 LAEA math uses,
+    so the two metric paths share one earth model). Vectorized over four
+    plain double columns; the op sequence is pinned so a numpy
+    brute-force twin using the same formula is bit-identical."""
+    from pda_spark.geo import proj
+
+    @pandas_udf(T.DoubleType())
+    def _dist(lon_a: pd.Series, lat_a: pd.Series, lon_b: pd.Series, lat_b: pd.Series) -> pd.Series:
+        return pd.Series(
+            haversine_m(
+                lon_a.to_numpy(), lat_a.to_numpy(), lon_b.to_numpy(), lat_b.to_numpy(), proj.RQ
+            )
+        )
+
+    return _dist
+
+
+def haversine_m(lon_a, lat_a, lon_b, lat_b, radius: float):
+    """Shared numpy haversine kernel (also the parity-test oracle)."""
+    p1 = np.radians(np.asarray(lat_a, dtype=np.float64))
+    p2 = np.radians(np.asarray(lat_b, dtype=np.float64))
+    dphi_h = (p2 - p1) / 2.0
+    dlam_h = (np.radians(np.asarray(lon_b, dtype=np.float64))
+              - np.radians(np.asarray(lon_a, dtype=np.float64))) / 2.0
+    s = np.sin(dphi_h) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dlam_h) ** 2
+    return 2.0 * radius * np.arcsin(np.sqrt(np.clip(s, 0.0, 1.0)))
 
 
 def distance_deg():

@@ -37,6 +37,8 @@ AUDITED = [
     "q58_interval_join",
     "q59_stratified_sample",
     "q60_vocabulary",
+    "q64_pip_wkb",
+    "q65_pip_right_outer",
 ]
 
 

@@ -261,7 +261,12 @@ def test_pip_join_rejects_unsupported_how(spark, world):
     pts = world["cities"].select(F.col("id").alias("pt_id"), "geom")
     polys = world["land_cover_classes"].select(F.col("id").alias("lc_id"), F.col("geom").alias("lc_geom"))
     with pytest.raises(ValueError, match="how"):
+        spatial_join.points_in_polygons_join(pts, polys, res=7, poly_geom="lc_geom", how="full")
+    # outer variants require the preserved side's id column
+    with pytest.raises(ValueError, match="point_id"):
         spatial_join.points_in_polygons_join(pts, polys, res=7, poly_geom="lc_geom", how="left")
+    with pytest.raises(ValueError, match="poly_id"):
+        spatial_join.points_in_polygons_join(pts, polys, res=7, poly_geom="lc_geom", how="right")
 
 
 def test_knn_shuffled_queries_matches_broadcast(spark, world):
@@ -379,5 +384,193 @@ def test_knn_meters_property_sweep(spark):
     for qi, (lo, la) in enumerate(zip(qlon, qlat)):
         qx, qy = proj.fwd(np.asarray([lo]), np.asarray([la]))
         d = np.hypot(px - qx[0], py - qy[0])
+        idx = np.lexsort((np.arange(n), d))[:k]
+        assert by_q[qi] == [int(i) for i in idx], f"query {qi} at ({lo},{la})"
+
+
+def _formatted_plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def _n_arrow_nodes(plan: str) -> int:
+    # formatted explain prints each node twice (tree + detail section);
+    # count the detail headers "(N) ArrowEvalPython" only
+    import re as _re
+
+    return len(_re.findall(r"^\(\d+\) ArrowEvalPython", plan, _re.M))
+
+
+def test_salt_spreads_identical_hot_rows(spark):
+    """The skew salt must split FULLY IDENTICAL rows (the duplicate-heavy
+    hot-key case salting exists for) across every bucket — a content hash
+    maps them all to one salt value (VERDICT r3)."""
+    hot = spark.range(256).select(
+        F.lit(7).alias("k"), F.lit("same-payload").alias("v")
+    )
+    salted = spatial_join._salted(hot, 8, "big")
+    counts = {r["_salt"]: r["n"] for r in salted.groupBy("_salt").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == set(range(8))
+    assert max(counts.values()) <= 2 * min(counts.values())
+
+
+def test_pip_join_wkb_single_decode_stage(spark, world):
+    """WKB-input PIP join (no lonlat_cols): the struct UDFs must appear
+    exactly ONCE per leg in the physical plan. Catalyst duplicates a
+    deterministic struct UDF once per field access (3x decode on the
+    point leg, 2x on the polygon leg) — asNondeterministic forces the
+    single evaluation (VERDICT r3 perf item)."""
+    pts = world["cities"].select(F.col("id").alias("pt_id"), "geom")
+    polys = world["land_cover_classes"].select(
+        F.col("id").alias("lc_id"), F.col("geom").alias("lc_geom")
+    )
+    joined = spatial_join.points_in_polygons_join(pts, polys, res=7, poly_geom="lc_geom")
+    plan = _formatted_plan(joined)
+    # one point_cell_lonlat + one bbox_cover_struct + one PIP refine
+    assert _n_arrow_nodes(plan) == 3, plan
+
+
+def test_knn_query_struct_udf_single_eval(spark, world):
+    """kNN query side: ring_cells struct UDF evaluated once, not once per
+    .cells/.guard/.qlon/.qlat access — in the non-broadcast path the
+    query side is a big table and the decode ran 4x (VERDICT r3)."""
+    pts = world["cities"].select(F.col("id").alias("pt_id"), "geom")
+    queries = world["cities"].select(F.col("id").alias("query_id"), F.col("geom").alias("qgeom"))
+    out = spatial_join.knn_join(
+        pts, queries, k=1, res=5, metric="degrees", exact=False, broadcast_queries=False
+    )
+    plan = _formatted_plan(out)
+    # one point_cell_lonlat (point leg) + one ring_cells (query leg)
+    assert _n_arrow_nodes(plan) == 2, plan
+
+
+def test_pip_join_outer_variants_match_bruteforce(spark, world):
+    """how='left' keeps every point (null polygon cols when unmatched);
+    how='right' keeps every polygon (null point cols) — the reference
+    dashboard's 'cities with zero images' ask. Inner rows must be
+    byte-identical to how='inner'."""
+    pts = world["cities"].select(F.col("id").alias("pt_id"), "geom")
+    polys = world["land_cover_classes"].select(
+        F.col("id").alias("lc_id"), F.col("geom").alias("lc_geom")
+    )
+    inner = spatial_join.points_in_polygons_join(pts, polys, res=7, poly_geom="lc_geom")
+    inner_pairs = {(r["pt_id"], r["lc_id"]) for r in inner.collect()}
+
+    left = spatial_join.points_in_polygons_join(
+        pts, polys, res=7, poly_geom="lc_geom", how="left", point_id="pt_id"
+    )
+    lrows = left.collect()
+    assert {(r["pt_id"], r["lc_id"]) for r in lrows if r["lc_id"] is not None} == inner_pairs
+    matched_pts = {p for p, _ in inner_pairs}
+    unmatched = {r["pt_id"] for r in lrows if r["lc_id"] is None}
+    all_pts = {r["pt_id"] for r in pts.collect()}
+    assert unmatched == all_pts - matched_pts
+    for r in lrows:
+        if r["lc_id"] is None:
+            assert r["lc_geom"] is None
+
+    right = spatial_join.points_in_polygons_join(
+        pts, polys, res=7, poly_geom="lc_geom", how="right", poly_id="lc_id"
+    )
+    rrows = right.collect()
+    assert {(r["pt_id"], r["lc_id"]) for r in rrows if r["pt_id"] is not None} == inner_pairs
+    matched_polys = {l for _, l in inner_pairs}
+    all_polys = {r["lc_id"] for r in polys.collect()}
+    assert {r["lc_id"] for r in rrows if r["pt_id"] is None} == all_polys - matched_polys
+
+
+def test_auto_res_bounds_mixed_size_fanout(spark):
+    """res='auto' (cells.choose_res over a bbox sample): a mixed fixture
+    of country-scale and scene-scale boxes must keep the per-geometry
+    cover fan-out bounded, and the join answer must equal the fixed-res
+    answer (resolution only affects the plan, never the result)."""
+    import numpy as np
+
+    from pda_spark.functions import geo_udfs as G
+    from pda_spark.geo import wkb
+
+    rng = np.random.default_rng(7)
+    polys = []
+    for i in range(40):  # country-scale: 8-15 deg extents
+        x, y = rng.uniform(-20, 0), rng.uniform(38, 50)
+        w, h = rng.uniform(8, 15), rng.uniform(8, 15)
+        polys.append((i, bytearray(wkb.box(x, y, x + w, y + h))))
+    for i in range(400):  # scene-scale: ~0.1 deg
+        x, y = rng.uniform(-20, 15), rng.uniform(38, 58)
+        polys.append((1000 + i, bytearray(wkb.box(x, y, x + 0.1, y + 0.1))))
+    poly_df = spark.createDataFrame(polys, "poly_id int, pgeom binary")
+    pts = spark.createDataFrame(
+        [(int(i), float(lo), float(la))
+         for i, (lo, la) in enumerate(zip(rng.uniform(-20, 15, 3000), rng.uniform(38, 58, 3000)))],
+        "pt_id int, lon double, lat double",
+    )
+
+    res = spatial_join._auto_res(poly_df, "pgeom")
+    assert 2 <= res <= 12
+    # fan-out cap: even the p95+ geometries cover a bounded cell count
+    fan = poly_df.select(F.size(G.cover_cells(res, tight=False)(F.col("pgeom"))).alias("n"))
+    mx = fan.agg(F.max("n")).first()[0]
+    assert mx <= 64, f"res={res} max fan-out {mx}"
+
+    auto = spatial_join.points_in_polygons_join(
+        pts, poly_df, res="auto", poly_geom="pgeom", lonlat_cols=("lon", "lat"),
+        broadcast_polygons=True,
+    )
+    fixed = spatial_join.points_in_polygons_join(
+        pts, poly_df, res=7, poly_geom="pgeom", lonlat_cols=("lon", "lat"),
+    )
+    assert {(r["pt_id"], r["poly_id"]) for r in auto.collect()} == {
+        (r["pt_id"], r["poly_id"]) for r in fixed.collect()
+    }
+
+
+def test_knn_geodesic_matches_bruteforce_sweep(spark):
+    """metric='geodesic' (haversine on the authalic sphere) against a
+    100k+-point numpy brute force using the IDENTICAL float chain —
+    including high latitudes and an antimeridian-straddling cluster
+    where planar degrees break down."""
+    import numpy as np
+    import pandas as pd
+
+    from pda_spark.functions.geo_udfs import haversine_m
+    from pda_spark.geo import proj, wkb
+
+    rng = np.random.default_rng(1234)
+    n, k, res = 120_000, 5, 6
+    plon = np.concatenate([
+        rng.uniform(-180, 180, n - 20_000),
+        rng.uniform(170, 190, 10_000),          # antimeridian cluster (wraps)
+        rng.uniform(-30, 60, 10_000),
+    ])
+    plon = np.where(plon > 180, plon - 360, plon)
+    plat = np.concatenate([
+        rng.uniform(-85, 85, n - 20_000),
+        rng.uniform(50, 75, 10_000),
+        rng.uniform(60, 84, 10_000),            # high latitudes
+    ])
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pt_id": np.arange(n, dtype=np.int64), "lon": plon, "lat": plat})
+    )
+    qlon = [0.0, 179.97, -179.98, 10.0, -120.0, 45.0]
+    qlat = [45.0, 62.0, 61.5, 83.0, -70.0, 0.01]
+    queries = spark.createDataFrame(
+        [(i, bytearray(wkb.point(lo, la))) for i, (lo, la) in enumerate(zip(qlon, qlat))],
+        "query_id int, qgeom binary",
+    )
+    got = spatial_join.knn_join(
+        pts, queries, k=k, res=res, max_ring=1, metric="geodesic",
+        tiebreak="pt_id", lonlat_cols=("lon", "lat"),
+    ).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["knn_rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["pt_id"])
+    assert set(by_q) == set(range(len(qlon)))
+    for qi, (lo, la) in enumerate(zip(qlon, qlat)):
+        d = haversine_m(np.full(n, lo), np.full(n, la), plon, plat, proj.RQ)
         idx = np.lexsort((np.arange(n), d))[:k]
         assert by_q[qi] == [int(i) for i in idx], f"query {qi} at ({lo},{la})"
