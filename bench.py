@@ -81,11 +81,13 @@ def main() -> None:
         fn, _sql = registry.QUERIES[name]
         _force(fn(spark, warm_dir if os.path.isdir(warm_dir) else sf_dir))
 
-    # three measured repetitions per query, report the min — GC pauses,
+    # five measured repetitions per query, report the min — GC pauses,
     # worker-pool growth from neighbouring queries, and this host's
-    # external noise episodes otherwise leak into single samples.
+    # external noise episodes otherwise leak into single samples (r03's
+    # committed artifact caught a noise episode that a same-suite re-run
+    # measured 25% faster; more reps stretch the sampling window).
     times: dict[str, float] = {}
-    for _rep in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))):
+    for _rep in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))):
         for name in HEADLINE:
             fn, _sql = registry.QUERIES[name]
             t0 = time.time()

@@ -173,6 +173,12 @@ def points_in_polygons_join(
     inner = refined.drop(*drop)
     if how == "inner":
         return inner
+    # outer variants consume the inner result TWICE (the output union
+    # and the matched-id set for the anti-join) — materialize it once
+    # (lazy localCheckpoint) so the candidate join + Arrow refine don't
+    # re-execute per consumer; at scale the inner rows are the dominant
+    # output anyway, so this is one write the plan already implies
+    inner = inner.localCheckpoint(eager=False)
     if how == "left":
         matched = inner.select(point_id).distinct()
         missing = points.join(matched, on=point_id, how="left_anti")

@@ -1217,6 +1217,99 @@ GROUP BY box_id
 """
 
 
+def q66_pip_left_outer(spark, sf_dir):
+    """Left sibling of q65: every POINT kept, box_id null when no box
+    contains it (points in overlapping boxes emit one row per box, same
+    as SQL LEFT JOIN fan-out). Exercises the anti-join backfill on the
+    large side of the join."""
+    pts = _event_points(spark, sf_dir)
+    pts = pts.withColumn("geom", _mk_point(F.col("lon"), F.col("lat"))).select(
+        "event_id", "geom", "lon", "lat"
+    )
+    boxes = spark.createDataFrame(
+        [(b[0], bytearray(W.box(b[1], b[2], b[3], b[4]))) for b in BOXES],
+        "box_id int, box_geom binary",
+    )
+    joined = spatial_join.points_in_polygons_join(
+        pts, boxes, res=7, point_geom="geom", poly_geom="box_geom",
+        lonlat_cols=("lon", "lat"), how="left", point_id="event_id",
+    )
+    return joined.select("event_id", "box_id")
+
+
+Q66_SQL = f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+boxes(box_id, minx, miny, maxx, maxy) AS (
+  VALUES {', '.join(f'({b[0]}, {b[1]}, {b[2]}, {b[3]}, {b[4]})' for b in BOXES)}
+)
+SELECT event_id, box_id
+FROM pts LEFT JOIN boxes
+  ON pts.lon BETWEEN boxes.minx AND boxes.maxx
+ AND pts.lat BETWEEN boxes.miny AND boxes.maxy
+"""
+
+
+def q67_percentiles(spark, sf_dir):
+    """Exact linear-interpolated percentiles per group (Spark
+    `percentile` == DuckDB `quantile_cont`, probe-verified bit-exact on
+    this data: both interpolate at p*(n-1) over the sorted values, and
+    the inputs are identical parquet doubles — so the output is emitted
+    RAW, no rounding). The 100 TB note: exact percentile sorts per
+    group; the scale path is percentile_approx (t-digest, map-side
+    combinable), pytest-checked against this exact twin within rank
+    error (engines' sketches differ, so the sketch itself is not
+    SQL-oracle-matchable)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.25)).alias("p25"),
+            F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+            F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+Q67_SQL = """
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.25) AS p25,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q68_analytic_windows(spark, sf_dir):
+    """Analytic-window breadth in one gate: lag/lead (neighbor events
+    per user), ntile quartiles and cume_dist over a UNIQUE ordering
+    (ties would make both nondeterministic across engines — event_id is
+    the total tiebreak; cume_dist = rank/n is a single exact double
+    division in both engines)."""
+    ev = _t(spark, sf_dir, "events").filter(F.pmod(F.col("user_id"), F.lit(50)) == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_id"),
+        F.lead("event_id").over(w).alias("next_id"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+Q68_SQL = """
+SELECT user_id, event_id,
+       lag(event_id) OVER w AS prev_id,
+       lead(event_id) OVER w AS next_id,
+       ntile(4) OVER w AS quartile,
+       cume_dist() OVER w AS cd
+FROM events WHERE user_id % 50 = 0
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def q48_river_intersects(spark, sf_dir):
     """LineString x polygon ST_Intersects join (J2 with a lineal operand).
 
@@ -2178,4 +2271,7 @@ QUERIES: dict[str, tuple] = {
     "q63_video_frames": (q63_video_frames, Q63_SQL),
     "q64_pip_wkb": (q64_pip_wkb, Q41_SQL),
     "q65_pip_right_outer": (q65_pip_right_outer, Q65_SQL),
+    "q66_pip_left_outer": (q66_pip_left_outer, Q66_SQL),
+    "q67_percentiles": (q67_percentiles, Q67_SQL),
+    "q68_analytic_windows": (q68_analytic_windows, Q68_SQL),
 }

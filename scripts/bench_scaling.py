@@ -100,6 +100,11 @@ from pda_spark.plans.registry import BOXES
 from pda_spark.operators import spatial_join
 from pda_spark.geo import wkb as W
 
+# PDA_SCALE_JOB=wkb: points enter as WKB ONLY (no lonlat_cols fast
+# path) — the general decode leg (one asNondeterministic struct UDF,
+# round-4 single-evaluation fix) is the measured stage.
+wkb_mode = os.environ.get("PDA_SCALE_JOB", "lonlat") == "wkb"
+
 # no repartition: the generator wrote 128 files, so the scan is already
 # parallel at both levels, and the PIP join is broadcast-side — an input
 # repartition would add a multi-GB cross-executor shuffle that the
@@ -113,9 +118,13 @@ boxes = spark.createDataFrame(
 )
 
 def run(df):
-    out = spatial_join.points_in_polygons_join(
-        df, boxes, res=7, poly_geom="box_geom", lonlat_cols=("lon", "lat")
-    )
+    if wkb_mode:
+        df = df.select("event_id", "geom")
+        out = spatial_join.points_in_polygons_join(df, boxes, res=7, poly_geom="box_geom")
+    else:
+        out = spatial_join.points_in_polygons_join(
+            df, boxes, res=7, poly_geom="box_geom", lonlat_cols=("lon", "lat")
+        )
     out.groupBy("box_id").agg(F.count(F.lit(1)).alias("n_points")).write.format(
         "noop"
     ).mode("overwrite").save()
@@ -178,8 +187,14 @@ def main() -> None:
     hi = min(samples["hi"], key=lambda r: r["elapsed_sec"])
     ratio = (hi_e * hi_c) / (lo_e * lo_c)
     efficiency = round(lo["elapsed_sec"] / (ratio * hi["elapsed_sec"]), 4)
+    wkb_mode = os.environ.get("PDA_SCALE_JOB", "lonlat") == "wkb"
+    job_desc = (
+        "PIP spatial join, WKB-input decode leg (single-eval struct UDF + bbox prefilter + Arrow refine) over materialized parquet points"
+        if wkb_mode
+        else "PIP spatial join (cell index + JVM bbox prefilter + Arrow ray-cast refine) over materialized parquet points"
+    )
     result = {
-        "job": "PIP spatial join (cell index + JVM bbox prefilter + Arrow ray-cast refine) over materialized parquet points",
+        "job": job_desc,
         "mode": f"local-cluster executor JVMs: {lo_e}x{lo_c} vs {hi_e}x{hi_c} (total cores {lo_e*lo_c} -> {hi_e*hi_c})",
         "n_points": N_POINTS,
         "levels": [lo, hi],
@@ -191,7 +206,8 @@ def main() -> None:
         "pass": efficiency >= 0.8,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+    out_name = "scaling_wkb.json" if wkb_mode else "scaling.json"
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
 

@@ -39,6 +39,9 @@ AUDITED = [
     "q60_vocabulary",
     "q64_pip_wkb",
     "q65_pip_right_outer",
+    "q66_pip_left_outer",
+    "q67_percentiles",
+    "q68_analytic_windows",
 ]
 
 

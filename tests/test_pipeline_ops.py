@@ -368,6 +368,23 @@ def test_hash_split_stable_and_proportional(spark):
     assert again == first
 
 
+def test_percentile_approx_tracks_exact(spark):
+    """q67's scale-path twin: percentile_approx (t-digest-style sketch,
+    map-side combinable — the 100 TB shape) must land within 1% of the
+    exact interpolated percentile the gate verifies against DuckDB.
+    (The sketch itself is not SQL-oracle-matchable: engines' sketches
+    differ.)"""
+    o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    row = o.agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("exact"),
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("approx"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("exact9"),
+        F.percentile_approx("o_totalprice", F.lit(0.9), F.lit(10000)).alias("approx9"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) <= 0.01 * row["exact"]
+    assert abs(row["approx9"] - row["exact9"]) <= 0.01 * row["exact9"]
+
+
 def test_asof_join_hand_computed(spark):
     from pda_spark.operators import temporal
 
