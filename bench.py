@@ -43,6 +43,7 @@ HEADLINE = [
     "q40_cell_assign",       # cell index (pure Catalyst)
     "q41_pip_join",          # point-in-polygon spatial join (headline)
     "q64_pip_wkb",           # same join, WKB-input decode leg (1 Arrow eval)
+    "q70_pip_multires",      # per-geometry resolution join (mixed extents)
     "q42_knn",               # kNN ring expansion
     "q44_tile_zonal",        # raster<->vector zonal tiles
     "q45_rect_intersects",   # polygon x polygon intersects join

@@ -192,6 +192,130 @@ def points_in_polygons_join(
     return inner.unionByName(missing.select(*pt_nulls, *polygons.columns))
 
 
+def within_distance_join(
+    points: DataFrame,
+    centers: DataFrame,
+    radius: float,
+    res: int = 6,
+    lonlat_cols: tuple[str, str] = ("lon", "lat"),
+    center_lonlat_cols: tuple[str, str] = ("clon", "clat"),
+    broadcast_centers: bool = True,
+) -> DataFrame:
+    """ST_DWithin-style distance join in planar degrees: every
+    (point, center) pair with Euclidean lon/lat distance <= radius
+    (the J4 city-buffer class, reference db.py:236-245, expressed as a
+    distance predicate instead of a materialized buffer polygon).
+
+    Fully JVM-side: each center covers its radius-bbox with cells
+    (pure Catalyst sequence fan-out), points map to one cell, the
+    equi-join + sqrt(dx*dx+dy*dy) <= radius refine are whole-stage
+    codegen — ZERO Python stages, so the oracle's identical IEEE754
+    chain reproduces it exactly. For the metres variant, buffer through
+    geo_udfs.buffer_point + points_in_polygons_join (J4's tested path).
+    """
+    lon_c, lat_c = lonlat_cols
+    clon_c, clat_c = center_lonlat_cols
+    r = float(radius)
+    cov = geo_udfs.cover_cells_bbox_expr(
+        F.col(clon_c) - r, F.col(clat_c) - r, F.col(clon_c) + r, F.col(clat_c) + r, res
+    )
+    cen = centers.withColumn("_cell", F.explode(cov))
+    pts = points.withColumn("_cell", geo_udfs.cell_of_xy_expr(F.col(lon_c), F.col(lat_c), res))
+    rhs = F.broadcast(cen) if broadcast_centers else cen
+    cand = pts.join(rhs, on="_cell", how="inner")
+    dx = F.col(lon_c) - F.col(clon_c)
+    dy = F.col(lat_c) - F.col(clat_c)
+    return cand.filter(F.sqrt(dx * dx + dy * dy) <= F.lit(r)).drop("_cell")
+
+
+def points_in_polygons_join_multires(
+    points: DataFrame,
+    polygons: DataFrame,
+    resolutions: tuple[int, ...] = (4, 6, 8),
+    point_geom: str = "geom",
+    poly_geom: str = "geom",
+    broadcast_polygons: bool = True,
+    lonlat_cols: tuple[str, str] | None = None,
+    target_cells: int = 4,
+) -> DataFrame:
+    """PIP join with PER-GEOMETRY resolution (SURVEY §4 item 1, the
+    full answer beyond the global ``res='auto'`` sample): each polygon
+    covers itself at the coarsest resolution in ``resolutions`` whose
+    cells still bound fan-out (~``target_cells`` per geometry via
+    cells.choose_res), so continent-size and scene-size geometries
+    coexist in ONE join with bounded cover size for both.
+
+    The trick making this a single equi-join: the cell id packs the
+    resolution into the high bits (res<<58|ix<<29|iy, geo/cells), so
+    cells at different resolutions can NEVER collide — the point side
+    just emits one cell per candidate resolution (explode of a small
+    literal list, pure Catalyst when lonlat_cols) and joins on the one
+    int64 column. A (point, polygon) pair meets at exactly the
+    polygon's single resolution: no pair dedup needed. Point-side
+    fan-out is bounded by len(resolutions); cells at a resolution no
+    polygon used are immediate hash-miss rows in the (broadcast) join.
+    """
+    res_list = sorted(set(int(r) for r in resolutions))
+    lo, hi = res_list[0], res_list[-1]
+
+    @pandas_udf(T.StructType([
+        T.StructField("bbox", T.ArrayType(T.DoubleType())),
+        T.StructField("cells", T.ArrayType(T.LongType())),
+        T.StructField("res", T.IntegerType()),
+    ]))
+    def _bc_auto(geom: pd.Series) -> pd.DataFrame:
+        from pda_spark.functions.geo_udfs import _decode_cache, _geom_cover
+        from pda_spark.geo import kernels
+
+        get = _decode_cache()
+        bbs, covers, rss = [], [], []
+        for buf in geom:
+            g = get(buf)
+            bb = kernels.bbox(g)
+            dim = max(bb[2] - bb[0], bb[3] - bb[1])
+            want = C.choose_res(dim, target_cells)
+            r = max(lo, min(hi, want))
+            # snap DOWN to the nearest allowed resolution (coarser =>
+            # fewer cells; never exceeds the fan-out target)
+            r = max(x for x in res_list if x <= r)
+            bbs.append(list(bb))
+            covers.append(_geom_cover(g, r, tight=True))
+            rss.append(r)
+        return pd.DataFrame({"bbox": bbs, "cells": covers, "res": rss})
+
+    pys = polygons.withColumn("_bc", _bc_auto.asNondeterministic()(F.col(poly_geom)))
+    pys = pys.withColumns(
+        {"_pbb": F.col("_bc.bbox"), "_cell": F.explode(F.col("_bc.cells"))}
+    ).drop("_bc")
+
+    if lonlat_cols is not None:
+        lon_c, lat_c = lonlat_cols
+        pts = points.withColumns({"_plon": F.col(lon_c), "_plat": F.col(lat_c)})
+    else:
+        pts = points.withColumn("_pc", geo_udfs.point_cell_lonlat(res_list[0])(F.col(point_geom)))
+        pts = pts.withColumns(
+            {"_plon": F.col("_pc.lon"), "_plat": F.col("_pc.lat")}
+        ).drop("_pc")
+    # one cell per resolution the polygon side can use; res lives in the
+    # id's high bits, so this single column joins against every level
+    pts = pts.withColumn(
+        "_cell",
+        F.explode(
+            F.array(*[geo_udfs.cell_of_xy_expr(F.col("_plon"), F.col("_plat"), r) for r in res_list])
+        ),
+    )
+    right = F.broadcast(pys) if broadcast_polygons else pys
+    cand = pts.join(right, on="_cell", how="inner")
+    cand = cand.filter(
+        F.col("_plon").between(F.col("_pbb")[0], F.col("_pbb")[2])
+        & F.col("_plat").between(F.col("_pbb")[1], F.col("_pbb")[3])
+    )
+    refined = cand.filter(
+        geo_udfs.point_in_polygon_lonlat(F.col("_plon"), F.col("_plat"), F.col(poly_geom))
+    )
+    return refined.drop("_cell", "_plon", "_plat", "_pbb")
+
+
 def intersects_join(
     left: DataFrame,
     right: DataFrame,

@@ -1310,6 +1310,75 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q69_distance_join(spark, sf_dir):
+    """ST_DWithin-class distance join (J4, reference city-buffer
+    db.py:236-245) through the fully-JVM within_distance_join — cover
+    cells, equi-join, sqrt refine all whole-stage codegen, zero Python —
+    so the oracle's identical IEEE754 chain verifies it exactly."""
+    pts = _event_points(spark, sf_dir).select("event_id", "lon", "lat")
+    centers = spark.createDataFrame(
+        [(q[0], q[1], q[2]) for q in KNN_QUERIES], "query_id int, clon double, clat double"
+    )
+    out = spatial_join.within_distance_join(pts, centers, radius=2.0015, res=6)
+    return out.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_points"))
+
+
+Q69_SQL = f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+centers(query_id, clon, clat) AS (
+  VALUES {', '.join(f'({q[0]}, {q[1]}, {q[2]})' for q in KNN_QUERIES)}
+)
+SELECT query_id, count(*) AS n_points
+FROM pts JOIN centers
+  ON sqrt((lon - clon) * (lon - clon) + (lat - clat) * (lat - clat)) <= 2.0015
+GROUP BY query_id
+"""
+
+
+# q70 fixture: wildly mixed extents — the five ~10-degree BOXES, two
+# ~0.25-degree scene boxes, one ~20x22-degree continent box
+MIXED_BOXES = BOXES + [
+    (7, -10.005, 44.005, -9.755, 44.255),
+    (8, 5.005, 47.005, 5.255, 47.255),
+    (9, -19.005, 37.005, 1.005, 59.005),
+]
+
+
+def q70_pip_multires(spark, sf_dir):
+    """Per-geometry-resolution PIP join (points_in_polygons_join_multires):
+    each box covers itself at the coarsest allowed resolution bounding
+    its fan-out (res lives in the cell id's high bits, so one equi-join
+    spans all levels; a pair meets at exactly the polygon's res — no
+    dedup). The oracle is the same range join as q41 over the mixed
+    fixture, proving resolution mixing never changes results."""
+    pts = _event_points(spark, sf_dir)
+    pts = pts.withColumn("geom", _mk_point(F.col("lon"), F.col("lat"))).select(
+        "event_id", "geom", "lon", "lat"
+    )
+    boxes = spark.createDataFrame(
+        [(b[0], bytearray(W.box(b[1], b[2], b[3], b[4]))) for b in MIXED_BOXES],
+        "box_id int, box_geom binary",
+    )
+    joined = spatial_join.points_in_polygons_join_multires(
+        pts, boxes, resolutions=(3, 5, 7, 9), point_geom="geom", poly_geom="box_geom",
+        lonlat_cols=("lon", "lat"),
+    )
+    return joined.groupBy("box_id").agg(F.count(F.lit(1)).alias("n_points"))
+
+
+Q70_SQL = f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+boxes(box_id, minx, miny, maxx, maxy) AS (
+  VALUES {', '.join(f'({b[0]}, {b[1]}, {b[2]}, {b[3]}, {b[4]})' for b in MIXED_BOXES)}
+)
+SELECT box_id, count(*) AS n_points
+FROM pts JOIN boxes
+  ON pts.lon BETWEEN boxes.minx AND boxes.maxx
+ AND pts.lat BETWEEN boxes.miny AND boxes.maxy
+GROUP BY box_id
+"""
+
+
 def q48_river_intersects(spark, sf_dir):
     """LineString x polygon ST_Intersects join (J2 with a lineal operand).
 
@@ -2274,4 +2343,6 @@ QUERIES: dict[str, tuple] = {
     "q66_pip_left_outer": (q66_pip_left_outer, Q66_SQL),
     "q67_percentiles": (q67_percentiles, Q67_SQL),
     "q68_analytic_windows": (q68_analytic_windows, Q68_SQL),
+    "q69_distance_join": (q69_distance_join, Q69_SQL),
+    "q70_pip_multires": (q70_pip_multires, Q70_SQL),
 }

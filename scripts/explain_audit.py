@@ -42,6 +42,8 @@ AUDITED = [
     "q66_pip_left_outer",
     "q67_percentiles",
     "q68_analytic_windows",
+    "q69_distance_join",
+    "q70_pip_multires",
 ]
 
 

@@ -574,3 +574,79 @@ def test_knn_geodesic_matches_bruteforce_sweep(spark):
         d = haversine_m(np.full(n, lo), np.full(n, la), plon, plat, proj.RQ)
         idx = np.lexsort((np.arange(n), d))[:k]
         assert by_q[qi] == [int(i) for i in idx], f"query {qi} at ({lo},{la})"
+
+
+def test_within_distance_join_matches_bruteforce(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    n = 5000
+    plon, plat = rng.uniform(-20, 20, n), rng.uniform(36, 61, n)
+    pts = spark.createDataFrame(
+        [(int(i), float(plon[i]), float(plat[i])) for i in range(n)],
+        "pt_id int, lon double, lat double",
+    )
+    centers = [(0, -10.0, 45.0), (1, 10.0, 42.0), (2, 0.0, 58.0)]
+    cdf = spark.createDataFrame(centers, "query_id int, clon double, clat double")
+    r = 3.3
+    got = {
+        (row["pt_id"], row["query_id"])
+        for row in spatial_join.within_distance_join(pts, cdf, radius=r, res=5).collect()
+    }
+    want = {
+        (i, q)
+        for i in range(n)
+        for (q, cx, cy) in centers
+        if np.sqrt((plon[i] - cx) ** 2 + (plat[i] - cy) ** 2) <= r
+    }
+    assert got == want
+    # zero Python stages: the whole plan must be JVM-side
+    plan = _formatted_plan(spatial_join.within_distance_join(pts, cdf, radius=r, res=5))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_multires_pip_matches_fixed_res_and_bounds_fanout(spark):
+    """Mixed continent/scene polygons through the per-geometry-resolution
+    join: answers identical to the fixed-res join (resolution never
+    changes results), and every geometry's cover stays bounded even
+    though extents span 2 orders of magnitude."""
+    import numpy as np
+
+    from pda_spark.geo import wkb
+
+    rng = np.random.default_rng(3)
+    polys = []
+    for i in range(20):   # continent-scale
+        x, y = rng.uniform(-20, -5, 2)[0], rng.uniform(38, 48)
+        polys.append((i, bytearray(wkb.box(x, y, x + rng.uniform(8, 15), y + rng.uniform(8, 12)))))
+    for i in range(300):  # scene-scale
+        x, y = rng.uniform(-20, 15), rng.uniform(38, 58)
+        polys.append((100 + i, bytearray(wkb.box(x, y, x + 0.12, y + 0.12))))
+    poly_df = spark.createDataFrame(polys, "poly_id int, pgeom binary")
+    n = 4000
+    plon, plat = rng.uniform(-20, 16, n), rng.uniform(37, 59, n)
+    pts = spark.createDataFrame(
+        [(int(i), float(plon[i]), float(plat[i])) for i in range(n)],
+        "pt_id int, lon double, lat double",
+    )
+    multi = spatial_join.points_in_polygons_join_multires(
+        pts, poly_df, resolutions=(3, 5, 7, 9), poly_geom="pgeom", lonlat_cols=("lon", "lat")
+    )
+    fixed = spatial_join.points_in_polygons_join(
+        pts, poly_df, res=7, poly_geom="pgeom", lonlat_cols=("lon", "lat")
+    )
+    got = {(r["pt_id"], r["poly_id"]) for r in multi.collect()}
+    assert got == {(r["pt_id"], r["poly_id"]) for r in fixed.collect()}
+    # no duplicate pairs: a pair meets at exactly one resolution
+    assert multi.count() == len(got)
+    # per-geometry fan-out bound: rerun the cover logic the operator uses
+    from pda_spark.geo import cells as C
+    from pda_spark.geo import kernels
+
+    for _pid, buf in polys:
+        g = wkb.decode(bytes(buf))
+        bb = kernels.bbox(g)
+        dim = max(bb[2] - bb[0], bb[3] - bb[1])
+        r = max(3, min(9, C.choose_res(dim, 4)))
+        r = max(x for x in (3, 5, 7, 9) if x <= r)
+        assert len(C.cover_bbox(*bb, r)) <= 36
