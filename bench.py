@@ -38,6 +38,8 @@ HEADLINE = [
     "q57_asof_join",         # as-of join (union + window fill)
     "q58_interval_join",     # range join via time buckets
     "q60_vocabulary",        # corpus vocab top-k (explode-agg)
+    "q71_decontaminate",     # train-test overlap (broadcast eval shingles)
+    "q72_corpus_quality",    # corpus-frequency quality signals
     "q13_heat_weekly",       # period bucketing + gap fill heat series
     "q28_media_features",    # multimodal mapInPandas feature extraction
     "q40_cell_assign",       # cell index (pure Catalyst)

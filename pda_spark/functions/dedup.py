@@ -91,6 +91,42 @@ def doc_shingle_hashes(df: DataFrame, id_col: str, text_col: str = "text", k: in
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/Pile train-test-overlap
+    check): every training doc annotated with the number of DISTINCT
+    k-gram shingles it shares with the evaluation set, plus a
+    ``contaminated`` flag. Training pipelines drop or audit flagged docs
+    before training so eval numbers stay honest.
+
+    Scale shape (100 TB): the eval side is benchmarks — thousands of
+    docs, not billions — so its distinct shingle-hash set broadcasts;
+    the training side is one row-local shingling (no shuffle), one
+    broadcast semi-ish join, one map-side-combinable count per doc, and
+    a left join back to zero-fill. The training corpus is never
+    shuffled on shingle.
+    """
+    tr = doc_shingle_hashes(docs, id_col, text_col, k)
+    ev = doc_shingle_hashes(eval_docs, id_col, text_col, k).select("h").distinct()
+    hits = tr.join(F.broadcast(ev), on="h").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_shared_grams"),
+        )
+        .withColumn("contaminated", F.col("n_shared_grams") > 0)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -194,3 +194,64 @@ def url_host(url: Column) -> Column:
     portable beats exhaustive here)."""
     h = F.lower(F.regexp_extract(url, r"^[A-Za-z]+://([^/:?#]+)", 1))
     return F.regexp_replace(h, r"^www\.", "")
+
+
+def corpus_frequency_quality(
+    docs, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Corpus-statistics quality signals (the CCNet/Gopher "how typical
+    is this document" family, built portably without a language model):
+    per document, the mean corpus frequency of its tokens and the share
+    of tokens that are corpus-rare (count <= 2). Low mean frequency +
+    high rare ratio flags gibberish/OCR noise; boilerplate sits at the
+    other extreme. All arithmetic is integer sums with ONE explicit
+    double division per signal, so a SQL oracle reproduces it exactly
+    (no libm log, no avg() accumulation-order hazard).
+
+    Scale shape (100 TB): one explode, one token-count aggregation
+    (map-side combinable), one join token->count (the token dimension is
+    zipfian — broadcast its head or let AQE pick), one per-doc
+    aggregation. No driver state.
+    """
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    )
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    j = toks.join(cnt, on="tok")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_toks"),
+        F.sum("c").cast("long").alias("sum_freq"),
+        (F.sum("c").cast("double") / F.count(F.lit(1))).alias("mean_tok_freq"),
+        (
+            F.sum(F.when(F.col("c") <= 2, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("rare_tok_ratio"),
+    )
+
+
+def quota_sample_by_chars(docs, budget_per_lang: int, lang_col: str = "lang"):
+    """Per-language character-budget sampling — the data-mixture
+    operator: keep a deterministic pseudo-random prefix of each
+    language's documents whose cumulative size fits the budget (train a
+    model on "20 GB per language" without materializing shuffles).
+    Ordering is a portable integer hash of doc_id (Knuth multiplicative,
+    BIGINT arithmetic — identical in any engine), so the sample is
+    stable under re-partitioning and reproducible in the SQL oracle.
+    One window per language partition; at 100 TB the running sum is the
+    same single shuffle a per-language sort would need, and skewed
+    languages can pre-split by hash range.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    h = F.pmod(F.col("doc_id").cast("long") * F.lit(2654435761).cast("long"), F.lit(2147483647))
+    w = (
+        Window.partitionBy(lang_col)
+        .orderBy(h.asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = docs.withColumn("cum_chars", F.sum(F.col("n_chars").cast("long")).over(w))
+    return out.filter(F.col("cum_chars") <= budget_per_lang)

@@ -1379,6 +1379,99 @@ GROUP BY box_id
 """
 
 
+def q71_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (train-test overlap, GPT-3/Pile style):
+    eval set = every 97th doc; each training doc counts the DISTINCT
+    5-gram shingles it shares with the eval set (broadcast eval shingle
+    hashes; the oracle joins raw substrings — hash equality == substring
+    equality at these scales, same argument as the q26 band join)."""
+    base = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    ev = base.filter(F.pmod(F.col("doc_id"), F.lit(97)) == 0)
+    tr = base.filter(F.pmod(F.col("doc_id"), F.lit(97)) != 0)
+    return dedup.decontaminate(tr, ev, "doc_id", k=_JACCARD_K)
+
+
+Q71_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents WHERE doc_id < 500
+), sh AS (
+  SELECT doc_id, unnest(list_distinct([substring(t, i, {_JACCARD_K})
+         for i in range(1, greatest(length(t) - {_JACCARD_K - 1}, 1) + 1)])) AS s
+  FROM base
+), ev AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT sh.doc_id, count(*) AS n FROM sh JOIN ev ON sh.s = ev.s
+  WHERE sh.doc_id % 97 <> 0 GROUP BY sh.doc_id
+)
+SELECT b.doc_id,
+       CAST(coalesce(hits.n, 0) AS BIGINT) AS n_shared_grams,
+       coalesce(hits.n, 0) > 0 AS contaminated
+FROM base b LEFT JOIN hits ON b.doc_id = hits.doc_id
+WHERE b.doc_id % 97 <> 0
+"""
+
+
+def q72_corpus_quality(spark, sf_dir):
+    """Corpus-frequency quality signals (CCNet/Gopher 'how typical'
+    family without a language model): mean corpus token frequency and
+    rare-token share per doc — integer sums + one explicit double
+    division per signal, so the oracle is exact (no libm log, no avg()
+    accumulation order)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = text.corpus_frequency_quality(docs)
+    return out.select(
+        "doc_id", "n_toks", "sum_freq",
+        F.round("mean_tok_freq", 6).alias("mean_tok_freq"),
+        F.round("rare_tok_ratio", 6).alias("rare_tok_ratio"),
+    )
+
+
+Q72_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+), cnt AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_toks,
+       CAST(sum(c) AS BIGINT) AS sum_freq,
+       round(CAST(sum(c) AS DOUBLE) / count(*), 6) AS mean_tok_freq,
+       round(CAST(sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS rare_tok_ratio
+FROM toks JOIN cnt USING (tok)
+GROUP BY doc_id
+"""
+
+
+def q73_quota_sample(spark, sf_dir):
+    """Per-language character-budget sampling (the data-mixture
+    operator): deterministic Knuth-hash order, running char sum per
+    language, keep while under budget. Stable under re-partitioning and
+    fully reproducible in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    out = text.quota_sample_by_chars(docs, budget_per_lang=20_000)
+    return out.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"), "cum_chars")
+
+
+Q73_SQL = """
+WITH h AS (
+  SELECT doc_id, lang, n_chars,
+         (CAST(doc_id AS BIGINT) * 2654435761) % 2147483647 AS hk
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+         -- CAST: DuckDB window sum(BIGINT) -> HUGEINT -> pandas float64
+         CAST(sum(CAST(n_chars AS BIGINT)) OVER (PARTITION BY lang ORDER BY hk, doc_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_chars
+  FROM h
+)
+SELECT doc_id, lang, n_chars, cum_chars FROM c WHERE cum_chars <= 20000
+"""
+
+
 def q48_river_intersects(spark, sf_dir):
     """LineString x polygon ST_Intersects join (J2 with a lineal operand).
 
@@ -2345,4 +2438,7 @@ QUERIES: dict[str, tuple] = {
     "q68_analytic_windows": (q68_analytic_windows, Q68_SQL),
     "q69_distance_join": (q69_distance_join, Q69_SQL),
     "q70_pip_multires": (q70_pip_multires, Q70_SQL),
+    "q71_decontaminate": (q71_decontaminate, Q71_SQL),
+    "q72_corpus_quality": (q72_corpus_quality, Q72_SQL),
+    "q73_quota_sample": (q73_quota_sample, Q73_SQL),
 }

@@ -44,6 +44,9 @@ AUDITED = [
     "q68_analytic_windows",
     "q69_distance_join",
     "q70_pip_multires",
+    "q71_decontaminate",
+    "q72_corpus_quality",
+    "q73_quota_sample",
 ]
 
 

@@ -444,3 +444,68 @@ def test_interval_join_hand_computed(spark):
     assert got == want
     # boundary inclusivity both ends
     assert (0, 1) in got and (9, 2) in got
+
+
+def test_decontaminate_hand_computed(spark):
+    from pda_spark.functions import dedup as D
+
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, "the quick brown fox went home"),   # shares 5-grams with eval
+            (2, "completely unrelated wording xyz"),
+            (3, "the quick brown fox jumps over the lazy dog"),  # identical
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: (r["n_shared_grams"], r["contaminated"])
+           for r in D.decontaminate(tr, ev, "doc_id", k=5).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2] == (0, False)
+    assert out[1][1] is True and out[1][0] > 0
+    # the identical doc shares ALL its distinct shingles
+    n_distinct = len({"the quick brown fox jumps over the lazy dog"[i:i+5]
+                      for i in range(len("the quick brown fox jumps over the lazy dog") - 4)})
+    assert out[3] == (n_distinct, True)
+    assert out[1][0] < out[3][0]
+
+
+def test_corpus_frequency_quality_hand_computed(spark):
+    from pda_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "b d e")], ["doc_id", "text"]
+    )
+    # corpus counts: a=3, b=2, c=1, d=1, e=1
+    out = {r["doc_id"]: r for r in T.corpus_frequency_quality(docs).collect()}
+    assert out[1]["n_toks"] == 3 and out[1]["sum_freq"] == 3 + 3 + 2
+    assert abs(out[1]["mean_tok_freq"] - 8 / 3) < 1e-12
+    assert abs(out[1]["rare_tok_ratio"] - 1 / 3) < 1e-12    # only 'b' is rare
+    assert out[2]["sum_freq"] == 3 + 1 and abs(out[2]["rare_tok_ratio"] - 0.5) < 1e-12
+    assert out[3]["sum_freq"] == 2 + 1 + 1 and out[3]["rare_tok_ratio"] == 1.0
+
+
+def test_quota_sample_budget_and_stability(spark):
+    from pda_spark.functions import text as T
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    budget = 15_000
+    out = T.quota_sample_by_chars(docs, budget_per_lang=budget)
+    rows = out.collect()
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in per_lang.items():
+        assert max(r["cum_chars"] for r in rs) <= budget
+    # greedy-prefix property: every language either kept ALL its docs or
+    # stopped because the next doc would overflow the budget
+    totals = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, rs in per_lang.items():
+        assert len(rs) <= totals[lang]
+    # deterministic under repartitioning
+    again = {(r["doc_id"], r["cum_chars"])
+             for r in T.quota_sample_by_chars(docs.repartition(13), budget_per_lang=budget).collect()}
+    assert again == {(r["doc_id"], r["cum_chars"]) for r in rows}
