@@ -163,7 +163,11 @@ def ngram_jaccard_pairs(
     # NOT persist: persisted blocks pin the cache manager until an
     # explicit unpersist, so repeated calls leak storage memory for the
     # session lifetime (ADVICE r3); checkpoint blocks are reclaimed by
-    # the ContextCleaner when the plan goes out of scope.
+    # the ContextCleaner when the plan goes out of scope. Trade-off:
+    # checkpoint blocks truncate lineage, so a lost executor block fails
+    # the query instead of recomputing — acceptable for an intra-query
+    # scratch table (rerun the query); a long-lived 100 TB shingle index
+    # would be persisted as a real TABLE, not an RDD cache.
     sh = sh.localCheckpoint(eager=False)
     if max_doc_freq is not None:
         # the HOT set (df > cap) is small by construction (boilerplate
@@ -313,7 +317,8 @@ def minhash_lsh_candidates(
     # pipeline (the expensive leg) executes once PER SIDE. localCheckpoint
     # (lazy), NOT persist — persisted blocks leak until an explicit
     # unpersist across repeated calls (ADVICE r3); checkpoint blocks are
-    # ContextCleaner-reclaimed when the plan is dropped.
+    # ContextCleaner-reclaimed when the plan is dropped. Same lost-block
+    # trade-off as the shingle table above (intra-query scratch).
     stacked = stacked.localCheckpoint(eager=False)
     a = stacked.alias("a")
     b = stacked.alias("b")

@@ -220,6 +220,12 @@ def corpus_frequency_quality(
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
     )
     cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # `toks` is deliberately NOT materialized although two consumers
+    # re-derive it (the count agg and the join probe): the leg is a
+    # single codegen'd split+explode, and at corpus scale recomputing it
+    # is far cheaper than writing the fully-exploded token table to the
+    # block store (the opposite call from the shingle table in dedup.py,
+    # where per-shingle md5 hashing makes recompute the expensive side).
     j = toks.join(cnt, on="tok")
     return j.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_toks"),
@@ -247,7 +253,15 @@ def quota_sample_by_chars(docs, budget_per_lang: int, lang_col: str = "lang"):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    h = F.pmod(F.col("doc_id").cast("long") * F.lit(2654435761).cast("long"), F.lit(2147483647))
+    # pmod-fold the id BEFORE the Knuth multiply: ids above ~3.47e9
+    # would overflow BIGINT in the product under ANSI mode (Spark 4
+    # default — same lesson as graph.py's fingerprint). Folded id
+    # < 2^31 times 2654435761 < 2^63 always fits.
+    h = F.pmod(
+        F.pmod(F.col("doc_id").cast("long"), F.lit(2147483647))
+        * F.lit(2654435761).cast("long"),
+        F.lit(2147483647),
+    )
     w = (
         Window.partitionBy(lang_col)
         .orderBy(h.asc(), F.col("doc_id").asc())

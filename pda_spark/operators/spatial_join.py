@@ -121,6 +121,13 @@ def points_in_polygons_join(
     backfill via one anti-join on the preserved side's id against the
     matched-id set — no change to the candidate/refine pipeline, and the
     matched-id projection is column-pruned to the id alone.
+
+    CONTRACT for the outer variants: the preserved side's id must be a
+    UNIQUE key. With duplicate ids the anti-join removes every copy once
+    ANY copy matches (a spatially-unmatched duplicate would vanish,
+    where SQL LEFT JOIN keeps it) — same caveat class as asof_join's
+    unique-(by, ts) requirement. NULL ids are handled (null-safe
+    anti-join), but a null id can only name one row for the same reason.
     """
     if how not in ("inner", "left", "right"):
         raise ValueError(
@@ -179,15 +186,23 @@ def points_in_polygons_join(
     # re-execute per consumer; at scale the inner rows are the dominant
     # output anyway, so this is one write the plan already implies
     inner = inner.localCheckpoint(eager=False)
+
+    def backfill(preserved: DataFrame, id_col: str) -> DataFrame:
+        # null-SAFE anti-join: a matched row with a NULL id must not
+        # reappear in the backfill (plain left_anti treats NULL != NULL
+        # and would emit the row twice — once matched, once null-padded)
+        matched = inner.select(F.col(id_col).alias("_mid")).distinct()
+        return preserved.join(
+            matched, on=F.col(id_col).eqNullSafe(F.col("_mid")), how="left_anti"
+        )
+
     if how == "left":
-        matched = inner.select(point_id).distinct()
-        missing = points.join(matched, on=point_id, how="left_anti")
+        missing = backfill(points, point_id)
         poly_nulls = [
             F.lit(None).cast(polygons.schema[c].dataType).alias(c) for c in polygons.columns
         ]
         return inner.unionByName(missing.select(*points.columns, *poly_nulls))
-    matched = inner.select(poly_id).distinct()
-    missing = polygons.join(matched, on=poly_id, how="left_anti")
+    missing = backfill(polygons, poly_id)
     pt_nulls = [F.lit(None).cast(points.schema[c].dataType).alias(c) for c in points.columns]
     return inner.unionByName(missing.select(*pt_nulls, *polygons.columns))
 
@@ -487,7 +502,13 @@ def knn_guard_geodesic(lon, lat, ring: int, res: int):
         # poles, where cos(phi_ext) -> 0 would otherwise pin the guard
         # at ~0 and exactness could never be certified
         return P.RQ * lat_lb * 0.999
-    phi_ext = np.minimum(np.abs(phi) + (ring + 1) * lat_step, np.radians(89.99))
+    # clamp phi_ext at EXACTLY pi/2 (cos -> 0, lon bound -> 0): a cap
+    # below |phi|+band (e.g. 89.99 deg) would be UNSOUND for queries in
+    # that last sliver — soundness needs cos(phi)cos(phi_other) >=
+    # cos^2(phi_ext), which requires phi_ext >= both. Near-polar queries
+    # therefore certify only once the retry loop widens the ring to the
+    # full wrap above (lat-only bound) — slower there, never wrong.
+    phi_ext = np.minimum(np.abs(phi) + (ring + 1) * lat_step, np.pi / 2.0)
     half_dlam = np.minimum(ring * lon_step, np.pi) / 2.0
     lon_lb = 2.0 * np.arcsin(np.clip(np.cos(phi_ext) * np.sin(half_dlam), 0.0, 1.0))
     return P.RQ * np.minimum(lat_lb, lon_lb) * 0.999

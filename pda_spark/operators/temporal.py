@@ -49,6 +49,15 @@ def asof_join(
     right rows whenever a column is legitimately null (ADVICE r3).
     """
     left_other = [c for c in left.columns if c not in by and c != ts]
+    clash = sorted(set(right_cols) & set(left_other))
+    if clash:
+        # the struct unpack would silently OVERWRITE the left columns;
+        # fail loudly instead (the old per-column fill raised Spark's
+        # AMBIGUOUS_REFERENCE here — keep the failure, improve the text)
+        raise ValueError(
+            f"asof_join: right_cols {clash} collide with left columns — "
+            "rename one side before joining"
+        )
     rstruct_t = T.StructType([T.StructField(c, right.schema[c].dataType) for c in right_cols])
     lu = left.select(
         *by,

@@ -1459,7 +1459,9 @@ def q73_quota_sample(spark, sf_dir):
 Q73_SQL = """
 WITH h AS (
   SELECT doc_id, lang, n_chars,
-         (CAST(doc_id AS BIGINT) * 2654435761) % 2147483647 AS hk
+         -- id folded before the multiply: mirrors the operator's ANSI
+         -- overflow guard (ids > ~3.47e9 would overflow the product)
+         ((CAST(doc_id AS BIGINT) % 2147483647) * 2654435761) % 2147483647 AS hk
   FROM documents
 ), c AS (
   SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,

@@ -63,7 +63,9 @@ def main() -> None:
     spark = get_spark("struct-eval-ab", cores=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     spark.sparkContext.setLogLevel("ERROR")
 
-    path = "/tmp/pda_struct_eval_pts.parquet"
+    # n in the path: a stale cache from a different n would otherwise be
+    # measured while the JSON records the requested n
+    path = f"/tmp/pda_struct_eval_pts_{n}.parquet"
     if not os.path.isdir(path):
         pts = (
             spark.range(n)

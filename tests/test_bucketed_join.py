@@ -8,18 +8,9 @@ shuffle (no Exchange node anywhere in the physical plan), and the
 result matches the plain-join oracle.
 """
 
-import contextlib
-import io
-
 import pytest
+from conftest import formatted_plan as _formatted_plan
 from pyspark.sql import functions as F
-
-
-def _formatted_plan(df) -> str:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain(mode="formatted")
-    return buf.getvalue()
 
 
 @pytest.fixture()

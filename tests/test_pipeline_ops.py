@@ -494,17 +494,23 @@ def test_quota_sample_budget_and_stability(spark):
     budget = 15_000
     out = T.quota_sample_by_chars(docs, budget_per_lang=budget)
     rows = out.collect()
-    per_lang = {}
-    for r in rows:
-        per_lang.setdefault(r["lang"], []).append(r)
-    for lang, rs in per_lang.items():
-        assert max(r["cum_chars"] for r in rs) <= budget
-    # greedy-prefix property: every language either kept ALL its docs or
-    # stopped because the next doc would overflow the budget
-    totals = {r["lang"]: r["n"] for r in
-              docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
-    for lang, rs in per_lang.items():
-        assert len(rs) <= totals[lang]
+    got = {(r["doc_id"], r["cum_chars"]) for r in rows}
+    # EXACT python oracle: per language, sort by the same Knuth hash and
+    # take the greedy prefix whose running char sum fits the budget
+    all_docs = docs.select("doc_id", "lang", "n_chars").collect()
+    by_lang = {}
+    for r in all_docs:
+        hk = ((r["doc_id"] % 2147483647) * 2654435761) % 2147483647
+        by_lang.setdefault(r["lang"], []).append((hk, r["doc_id"], r["n_chars"]))
+    want = set()
+    for lang, lst in by_lang.items():
+        cum = 0
+        for hk, did, nc in sorted(lst):
+            cum += nc
+            if cum > budget:
+                break
+            want.add((did, cum))
+    assert got == want
     # deterministic under repartitioning
     again = {(r["doc_id"], r["cum_chars"])
              for r in T.quota_sample_by_chars(docs.repartition(13), budget_per_lang=budget).collect()}

@@ -388,22 +388,8 @@ def test_knn_meters_property_sweep(spark):
         assert by_q[qi] == [int(i) for i in idx], f"query {qi} at ({lo},{la})"
 
 
-def _formatted_plan(df) -> str:
-    import contextlib
-    import io
-
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain(mode="formatted")
-    return buf.getvalue()
-
-
-def _n_arrow_nodes(plan: str) -> int:
-    # formatted explain prints each node twice (tree + detail section);
-    # count the detail headers "(N) ArrowEvalPython" only
-    import re as _re
-
-    return len(_re.findall(r"^\(\d+\) ArrowEvalPython", plan, _re.M))
+from conftest import formatted_plan as _formatted_plan
+from conftest import n_arrow_nodes as _n_arrow_nodes
 
 
 def test_salt_spreads_identical_hot_rows(spark):
@@ -550,14 +536,18 @@ def test_knn_geodesic_matches_bruteforce_sweep(spark):
     plon = np.where(plon > 180, plon - 360, plon)
     plat = np.concatenate([
         rng.uniform(-85, 85, n - 20_000),
-        rng.uniform(50, 75, 10_000),
+        rng.uniform(50, 75, 9_000),
+        rng.uniform(89.9, 89.9999, 1_000),      # polar cap cluster
         rng.uniform(60, 84, 10_000),            # high latitudes
     ])
     pts = spark.createDataFrame(
         pd.DataFrame({"pt_id": np.arange(n, dtype=np.int64), "lon": plon, "lat": plat})
     )
-    qlon = [0.0, 179.97, -179.98, 10.0, -120.0, 45.0]
-    qlat = [45.0, 62.0, 61.5, 83.0, -70.0, 0.01]
+    # 89.995: the near-polar sliver where a sub-pi/2 phi_ext clamp made
+    # the old lon-case guard unsound (certified wrong answers) — now the
+    # guard falls back to the lat-only bound once the ring wraps
+    qlon = [0.0, 179.97, -179.98, 10.0, -120.0, 45.0, 33.0]
+    qlat = [45.0, 62.0, 61.5, 83.0, -70.0, 0.01, 89.995]
     queries = spark.createDataFrame(
         [(i, bytearray(wkb.point(lo, la))) for i, (lo, la) in enumerate(zip(qlon, qlat))],
         "query_id int, qgeom binary",
@@ -650,3 +640,25 @@ def test_multires_pip_matches_fixed_res_and_bounds_fanout(spark):
         r = max(3, min(9, C.choose_res(dim, 4)))
         r = max(x for x in (3, 5, 7, 9) if x <= r)
         assert len(C.cover_bbox(*bb, r)) <= 36
+
+
+def test_pip_join_outer_null_id_not_duplicated(spark, world):
+    """A matched point whose point_id is NULL must appear exactly once:
+    the backfill anti-join is null-SAFE (plain left_anti treats
+    NULL != NULL and would emit the row a second time, null-padded)."""
+    polys = world["land_cover_classes"].select(
+        F.col("id").alias("lc_id"), F.col("geom").alias("lc_geom")
+    )
+    pts = world["cities"].select(F.col("id").alias("pt_id"), "geom")
+    # one matched city gets a NULL id
+    inner0 = spatial_join.points_in_polygons_join(pts, polys, res=7, poly_geom="lc_geom")
+    some_matched = inner0.select("pt_id").first()["pt_id"]
+    pts_null = pts.withColumn(
+        "pt_id", F.when(F.col("pt_id") == some_matched, F.lit(None)).otherwise(F.col("pt_id"))
+    )
+    left = spatial_join.points_in_polygons_join(
+        pts_null, polys, res=7, poly_geom="lc_geom", how="left", point_id="pt_id"
+    )
+    null_rows = [r for r in left.collect() if r["pt_id"] is None]
+    # the null-id city matched >= 1 polygon, so NO null-padded copy may exist
+    assert all(r["lc_id"] is not None for r in null_rows)
