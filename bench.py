@@ -40,6 +40,7 @@ HEADLINE = [
     "q60_vocabulary",        # corpus vocab top-k (explode-agg)
     "q71_decontaminate",     # train-test overlap (broadcast eval shingles)
     "q72_corpus_quality",    # corpus-frequency quality signals
+    "q75_boilerplate_lines", # line-frequency boilerplate removal
     "q13_heat_weekly",       # period bucketing + gap fill heat series
     "q28_media_features",    # multimodal mapInPandas feature extraction
     "q40_cell_assign",       # cell index (pure Catalyst)

@@ -269,3 +269,79 @@ def quota_sample_by_chars(docs, budget_per_lang: int, lang_col: str = "lang"):
     )
     out = docs.withColumn("cum_chars", F.sum(F.col("n_chars").cast("long")).over(w))
     return out.filter(F.col("cum_chars") <= budget_per_lang)
+
+
+def pii_scrub(col: Column) -> Column:
+    """PII redaction for training corpora: emails, phone-like number
+    runs, and IPv4 literals replaced with typed placeholder tokens (the
+    standard pre-training scrub). Patterns are backreference-free and
+    RE2/Java-compatible, and the DuckDB oracle applies the identical
+    chain with the 'g' (replace-all) flag, so both engines rewrite
+    byte-identically. Pure Catalyst — no Python."""
+    c = F.regexp_replace(
+        col, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+    )
+    c = F.regexp_replace(c, r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>")
+    c = F.regexp_replace(c, r"\+?\d[\d ()-]{7,}\d", "<PHONE>")
+    return c
+
+
+def pii_counts(col: Column) -> list[Column]:
+    """Per-doc counts of each PII class (pre-scrub audit columns)."""
+    return [
+        F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"), F.lit(0)))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(col, F.lit(r"\b(\d{1,3}\.){3}\d{1,3}\b"), F.lit(0)))
+        .cast("long").alias("n_ips"),
+    ]
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_frac: float = 0.5,
+) -> DataFrame:
+    """Line-level boilerplate removal (the CCNet/Trafilatura corpus
+    step): a line occurring in more than ``max_doc_frac`` of all
+    documents (nav bars, cookie banners, copyright footers) is dropped
+    from every document; remaining lines are reassembled in original
+    order. Returns (doc_id, clean_text, n_lines_kept, n_lines_removed).
+
+    Shape (100 TB): posexplode lines -> distinct (doc, line) ->
+    line-frequency aggregate (map-side combinable; the hot-line set is
+    tiny and broadcasts via AQE) -> anti-ish filter -> one per-doc
+    reassembly aggregate. Order restoration is array_sort over
+    (pos, line) structs — no window, no second shuffle beyond the
+    per-doc group."""
+    n_docs = docs.count()  # one count job; at scale pass the known value
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "line"),
+    )
+    freq = (
+        lines.select("doc_id", "line").distinct()
+        .groupBy("line").agg(F.count(F.lit(1)).alias("_df"))
+    )
+    tagged = lines.join(freq, on="line")
+    kept = tagged.filter(F.col("_df") <= max_doc_frac * n_docs)
+    removed_per_doc = (
+        tagged.filter(F.col("_df") > max_doc_frac * n_docs)
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines_removed"))
+    )
+    out = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))), lambda x: x["line"]
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_lines_kept"),
+    )
+    return (
+        out.join(removed_per_doc, on="doc_id", how="left")
+        .select(
+            "doc_id", "clean_text", "n_lines_kept",
+            F.coalesce("n_lines_removed", F.lit(0)).cast("long").alias("n_lines_removed"),
+        )
+    )

@@ -1474,6 +1474,101 @@ SELECT doc_id, lang, n_chars, cum_chars FROM c WHERE cum_chars <= 20000
 """
 
 
+def q74_pii_scrub(spark, sf_dir):
+    """PII redaction gate: a deterministic email + IPv4 literal is
+    injected per doc (both engines build the identical string), then the
+    scrub chain rewrites and the per-class audit counts are emitted;
+    the oracle applies the same regex chain with DuckDB's 'g'
+    (replace-all) flag so outputs are byte-identical."""
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@site.example.com or 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"), F.lit(".7 now"),
+        ).alias("t"),
+    )
+    return injected.select(
+        "doc_id",
+        F.md5(text.pii_scrub(F.col("t"))).alias("scrub_fp"),
+        *text.pii_counts(F.col("t")),
+    )
+
+
+Q74_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@site.example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 now' AS t
+  FROM documents
+)
+SELECT doc_id,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+             '\+?\d[\d ()-]{7,}\d', '<PHONE>', 'g')) AS scrub_fp,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(t, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips
+FROM d
+"""
+
+
+def q75_boilerplate_lines(spark, sf_dir):
+    """Line-level boilerplate removal (CCNet/Trafilatura corpus step):
+    two injected footer lines occur in 100% of docs (removed), one
+    unique note line per doc survives; the oracle replays the
+    line-frequency filter + ordered string_agg reassembly."""
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nCopyright 2026 Example Corp\nAll rights reserved\nunique-note-"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    out = text.remove_boilerplate_lines(injected, max_doc_frac=0.5)
+    return out.select(
+        "doc_id", F.md5("clean_text").alias("clean_fp"), "n_lines_kept", "n_lines_removed"
+    )
+
+
+Q75_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         text || chr(10) || 'Copyright 2026 Example Corp'
+              || chr(10) || 'All rights reserved'
+              || chr(10) || 'unique-note-' || CAST(doc_id AS VARCHAR) AS t
+  FROM documents
+), sp AS (
+  SELECT doc_id, string_split(t, chr(10)) AS ls FROM d
+), ll AS (
+  SELECT doc_id, unnest([{'pos': i, 'line': ls[i]} for i in range(1, len(ls) + 1)]) AS e
+  FROM sp
+), lines AS (
+  SELECT doc_id, e.pos AS pos, e.line AS line FROM ll
+), freq AS (
+  SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY line
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), tagged AS (
+  SELECT lines.*, freq.df FROM lines JOIN freq USING (line)
+)
+SELECT doc_id,
+       md5(string_agg(CASE WHEN df <= 0.5 * (SELECT n_docs FROM n) THEN line END,
+                      chr(10) ORDER BY pos)) AS clean_fp,
+       CAST(sum(CASE WHEN df <= 0.5 * (SELECT n_docs FROM n) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lines_kept,
+       CAST(sum(CASE WHEN df > 0.5 * (SELECT n_docs FROM n) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lines_removed
+FROM tagged
+GROUP BY doc_id
+"""
+
+
 def q48_river_intersects(spark, sf_dir):
     """LineString x polygon ST_Intersects join (J2 with a lineal operand).
 
@@ -2443,4 +2538,6 @@ QUERIES: dict[str, tuple] = {
     "q71_decontaminate": (q71_decontaminate, Q71_SQL),
     "q72_corpus_quality": (q72_corpus_quality, Q72_SQL),
     "q73_quota_sample": (q73_quota_sample, Q73_SQL),
+    "q74_pii_scrub": (q74_pii_scrub, Q74_SQL),
+    "q75_boilerplate_lines": (q75_boilerplate_lines, Q75_SQL),
 }

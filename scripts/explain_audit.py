@@ -47,6 +47,8 @@ AUDITED = [
     "q71_decontaminate",
     "q72_corpus_quality",
     "q73_quota_sample",
+    "q74_pii_scrub",
+    "q75_boilerplate_lines",
 ]
 
 

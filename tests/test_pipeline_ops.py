@@ -515,3 +515,40 @@ def test_quota_sample_budget_and_stability(spark):
     again = {(r["doc_id"], r["cum_chars"])
              for r in T.quota_sample_by_chars(docs.repartition(13), budget_per_lang=budget).collect()}
     assert again == {(r["doc_id"], r["cum_chars"]) for r in rows}
+
+
+def test_pii_scrub_hand_computed(spark):
+    from pda_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at john.doe+spam@mail.example.co.uk today"),
+            (2, "server 192.168.1.254 answered"),
+            (3, "call +1 (555) 123-4567 now"),
+            (4, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["s"] for r in
+           df.select("doc_id", T.pii_scrub(F.col("text")).alias("s")).collect()}
+    assert out[1] == "mail me at <EMAIL> today"
+    assert out[2] == "server <IP> answered"
+    assert out[3] == "call <PHONE> now"
+    assert out[4] == "nothing sensitive here"
+
+
+def test_remove_boilerplate_lines_hand_computed(spark):
+    from pda_spark.functions import text as T
+
+    footer = "copyright footer"
+    docs = spark.createDataFrame(
+        [(i, f"unique body {i}\n{footer}") for i in range(4)] + [(9, footer)],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in T.remove_boilerplate_lines(docs, max_doc_frac=0.5).collect()}
+    for i in range(4):
+        assert out[i]["clean_text"] == f"unique body {i}"
+        assert out[i]["n_lines_kept"] == 1 and out[i]["n_lines_removed"] == 1
+    # a doc consisting ONLY of boilerplate has no kept lines and drops
+    # out of the result entirely (documented edge)
+    assert 9 not in out
