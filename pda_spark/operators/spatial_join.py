@@ -339,6 +339,9 @@ def intersects_join(
     right_geom: str = "geom",
     broadcast_right: bool = True,
     salt: int = 1,
+    how: str = "inner",
+    left_id: str | None = None,
+    right_id: str | None = None,
 ) -> DataFrame:
     """Polygon x polygon ST_Intersects join with shuffle-free pair dedup.
 
@@ -352,7 +355,18 @@ def intersects_join(
     geometries is the one whose cover fan-out must stay bounded; the
     other side still covers >= 1 cell per geometry. Two small eager
     probe jobs.
+
+    ``how``: 'inner' (default), 'left' / 'right' keep the geometries of
+    that side that intersect nothing, other side's columns null — the
+    same null-safe anti-join backfill (and the same UNIQUE-id contract)
+    as points_in_polygons_join; requires ``left_id`` / ``right_id``.
     """
+    if how not in ("inner", "left", "right"):
+        raise ValueError(f"intersects_join: how={how!r} unsupported; one of 'inner', 'left', 'right'")
+    if how == "left" and (left_id is None or left_id not in left.columns):
+        raise ValueError("intersects_join: how='left' requires left_id naming a left column")
+    if how == "right" and (right_id is None or right_id not in right.columns):
+        raise ValueError("intersects_join: how='right' requires right_id naming a right column")
     if res == "auto":
         res = min(_auto_res(left, left_geom), _auto_res(right, right_geom))
     # NOTE: bbox (non-tight) covers are REQUIRED here: the reference-point
@@ -398,7 +412,23 @@ def intersects_join(
     )
     refined = cand.filter(geo_udfs.intersects_pair(F.col(left_geom), F.col(right_geom)))
     drop = ["_cell", lb, rb] + (["_salt"] if salt > 1 else [])
-    return refined.drop(*drop)
+    inner = refined.drop(*drop)
+    if how == "inner":
+        return inner
+    # same materialize-once + null-safe anti-join backfill as the PIP
+    # join's outer variants (see points_in_polygons_join)
+    inner = inner.localCheckpoint(eager=False)
+    preserved, id_col, other = (
+        (left, left_id, right) if how == "left" else (right, right_id, left)
+    )
+    matched = inner.select(F.col(id_col).alias("_mid")).distinct()
+    missing = preserved.join(
+        matched, on=F.col(id_col).eqNullSafe(F.col("_mid")), how="left_anti"
+    )
+    nulls = [F.lit(None).cast(other.schema[c].dataType).alias(c) for c in other.columns]
+    if how == "left":
+        return inner.unionByName(missing.select(*left.columns, *nulls))
+    return inner.unionByName(missing.select(*nulls, *right.columns))
 
 
 def knn_guard_meters(lon, lat, ring: int, res: int):

@@ -1131,6 +1131,103 @@ def q62_salted_intersects(spark, sf_dir):
     return pairs.groupBy("lc_id").agg(F.count(F.lit(1)).alias("n_images"))
 
 
+def q76_intersects_right_outer(spark, sf_dir):
+    """q45's polygon x polygon join preserving the land-cover side:
+    classes intersecting ZERO images are kept with n_images = 0 (the
+    dashboard ask the reference drops, now for the J2 polygon join —
+    q65's sibling on the intersects path)."""
+    o = _t(spark, sf_dir, "orders").filter(F.pmod(F.col("o_orderkey"), F.lit(37)) == 0)
+    img = o.select(
+        F.col("o_orderkey").alias("img_id"),
+        (F.pmod(F.col("o_orderkey") * 7, F.lit(4000)) / 100.0 - 20.0).alias("ix"),
+        (F.pmod(F.col("o_orderkey") * 11, F.lit(2200)) / 100.0 + 37.0).alias("iy"),
+        (F.pmod(F.col("o_orderkey"), F.lit(10)) / 20.0 + 0.05).alias("ih"),
+    )
+    img = img.withColumn(
+        "geom",
+        _mk_box(F.col("ix") - F.col("ih"), F.col("iy") - F.col("ih"),
+                F.col("ix") + F.col("ih"), F.col("iy") + F.col("ih")),
+    )
+    p = _t(spark, sf_dir, "part").filter(F.pmod(F.col("p_partkey"), F.lit(11)) == 0)
+    lc = p.select(
+        F.col("p_partkey").alias("lc_id"),
+        (F.pmod(F.col("p_partkey") * 13, F.lit(4000)) / 100.0 - 19.9987).alias("cx"),
+        (F.pmod(F.col("p_partkey") * 17, F.lit(2200)) / 100.0 + 37.0013).alias("cy"),
+        (F.pmod(F.col("p_partkey"), F.lit(8)) / 10.0 + 0.2).alias("ch"),
+    )
+    lc = lc.withColumn(
+        "lc_geom",
+        _mk_box(F.col("cx") - F.col("ch"), F.col("cy") - F.col("ch"),
+                F.col("cx") + F.col("ch"), F.col("cy") + F.col("ch")),
+    )
+    pairs = spatial_join.intersects_join(
+        img.select("img_id", "geom"), lc.select("lc_id", "lc_geom"),
+        res=6, left_geom="geom", right_geom="lc_geom",
+        how="right", right_id="lc_id",
+    )
+    return pairs.groupBy("lc_id").agg(F.count("img_id").alias("n_images"))
+
+
+Q76_SQL = """
+WITH img AS (
+  SELECT o_orderkey AS img_id,
+         ((o_orderkey * 7) % 4000) / 100.0 - 20.0 AS ix,
+         ((o_orderkey * 11) % 2200) / 100.0 + 37.0 AS iy,
+         (o_orderkey % 10) / 20.0 + 0.05 AS ih
+  FROM orders WHERE o_orderkey % 37 = 0
+), lc AS (
+  SELECT p_partkey AS lc_id,
+         ((p_partkey * 13) % 4000) / 100.0 - 19.9987 AS cx,
+         ((p_partkey * 17) % 2200) / 100.0 + 37.0013 AS cy,
+         (p_partkey % 8) / 10.0 + 0.2 AS ch
+  FROM part WHERE p_partkey % 11 = 0
+)
+SELECT lc_id, count(img_id) AS n_images
+FROM lc LEFT JOIN img
+  ON ix - ih <= cx + ch AND cx - ch <= ix + ih
+ AND iy - ih <= cy + ch AND cy - ch <= iy + ih
+GROUP BY lc_id
+"""
+
+
+def q77_heavy_hitters(spark, sf_dir):
+    """Exact relative-threshold heavy hitters: corpus tokens whose count
+    exceeds 0.2% of ALL tokens (the scalar-subquery-over-aggregate
+    shape q60's fixed top-k doesn't cover). ppm is floor-based integer
+    arithmetic, portable by construction. Scale path: this IS the exact
+    two-aggregate plan a Misra-Gries sketch approximates; the exact form
+    stays one map-side-combinable count + a broadcast of one scalar."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    )
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    total = toks.agg(F.count(F.lit(1)).alias("_t"))
+    return (
+        cnt.crossJoin(F.broadcast(total))
+        .filter(F.col("n_tok") * 500 > F.col("_t"))  # n/total > 0.002, integer-exact
+        .select(
+            "tok",
+            "n_tok",
+            F.floor(F.lit(1_000_000) * F.col("n_tok") / F.col("_t")).cast("long").alias("ppm"),
+        )
+    )
+
+
+Q77_SQL = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok FROM documents
+), cnt AS (
+  SELECT tok, count(*) AS n_tok FROM toks GROUP BY tok
+), tot AS (
+  SELECT count(*) AS t FROM toks
+)
+SELECT tok, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(floor(1000000 * n_tok / t) AS BIGINT) AS ppm
+FROM cnt, tot WHERE n_tok * 500 > t
+"""
+
+
 Q45_SQL = """
 WITH img AS (
   SELECT o_orderkey AS img_id,
@@ -2540,4 +2637,6 @@ QUERIES: dict[str, tuple] = {
     "q73_quota_sample": (q73_quota_sample, Q73_SQL),
     "q74_pii_scrub": (q74_pii_scrub, Q74_SQL),
     "q75_boilerplate_lines": (q75_boilerplate_lines, Q75_SQL),
+    "q76_intersects_right_outer": (q76_intersects_right_outer, Q76_SQL),
+    "q77_heavy_hitters": (q77_heavy_hitters, Q77_SQL),
 }

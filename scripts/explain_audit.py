@@ -49,6 +49,8 @@ AUDITED = [
     "q73_quota_sample",
     "q74_pii_scrub",
     "q75_boilerplate_lines",
+    "q76_intersects_right_outer",
+    "q77_heavy_hitters",
 ]
 
 

@@ -662,3 +662,26 @@ def test_pip_join_outer_null_id_not_duplicated(spark, world):
     null_rows = [r for r in left.collect() if r["pt_id"] is None]
     # the null-id city matched >= 1 polygon, so NO null-padded copy may exist
     assert all(r["lc_id"] is not None for r in null_rows)
+
+
+def test_intersects_join_outer_variants(spark, world):
+    imgs = world["sat_images"].select(F.col("id").alias("img_id"), "geom")
+    lcs = world["land_cover_classes"].select(
+        F.col("id").alias("lc_id"), F.col("geom").alias("lc_geom")
+    )
+    inner = spatial_join.intersects_join(imgs, lcs, res=6, right_geom="lc_geom")
+    inner_pairs = {(r["img_id"], r["lc_id"]) for r in inner.collect()}
+    right = spatial_join.intersects_join(
+        imgs, lcs, res=6, right_geom="lc_geom", how="right", right_id="lc_id"
+    )
+    rrows = right.collect()
+    assert {(r["img_id"], r["lc_id"]) for r in rrows if r["img_id"] is not None} == inner_pairs
+    all_lcs = {r["lc_id"] for r in lcs.collect()}
+    matched = {l for _, l in inner_pairs}
+    assert {r["lc_id"] for r in rrows if r["img_id"] is None} == all_lcs - matched
+    left = spatial_join.intersects_join(
+        imgs, lcs, res=6, right_geom="lc_geom", how="left", left_id="img_id"
+    )
+    lrows = left.collect()
+    all_imgs = {r["img_id"] for r in imgs.collect()}
+    assert {r["img_id"] for r in lrows if r["lc_id"] is None} == all_imgs - {i for i, _ in inner_pairs}
