@@ -552,3 +552,18 @@ def test_remove_boilerplate_lines_hand_computed(spark):
     # a doc consisting ONLY of boilerplate has no kept lines and drops
     # out of the result entirely (documented edge)
     assert 9 not in out
+
+
+def test_hll_distinct_tracks_exact(spark):
+    """The 100 TB cardinality path: approx_count_distinct (HyperLogLog++,
+    map-side combinable, fixed memory) must land within its documented
+    relative error of the exact distinct count on the corpus token
+    stream. The sketch is not SQL-oracle-matchable (engines' sketches
+    differ), so this exact-twin pytest is the check."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    toks = docs.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"))
+    row = toks.agg(
+        F.countDistinct("tok").alias("exact"),
+        F.approx_count_distinct("tok", 0.02).alias("approx"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) <= 0.05 * row["exact"]
