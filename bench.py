@@ -91,7 +91,15 @@ def main() -> None:
     # committed artifact caught a noise episode that a same-suite re-run
     # measured 25% faster; more reps stretch the sampling window).
     times: dict[str, float] = {}
-    for _rep in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))):
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "720"))
+    t_start = time.time()
+    for _rep in range(reps):
+        # wall-budget guard: never let extra reps (noise insurance) push
+        # the whole run past the driver's patience — after 2 full reps
+        # the min is already steady-state
+        if _rep >= 2 and time.time() - t_start > budget:
+            break
         for name in HEADLINE:
             fn, _sql = registry.QUERIES[name]
             t0 = time.time()
