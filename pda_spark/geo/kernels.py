@@ -137,6 +137,106 @@ def buffer_point_3035(lon: float, lat: float, dist_m: float, quad_segs: int = 8)
     return wkb.polygon([ring])
 
 
+def _disc_ring(x: float, y: float, dist: float, quad_segs: int) -> np.ndarray:
+    theta = np.linspace(0.0, 2.0 * np.pi, 4 * quad_segs, endpoint=False)
+    ring = np.column_stack([x + dist * np.cos(theta), y + dist * np.sin(theta)])
+    return np.vstack([ring, ring[:1]])
+
+
+def _capsule_pieces(
+    path: np.ndarray, dist: float, quad_segs: int
+) -> list[list[np.ndarray]]:
+    """Minkowski sum of a polyline with a disc of radius ``dist``, as a
+    list of single-ring polygons ready for scanline union: one rectangle
+    per segment (offset BOTH sides — under union the inner half is
+    redundant for outer rings and exactly the hole-shrink for inner
+    rings) plus one disc per vertex (the PostGIS-style round join)."""
+    pieces: list[list[np.ndarray]] = []
+    pts = np.asarray(path, dtype=np.float64)
+    closed = len(pts) > 1 and bool(np.all(pts[0] == pts[-1]))
+    verts = pts[:-1] if closed else pts
+    for x, y in verts:
+        pieces.append([_disc_ring(float(x), float(y), dist, quad_segs)])
+    a = pts[:-1]
+    b = pts[1:]
+    v = b - a
+    ln = np.hypot(v[:, 0], v[:, 1])
+    for i in np.nonzero(ln > 0.0)[0]:
+        nx = -v[i, 1] / ln[i] * dist
+        ny = v[i, 0] / ln[i] * dist
+        n = np.array([nx, ny])
+        rect = np.array([a[i] + n, b[i] + n, b[i] - n, a[i] - n, a[i] + n])
+        pieces.append([rect])
+    return pieces
+
+
+def buffer_polys(
+    polys: list[list[np.ndarray]], dist: float, quad_segs: int = 8
+) -> list[list[np.ndarray]]:
+    """Positive offset (ST_Buffer with round joins) of polygons-with-holes
+    in planar coordinates: polygon (+) disc(dist) computed as
+    union(original, per-edge capsules) via the scanline kernel — outward
+    growth on outer rings, inward shrink (or disappearance) of holes,
+    both emerge from the union with no special casing (VERDICT r4 #6;
+    reference cleanup buffer app/query.py:158). Arcs are inscribed
+    4*quad_segs-gons, PostGIS's default discretization. Negative dist is
+    not supported (the reference only buffers outward)."""
+    if dist < 0:
+        raise ValueError("buffer_polys: negative (erosion) buffer not supported")
+    from pda_spark.geo import sweep
+
+    pieces = [[wkb.close_ring(r) for r in rings] for rings in polys]
+    if dist > 0:
+        for rings in polys:
+            for r in rings:
+                pieces.extend(_capsule_pieces(wkb.close_ring(r), dist, quad_segs))
+    _, quads = sweep.union_geometry(pieces)
+    return sweep.merged_boundary_polygons(quads)
+
+
+def buffer_lines(
+    lines: list[np.ndarray], dist: float, quad_segs: int = 8
+) -> list[list[np.ndarray]]:
+    """ST_Buffer of polylines (river/lake centerlines — the lineal rows
+    of the reference's land-cover table): pure capsule union."""
+    if dist <= 0:
+        raise ValueError("buffer_lines: dist must be positive")
+    from pda_spark.geo import sweep
+
+    pieces: list[list[np.ndarray]] = []
+    for ln in lines:
+        pieces.extend(_capsule_pieces(ln, dist, quad_segs))
+    _, quads = sweep.union_geometry(pieces)
+    return sweep.merged_boundary_polygons(quads)
+
+
+def buffer_geom_3035(geom: wkb.Geom, dist_m: float, quad_segs: int = 8) -> bytes:
+    """ST_Buffer(ST_Transform(geom,3035), d) transformed back to 4326 —
+    the reference's buffer semantics for every geometry kind it stores:
+    point (db.py:243-245, 30 km cities), polygon (app/query.py:158, 1 m
+    cleanup), and the lineal land-cover rows. Returns WKB (multi)polygon."""
+    if geom.gtype == wkb.POINT:
+        p = geom.parts[0][0]
+        return buffer_point_3035(float(p[0]), float(p[1]), dist_m, quad_segs)
+    if geom.gtype in (wkb.LINESTRING, wkb.MULTILINESTRING):
+        buffered = buffer_lines(
+            [np.column_stack(proj.fwd(l[:, 0], l[:, 1])) for l in geom.lines()],
+            dist_m, quad_segs,
+        )
+    else:
+        buffered = buffer_polys(_project_polys(geom.polygons()), dist_m, quad_segs)
+    out = []
+    for rings in buffered:
+        inv_rings = []
+        for r in rings:
+            lon, lat = proj.inv(r[:, 0], r[:, 1])
+            inv_rings.append(np.column_stack([lon, lat]))
+        out.append(inv_rings)
+    if len(out) == 1:
+        return wkb.polygon(out[0])
+    return wkb.multipolygon(out)
+
+
 # ------------------------------------------------------ predicates
 
 

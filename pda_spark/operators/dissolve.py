@@ -27,15 +27,14 @@ Scale shape (100 TB):
   one grouped aggregation computes per-cell numerator/denominator, and a
   per-key merge emits the ratio + intersection geometry.
 
-Documented deviation — ST_Buffer(geom, 1) cleanup: the reference wraps
-union inputs in a 1 m buffer (/root/reference/app/query.py:158) purely to
-heal invalid/degenerate GEOS geometries before ST_UNION; it inflates
-every area by a ~1 m rim. Our scanline kernel is exact on touching /
-degenerate rings (slab topology is computed from the raw edges, no GEOS
-validity precondition), so no cleanup step exists here and areas are the
-UNBUFFERED exact values — intentionally closer to the mathematical union
-than the reference's output, and the reason coverage parity tests use
-unbuffered expectations.
+ST_Buffer(geom, 1) cleanup: the reference wraps union inputs in a 1 m
+buffer (/root/reference/app/query.py:158) purely to heal
+invalid/degenerate GEOS geometries before ST_UNION; it inflates every
+area by a ~1 m rim. Our scanline kernel is exact on touching /
+degenerate rings (no GEOS validity precondition), so the DEFAULT is the
+unbuffered exact union; pass ``dissolve(cleanup_buffer_m=1.0)`` for
+rim-for-rim reference parity (round-5: the polygon/line Minkowski offset
+now exists — kernels.buffer_geom_3035).
 """
 
 from __future__ import annotations
@@ -217,8 +216,19 @@ def dissolve(
     geom: str = "geom",
     cells_res: int | None | str = "auto",
     route_threshold: int = AUTO_ROUTE_PIECES,
+    cleanup_buffer_m: float | None = None,
 ) -> DataFrame:
     """ST_UNION(geom) GROUP BY key. Returns (key, geom, union_area).
+
+    ``cleanup_buffer_m``: reference parity for
+    ``ST_UNION(ST_BUFFER(ST_TRANSFORM(geom,3035), d))``
+    (app/query.py:158, d=1 m): each input geometry is offset by d metres
+    in EPSG:3035 (round joins, kernels.buffer_geom_3035) in ONE Arrow
+    pre-stage, then dissolved as usual — composition order matches the
+    reference (buffer each input, THEN union). None (default) skips the
+    cleanup: our scanline union needs no validity healing, so unbuffered
+    output is the exact mathematical union (the long-standing documented
+    deviation, now opt-IN-able for bit-of-rim parity).
 
     ``geom`` is the TRUE dissolved geometry as a merged-boundary
     multipolygon (PostGIS ST_UNION output shape). Representation caveat:
@@ -245,6 +255,12 @@ def dissolve(
       (valid for lon/lat-domain geometry only).
     - None: force the single-task-per-key scanline path.
     """
+    if cleanup_buffer_m is not None:
+        from pda_spark.functions import geo_udfs
+
+        land_cover = land_cover.withColumn(
+            geom, geo_udfs.buffer_geom(cleanup_buffer_m)(F.col(geom))
+        )
     if cells_res == "auto":
         top = land_cover.groupBy(key).count().agg(F.max("count")).first()[0]
         if top is not None and top > route_threshold:

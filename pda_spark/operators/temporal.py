@@ -49,7 +49,10 @@ def asof_join(
     right rows whenever a column is legitimately null (ADVICE r3).
     """
     left_other = [c for c in left.columns if c not in by and c != ts]
-    clash = sorted(set(right_cols) & set(left_other))
+    # a right_col named like a `by` key or the ts column would ALSO be
+    # silently overwritten by the struct unpack (ADVICE r4) — check the
+    # full left surface, not just the non-key columns
+    clash = sorted(set(right_cols) & (set(left_other) | set(by) | {ts}))
     if clash:
         # the struct unpack would silently OVERWRITE the left columns;
         # fail loudly instead (the old per-column fill raised Spark's

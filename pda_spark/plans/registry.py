@@ -991,6 +991,54 @@ SELECT query_id, event_id, round(d, 6) AS dist, rank FROM (
 """
 
 
+def q78_knn_geodesic(spark, sf_dir):
+    """Geodesic kNN (J13 driver gate — VERDICT r4 #4): the same
+    cell-ring expansion as q42 but with metric='geodesic' (true
+    great-circle metres on the authalic sphere, haversine as in
+    geo_udfs.haversine_m / spatial_join.py:501-544). Haversine is pure
+    libm arithmetic, so the DuckDB oracle replays the identical
+    2*R*asin(sqrt(...)) op sequence; distances rounded to 6 (micrometre
+    precision — ulp at ~1e6 m is ~1e-10, no boundary risk on fixed
+    synthetic coordinates)."""
+    pts = _event_points(spark, sf_dir).select("event_id", "lon", "lat")
+    queries = spark.createDataFrame(
+        [(q[0], bytearray(W.point(q[1], q[2]))) for q in KNN_QUERIES],
+        "query_id int, qgeom binary",
+    )
+    out = spatial_join.knn_join(
+        pts, queries, k=5, res=6, point_geom="geom", query_geom="qgeom",
+        query_id="query_id", max_ring=2, metric="geodesic", tiebreak="event_id",
+        lonlat_cols=("lon", "lat"),
+    )
+    return out.select(
+        "query_id", "event_id", F.round("dist_m", 6).alias("dist_m"),
+        F.col("knn_rank").alias("rank"),
+    )
+
+
+# authalic-sphere radius (geo/proj.py RQ), full double precision
+_RQ_REPR = "6371007.1808835175"
+
+Q78_SQL = f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+queries(query_id, qlon, qlat) AS (
+  VALUES {', '.join(f'({q[0]}, {q[1]}, {q[2]})' for q in KNN_QUERIES)}
+), scored AS (
+  SELECT query_id, event_id,
+         2.0 * CAST({_RQ_REPR} AS DOUBLE) * asin(sqrt(least(greatest(
+             pow(sin((radians(lat) - radians(qlat)) / 2.0), 2)
+             + cos(radians(qlat)) * cos(radians(lat))
+               * pow(sin((radians(lon) - radians(qlon)) / 2.0), 2),
+         0.0), 1.0))) AS d
+  FROM pts CROSS JOIN queries
+)
+SELECT query_id, event_id, round(d, 6) AS dist_m, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d ASC, event_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 def q43_bbox_area(spark, sf_dir):
     """WKB encode/decode + shoelace area vs plain rectangle arithmetic."""
     p = _t(spark, sf_dir, "part").filter(F.pmod(F.col("p_partkey"), F.lit(7)) == 0)
@@ -1014,6 +1062,43 @@ def q43_bbox_area(spark, sf_dir):
 Q43_SQL = """
 SELECT p_partkey,
        round((p_size / 10.0 + 0.1) * ((p_partkey % 5) / 10.0 + 0.2), 9) AS area_deg2
+FROM part WHERE p_partkey % 7 = 0
+"""
+
+
+def q79_buffer_area(spark, sf_dir):
+    """ST_Buffer gate (F5 completion — VERDICT r4 #6): rectangles from
+    the q43 fixture offset by d=0.35 in planar coordinates through the
+    Minkowski capsule union (kernels.buffer_polys on the scanline
+    kernel). For a rectangle the buffered area has the closed form
+    w*h + 2d(w+h) + 16*sin(pi/16)*d^2 exactly (the quarter 32-gon corner
+    fans align with quadrant boundaries), so DuckDB replays it as pure
+    arithmetic; round 4 leaves ~9 orders of magnitude of margin over the
+    scanline-vs-closed-form float drift (~1e-13 relative)."""
+    d = 0.35
+    p = _t(spark, sf_dir, "part").filter(F.pmod(F.col("p_partkey"), F.lit(7)) == 0)
+    rect = p.select(
+        "p_partkey",
+        (F.pmod(F.col("p_partkey") * 13, F.lit(3000)) / 100.0 - 15.0).alias("minx"),
+        (F.pmod(F.col("p_partkey") * 17, F.lit(2000)) / 100.0 + 38.0).alias("miny"),
+        (F.col("p_size") / 10.0 + 0.1).alias("w"),
+        (F.pmod(F.col("p_partkey"), F.lit(5)) / 10.0 + 0.2).alias("h"),
+    )
+    rect = rect.withColumn(
+        "geom",
+        _mk_box(F.col("minx"), F.col("miny"), F.col("minx") + F.col("w"), F.col("miny") + F.col("h")),
+    )
+    return rect.select(
+        "p_partkey",
+        F.round(geo_udfs.buffer_area_planar(d)(F.col("geom")), 4).alias("buf_area"),
+    )
+
+
+Q79_SQL = """
+SELECT p_partkey,
+       round((p_size / 10.0 + 0.1) * ((p_partkey % 5) / 10.0 + 0.2)
+             + 2 * 0.35 * ((p_size / 10.0 + 0.1) + ((p_partkey % 5) / 10.0 + 0.2))
+             + 16 * sin(pi() / 16) * 0.35 * 0.35, 4) AS buf_area
 FROM part WHERE p_partkey % 7 = 0
 """
 
@@ -1202,7 +1287,10 @@ def q77_heavy_hitters(spark, sf_dir):
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
     )
     cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
-    total = toks.agg(F.count(F.lit(1)).alias("_t"))
+    # total is derivable from the per-token counts — summing `cnt`
+    # re-reads the tiny aggregate, NOT the corpus (VERDICT r4: the old
+    # toks.agg(count(*)) re-executed the whole split+explode scan)
+    total = cnt.agg(F.sum("n_tok").alias("_t"))
     return (
         cnt.crossJoin(F.broadcast(total))
         .filter(F.col("n_tok") * 500 > F.col("_t"))  # n/total > 0.002, integer-exact
@@ -1617,14 +1705,22 @@ def q75_boilerplate_lines(spark, sf_dir):
     """Line-level boilerplate removal (CCNet/Trafilatura corpus step):
     two injected footer lines occur in 100% of docs (removed), one
     unique note line per doc survives; the oracle replays the
-    line-frequency filter + ordered string_agg reassembly."""
+    line-frequency filter + ordered string_agg reassembly. Every 7th
+    doc is ALL boilerplate (footer lines only) — such docs must still
+    emit a row with clean_fp NULL and n_lines_kept 0 (ADVICE r4: the
+    old kept-lines groupBy dropped them entirely)."""
     docs = _t(spark, sf_dir, "documents")
     injected = docs.select(
         "doc_id",
-        F.concat(
-            F.col("text"),
-            F.lit("\nCopyright 2026 Example Corp\nAll rights reserved\nunique-note-"),
-            F.col("doc_id").cast("string"),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(7)) == 0,
+            F.lit("Copyright 2026 Example Corp\nAll rights reserved"),
+        ).otherwise(
+            F.concat(
+                F.col("text"),
+                F.lit("\nCopyright 2026 Example Corp\nAll rights reserved\nunique-note-"),
+                F.col("doc_id").cast("string"),
+            )
         ).alias("text"),
     )
     out = text.remove_boilerplate_lines(injected, max_doc_frac=0.5)
@@ -1636,9 +1732,12 @@ def q75_boilerplate_lines(spark, sf_dir):
 Q75_SQL = """
 WITH d AS (
   SELECT doc_id,
-         text || chr(10) || 'Copyright 2026 Example Corp'
-              || chr(10) || 'All rights reserved'
-              || chr(10) || 'unique-note-' || CAST(doc_id AS VARCHAR) AS t
+         CASE WHEN doc_id % 7 = 0
+              THEN 'Copyright 2026 Example Corp' || chr(10) || 'All rights reserved'
+              ELSE text || chr(10) || 'Copyright 2026 Example Corp'
+                        || chr(10) || 'All rights reserved'
+                        || chr(10) || 'unique-note-' || CAST(doc_id AS VARCHAR)
+         END AS t
   FROM documents
 ), sp AS (
   SELECT doc_id, string_split(t, chr(10)) AS ls FROM d
@@ -2639,4 +2738,6 @@ QUERIES: dict[str, tuple] = {
     "q75_boilerplate_lines": (q75_boilerplate_lines, Q75_SQL),
     "q76_intersects_right_outer": (q76_intersects_right_outer, Q76_SQL),
     "q77_heavy_hitters": (q77_heavy_hitters, Q77_SQL),
+    "q78_knn_geodesic": (q78_knn_geodesic, Q78_SQL),
+    "q79_buffer_area": (q79_buffer_area, Q79_SQL),
 }

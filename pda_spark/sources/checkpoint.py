@@ -57,8 +57,36 @@ class CheckpointManager:
         with open(self._manifest_path(name)) as f:
             return json.load(f)
 
+    def _table_name(self, name: str) -> str:
+        safe = "".join(c if c.isalnum() else "_" for c in name)
+        return f"ckpt_{safe}_{''.join(c if c.isalnum() else '_' for c in self.base.strip('/'))[-40:]}"
+
     def read(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self._dir(name), "data"))
+        """Read a committed stage. Bucketed stages come back THROUGH the
+        catalog so the bucket spec survives into join planning — on a
+        fresh session (resume) the table is re-registered over the
+        existing files from the manifest's recorded spec, so the
+        Exchange-free co-located join works across restarts, not just in
+        the writing session."""
+        data_dir = os.path.join(self._dir(name), "data")
+        m = self.manifest(name) if self.is_complete(name) else {}
+        spec = m.get("cluster_by")
+        if not spec:
+            return self.spark.read.parquet(data_dir)
+        tbl = self._table_name(name)
+        if not self.spark.catalog.tableExists(tbl):
+            from pyspark.sql import types as T
+
+            schema = T.StructType.fromJson(m["schema"])
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+            )
+            self.spark.sql(
+                f"CREATE TABLE {tbl} ({cols}) USING parquet "
+                f"CLUSTERED BY (`{spec['col']}`) SORTED BY (`{spec['col']}`) "
+                f"INTO {spec['buckets']} BUCKETS LOCATION '{data_dir}'"
+            )
+        return self.spark.table(tbl)
 
     # ------------------------------------------------------------ write
     def _collect_metrics(self, data_dir: str, df: DataFrame) -> dict:
@@ -106,13 +134,35 @@ class CheckpointManager:
         name: str,
         parents: list[str] | None = None,
         mode: str = "overwrite",
+        cluster_by: tuple[str, int] | None = None,
     ) -> DataFrame:
         """Materialize a stage and commit its manifest; returns the
         re-read DataFrame (downstream stages read the checkpoint, so a
-        resumed run is plan-identical to a fresh one)."""
+        resumed run is plan-identical to a fresh one).
+
+        ``cluster_by=(col, n_buckets)``: land the stage bucketed+sorted
+        by ``col`` (Iceberg's ``CLUSTERED BY`` on the parquet substitute)
+        — the default layout for cell-keyed fact tables, so downstream
+        cell-equi-joins between co-bucketed stages carry NO Exchange
+        (tests/test_bucketed_join.py shape as the checkpoint default,
+        VERDICT r4 #8). The spec is recorded in the manifest and
+        re-registered on resume."""
         data_dir = os.path.join(self._dir(name), "data")
-        df.write.mode(mode).parquet(data_dir)
-        out = self.spark.read.parquet(data_dir)
+        if cluster_by is not None:
+            col, n_buckets = cluster_by
+            tbl = self._table_name(name)
+            self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            (
+                df.write.mode(mode)
+                .bucketBy(n_buckets, col)
+                .sortBy(col)
+                .option("path", data_dir)
+                .saveAsTable(tbl)
+            )
+            out = self.spark.table(tbl)
+        else:
+            df.write.mode(mode).parquet(data_dir)
+            out = self.spark.read.parquet(data_dir)
         metrics = self._collect_metrics(data_dir, out)
         self._commit(
             name,
@@ -124,19 +174,30 @@ class CheckpointManager:
                 "parent_fingerprint": self._parent_fingerprint(parents),
                 "schema": out.schema.jsonValue(),
                 "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                **(
+                    {"cluster_by": {"col": cluster_by[0], "buckets": cluster_by[1]}}
+                    if cluster_by
+                    else {}
+                ),
                 **metrics,
             },
         )
         return out
 
-    def stage(self, name: str, build, parents: list[str] | None = None) -> DataFrame:
+    def stage(
+        self,
+        name: str,
+        build,
+        parents: list[str] | None = None,
+        cluster_by: tuple[str, int] | None = None,
+    ) -> DataFrame:
         """Resume-aware stage: reuse the checkpoint if committed AND its
         parents are unchanged, else compute ``build()`` and commit."""
         if self.is_complete(name):
             m = self.manifest(name)
             if m.get("parent_fingerprint", {}) == self._parent_fingerprint(parents):
                 return self.read(name)
-        return self.write_stage(build(), name, parents=parents)
+        return self.write_stage(build(), name, parents=parents, cluster_by=cluster_by)
 
     def merge_append(self, df: DataFrame, name: str, key: str, parents: list[str] | None = None) -> DataFrame:
         """Idempotent keyed append (ON CONFLICT DO NOTHING / Iceberg

@@ -52,3 +52,42 @@ def test_bucketed_join_carries_no_exchange(spark, tmp_path, no_broadcast):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_checkpoint_cluster_by_exchange_free_rejoin(spark, tmp_path, no_broadcast):
+    """VERDICT r4 #8: cell-bucketed layout as the CHECKPOINT default,
+    not a demo — two stages written with cluster_by=('cell', 8) re-join
+    on cell with no Exchange, and the plan survives a catalog wipe
+    (simulated resume: drop the session tables, read() re-registers
+    from the manifest's recorded bucket spec over the existing files)."""
+    from pda_spark.sources.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(spark, str(tmp_path / "ckpt"))
+    left = spark.range(10_000).select(
+        F.col("id").alias("cell"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(0, 10_000, 2).select(
+        F.col("id").alias("cell"), (F.col("id") * 3).alias("b")
+    )
+    lo = mgr.write_stage(left, "facts_left", cluster_by=("cell", 8))
+    ro = mgr.write_stage(right, "facts_right", cluster_by=("cell", 8))
+    j = lo.join(ro, "cell")
+    plan = _formatted_plan(j)
+    assert "Exchange" not in plan, plan
+    assert j.count() == 5_000
+    # manifest carries the layout + lineage metrics contract
+    m = mgr.manifest("facts_left")
+    assert m["cluster_by"] == {"col": "cell", "buckets": 8}
+    assert m["rows"] == 10_000 and m["bytes"] > 0 and m["partitions"]
+    # simulated resume: wipe the catalog, read() must re-register the
+    # bucket spec via DDL over the existing parquet files
+    for t in spark.catalog.listTables():
+        if t.name.startswith("ckpt_facts_"):
+            spark.sql(f"DROP TABLE {t.name}")
+    lo2, ro2 = mgr.read("facts_left"), mgr.read("facts_right")
+    j2 = lo2.join(ro2, "cell")
+    plan2 = _formatted_plan(j2)
+    assert "Exchange" not in plan2, plan2
+    assert j2.count() == 5_000
+    got = j2.agg(F.sum(F.col("a") + F.col("b")).alias("s")).first()["s"]
+    assert got == sum(2 * k + 3 * k for k in range(0, 10_000, 2))

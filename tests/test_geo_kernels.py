@@ -346,3 +346,67 @@ def test_dp_simplify_properties():
     g = wkb.decode(wkb.polygon([tri]))
     s = kernels.simplify_geom(g, 10.0)
     assert s.polygons()[0][0].shape[0] == 4  # unchanged
+
+
+def test_buffer_polys_square_golden():
+    """Minkowski offset of a rectangle: closed form w*h + 2d(w+h) +
+    A32*d^2 with A32 = 16*sin(pi/16) (quarter 32-gon fans at the
+    corners align with quadrant boundaries)."""
+    sq = np.array([[0.0, 0], [10, 0], [10, 10], [0, 10], [0, 0]])
+    d = 1.0
+    a32 = 0.5 * 32 * np.sin(2 * np.pi / 32)
+    out = kernels.buffer_polys([[sq]], d)
+    assert abs(kernels.polygons_area(out) - (100 + 40 * d + a32 * d * d)) < 1e-9
+
+
+def test_buffer_polys_hole_semantics():
+    sq = np.array([[0.0, 0], [10, 0], [10, 10], [0, 10], [0, 0]])
+    hole = np.array([[3.0, 3], [7, 3], [7, 7], [3, 7], [3, 3]])
+    d = 1.0
+    a32 = 0.5 * 32 * np.sin(2 * np.pi / 32)
+    # convex hole erodes with SHARP corners: 4x4 -> exactly 2x2
+    out = kernels.buffer_polys([[sq, hole]], d)
+    assert abs(kernels.polygons_area(out) - (100 + 40 + a32 - 4.0)) < 1e-9
+    # hole narrower than 2d disappears entirely
+    small = np.array([[4.5, 4.5], [5.5, 4.5], [5.5, 5.5], [4.5, 5.5], [4.5, 4.5]])
+    out2 = kernels.buffer_polys([[sq, small]], d)
+    assert len(out2) == 1 and len(out2[0]) == 1
+    assert abs(kernels.polygons_area(out2) - (100 + 40 + a32)) < 1e-9
+    # zero-distance buffer is the identity region
+    out0 = kernels.buffer_polys([[sq, hole]], 0.0)
+    assert abs(kernels.polygons_area(out0) - 84.0) < 1e-9
+    with pytest.raises(ValueError):
+        kernels.buffer_polys([[sq]], -1.0)
+
+
+def test_buffer_lines_capsule():
+    ln = np.array([[0.0, 0], [10, 0]])
+    a32 = 0.5 * 32 * np.sin(2 * np.pi / 32)
+    out = kernels.buffer_lines([ln], 1.0)
+    assert abs(kernels.polygons_area(out) - (20 + a32)) < 1e-9
+    # right-angle polyline: rects overlap at the elbow, union handles it
+    bent = np.array([[0.0, 0], [10, 0], [10, 10]])
+    out2 = kernels.buffer_lines([bent], 1.0)
+    # area < 2*capsule (the elbow overlap is merged, not double-counted)
+    assert kernels.polygons_area(out2) < 2 * (20 + a32)
+    assert kernels.polygons_area(out2) > 38.0
+
+
+def test_buffer_geom_3035_point_matches_point_kernel():
+    g = wkb.decode(wkb.point(8.8, 55.47))
+    assert kernels.buffer_geom_3035(g, 30000.0) == kernels.buffer_point_3035(
+        8.8, 55.47, 30000.0
+    )
+
+
+def test_buffer_geom_3035_polygon_rim(fake_poly):
+    """1 m cleanup rim (reference app/query.py:158): buffered area
+    exceeds the original by perimeter*1m + pi*1m^2 — a relative check
+    since the projection bends the rim slightly."""
+    g = wkb.decode(fake_poly) if isinstance(fake_poly, (bytes, bytearray)) else fake_poly
+    a0 = kernels.area_3035_sqkm(g, ndigits=None)
+    buffered = wkb.decode(kernels.buffer_geom_3035(g, 1.0))
+    a1 = kernels.area_3035_sqkm(buffered, ndigits=None)
+    assert a1 > a0
+    # the 1 m rim on a ~1.2M km^2 polygon is tiny: < 0.01% growth
+    assert (a1 - a0) / a0 < 1e-4

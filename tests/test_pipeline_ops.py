@@ -470,6 +470,11 @@ def test_decontaminate_hand_computed(spark):
                       for i in range(len("the quick brown fox jumps over the lazy dog") - 4)})
     assert out[3] == (n_distinct, True)
     assert out[1][0] < out[3][0]
+    # the xxhash64 production path (VERDICT r4 #5) must agree exactly:
+    # hash equality == substring equality for both hashers at test scale
+    out_xx = {r["doc_id"]: (r["n_shared_grams"], r["contaminated"])
+              for r in D.decontaminate(tr, ev, "doc_id", k=5, hasher="xxhash64").collect()}
+    assert out_xx == out
 
 
 def test_corpus_frequency_quality_hand_computed(spark):
@@ -517,6 +522,45 @@ def test_quota_sample_budget_and_stability(spark):
     assert again == {(r["doc_id"], r["cum_chars"]) for r in rows}
 
 
+def test_quota_sample_skewed_language_spreads_tasks(spark):
+    """VERDICT r4 #3: one dominant language must NOT serialize the
+    running cumsum into a single task. The two-level cumsum windows per
+    (lang, hash-range bucket), so the heavy leg's shuffle spreads a
+    monolingual corpus over many partitions — asserted by counting
+    non-empty partitions on the windowed (pre-filter) frame."""
+    from pyspark.sql import functions as SF
+
+    from pda_spark.functions import text as T
+
+    # 4000 docs, ALL one language — the adversarial mixture
+    docs = spark.range(4000).select(
+        SF.col("id").alias("doc_id"), SF.lit("en").alias("lang"),
+        (SF.pmod(SF.col("id"), SF.lit(50)) + 10).alias("n_chars"),
+    )
+    out = T.quota_sample_by_chars(docs, budget_per_lang=10**12, n_buckets=16)
+    # correctness first: identical to the naive single-window oracle
+    rows = out.collect()
+    hk = lambda d: ((d % 2147483647) * 2654435761) % 2147483647
+    cum, want = 0, {}
+    for d in sorted(range(4000), key=lambda d: (hk(d), d)):
+        cum += d % 50 + 10
+        want[d] = cum
+    assert {r["doc_id"]: r["cum_chars"] for r in rows} == want
+    # scale shape: the heavy window must partition by the hash-range
+    # bucket (hash-partitioned exchange on _bkt), never collapse the
+    # whole language into one task. Plan-level assertion because AQE
+    # legitimately coalesces this tiny input's post-shuffle partitions.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    heavy = [
+        ln for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "_h#" in ln and "doc_id#" in ln
+    ]
+    assert heavy and all("_bkt#" in ln for ln in heavy), plan
+    assert any(
+        "hashpartitioning(" in ln and "_bkt#" in ln for ln in plan.splitlines()
+    ), plan
+
+
 def test_pii_scrub_hand_computed(spark):
     from pda_spark.functions import text as T
 
@@ -549,9 +593,16 @@ def test_remove_boilerplate_lines_hand_computed(spark):
     for i in range(4):
         assert out[i]["clean_text"] == f"unique body {i}"
         assert out[i]["n_lines_kept"] == 1 and out[i]["n_lines_removed"] == 1
-    # a doc consisting ONLY of boilerplate has no kept lines and drops
-    # out of the result entirely (documented edge)
-    assert 9 not in out
+    # a doc consisting ONLY of boilerplate still emits a row — NULL
+    # clean_text, zero kept lines (ADVICE r4: the old kept.groupBy
+    # dropped such docs entirely, diverging from the oracle contract)
+    assert out[9]["clean_text"] is None
+    assert out[9]["n_lines_kept"] == 0 and out[9]["n_lines_removed"] == 1
+    # laziness: with n_docs passed, building the plan runs no job
+    lazy = T.remove_boilerplate_lines(docs, max_doc_frac=0.5, n_docs=5)
+    assert {r["doc_id"]: r["n_lines_kept"] for r in lazy.collect()} == {
+        **{i: 1 for i in range(4)}, 9: 0,
+    }
 
 
 def test_hll_distinct_tracks_exact(spark):

@@ -316,3 +316,39 @@ def test_dissolve_output_is_merged(spark, holed_world):
     n_verts = sum(len(r) - 1 for rings in g.polygons() for r in rings)
     assert n_rings <= 6 and n_verts <= 60
     assert kernels.area_planar(g) == pytest.approx(EXPECT_URBAN_AREA, rel=1e-12)
+
+
+def test_dissolve_cleanup_buffer_matches_reference_semantics(spark, holed_world):
+    """Reference parity for ST_UNION(ST_BUFFER(ST_TRANSFORM(geom,3035),d))
+    (app/query.py:158): each input is offset d metres BEFORE the union.
+    With d=1km on degree-scale fixtures the rim is visible but small:
+    area strictly grows, holes shrink but stay open, and a sub-2d gap
+    between inputs is healed (the buffer's original GEOS-cleanup role)."""
+    lc, _ = holed_world
+    plain = {r["featureclass"]: r["union_area"] for r in dissolve.dissolve(lc).collect()}
+    buffered = {
+        r["featureclass"]: r
+        for r in dissolve.dissolve(lc, cleanup_buffer_m=1000.0).collect()
+    }
+    for k in plain:
+        grown = buffered[k]["union_area"]
+        assert grown > plain[k]
+        # 1 km on a ~1-degree-scale shape adds ~0.009 deg rim: well
+        # under 20% growth, never a blow-up
+        assert grown < plain[k] * 1.2
+    # the urban hole (2x2 deg) survives a 1 km inward shrink
+    g = wkb.decode(bytes(buffered["urban"]["geom"]))
+    assert not kernels.points_in_polygons(np.array([[2.0, 2.0]]), g.polygons())[0]
+    # gap healing: two squares 0.005 deg (~550 m) apart merge under a
+    # 1 km buffer into ONE ring (buffer-then-union, not union-then-buffer)
+    a = sq(0, 0, 1, 1)
+    b = sq(1.005, 0, 2.005, 1)
+    df = spark.createDataFrame(
+        [("k", bytearray(wkb.polygon([a]))), ("k", bytearray(wkb.polygon([b])))],
+        "featureclass string, geom binary",
+    )
+    healed = dissolve.dissolve(df, cleanup_buffer_m=1000.0).collect()[0]
+    rings = wkb.decode(bytes(healed["geom"])).polygons()
+    assert len(rings) == 1  # one merged polygon, gap closed
+    unhealed = dissolve.dissolve(df).collect()[0]
+    assert len(wkb.decode(bytes(unhealed["geom"])).polygons()) == 2
