@@ -111,16 +111,24 @@ def buffer_geom(dist_m: float, quad_segs: int = 8):
 
 
 def buffer_area_planar(dist: float, quad_segs: int = 8):
-    """Area of the positive offset of a polygonal geometry, in its own
-    planar coordinates (no projection) — the SQL-oracle-friendly face of
-    the Minkowski buffer kernel: for a rectangle the result equals the
-    closed form w*h + 2d(w+h) + 16*sin(pi/16)*d^2 to float64 rounding
-    (the four quarter 32-gon corner fans align with the quadrant
-    boundaries because the fan starts at theta=0)."""
+    """Area of the offset of a polygonal geometry in its own planar
+    coordinates (no projection) — the SQL-oracle-friendly face of the
+    Minkowski buffer kernel. Positive ``dist`` dilates (for a rectangle:
+    w*h + 2d(w+h) + 16*sin(pi/16)*d^2 to float64 rounding — the quarter
+    32-gon corner fans align with quadrant boundaries); negative ``dist``
+    erodes (ST_Buffer negative distance; exact sharp-corner closed form
+    (w-2|d|)(h-2|d|) for rectangles via kernels.erosion_area)."""
 
     @pandas_udf(T.DoubleType())
     def _ba(geom: pd.Series) -> pd.Series:
         get = _decode_cache()
+        if dist < 0:
+            return pd.Series(
+                [
+                    kernels.erosion_area(get(b).polygons(), -dist, quad_segs)
+                    for b in geom
+                ]
+            )
         return pd.Series(
             [
                 kernels.polygons_area(

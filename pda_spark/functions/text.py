@@ -313,6 +313,59 @@ def quota_sample_by_chars(
     return out.filter(F.col("cum_chars") <= budget_per_lang)
 
 
+def bm25_term_scores(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance per (document, query term) — the corpus search /
+    retrieval scorer (Robertson/Lucene form):
+    idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1), tf saturation with
+    length normalization. Emits one row per matching (doc, term) rather
+    than a per-doc sum so every output value is a pure scalar expression
+    (no float accumulation-order hazard) and a SQL oracle replays the
+    identical op sequence; callers aggregate per doc when ranking.
+
+    Scale shape (100 TB): the query-term filter runs BEFORE the tf
+    aggregate (the exploded stream shrinks to matching tokens
+    immediately); df comes from the tiny tf table, not a second corpus
+    pass; doc lengths are one map-side-combinable count; N/avgdl is a
+    broadcast one-row aggregate. Two corpus passes total (dl + tf) —
+    both single codegen'd explode legs, never materialized."""
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log((F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)) + F.lit(1.0))
+    score = (
+        idf
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "tok", score.alias("bm25"), "tf", "df", "dl")
+    )
+
+
 def pii_scrub(col: Column) -> Column:
     """PII redaction for training corpora: emails, phone-like number
     runs, and IPv4 literals replaced with typed placeholder tokens (the

@@ -270,6 +270,30 @@ SELECT p_partkey, p_brand, p_size FROM part WHERE p_size >= 15
 """
 
 
+def q80_set_ops(spark, sf_dir):
+    """INTERSECT + EXCEPT (U2 — the one §2 row the reference itself
+    never exercises, closed for API completeness): parts present in BOTH
+    size bands minus a brand exclusion, via DataFrame intersect/
+    exceptAll mapped to the identical ANSI set operators. intersect is
+    set-semantics (dedup) in both engines; exceptAll keeps
+    multiplicities — the fixture is keyed so both are deterministic."""
+    p = _t(spark, sf_dir, "part")
+    a = p.filter(F.col("p_size") <= 20).select("p_partkey", "p_brand")
+    b = p.filter(F.col("p_size") >= 15).select("p_partkey", "p_brand")
+    both = a.intersect(b)
+    excl = p.filter(F.col("p_brand") == "Brand#33").select("p_partkey", "p_brand")
+    return both.exceptAll(excl)
+
+
+Q80_SQL = """
+(SELECT p_partkey, p_brand FROM part WHERE p_size <= 20
+ INTERSECT
+ SELECT p_partkey, p_brand FROM part WHERE p_size >= 15)
+EXCEPT ALL
+SELECT p_partkey, p_brand FROM part WHERE p_brand = 'Brand#33'
+"""
+
+
 def q09_scalar_funcs(spark, sf_dir):
     """Scalar functions F10/F11/F12: casefold/initcap-style, date_format,
     floor-cast, arithmetic round."""
@@ -1103,6 +1127,38 @@ FROM part WHERE p_partkey % 7 = 0
 """
 
 
+def q82_erosion_area(spark, sf_dir):
+    """ST_Buffer with NEGATIVE distance (inward offset / erosion):
+    |erode(A,d)| = |A| - |A ∩ boundary-capsules| on the scanline kernel.
+    Rectangle erosion has sharp corners, so the closed form
+    (w-2d)(h-2d) is EXACT — no arc discretization term at all."""
+    d = 0.05
+    p = _t(spark, sf_dir, "part").filter(F.pmod(F.col("p_partkey"), F.lit(7)) == 0)
+    rect = p.select(
+        "p_partkey",
+        (F.pmod(F.col("p_partkey") * 13, F.lit(3000)) / 100.0 - 15.0).alias("minx"),
+        (F.pmod(F.col("p_partkey") * 17, F.lit(2000)) / 100.0 + 38.0).alias("miny"),
+        (F.col("p_size") / 10.0 + 0.1).alias("w"),
+        (F.pmod(F.col("p_partkey"), F.lit(5)) / 10.0 + 0.2).alias("h"),
+    )
+    rect = rect.withColumn(
+        "geom",
+        _mk_box(F.col("minx"), F.col("miny"), F.col("minx") + F.col("w"), F.col("miny") + F.col("h")),
+    )
+    return rect.select(
+        "p_partkey",
+        F.round(geo_udfs.buffer_area_planar(-d)(F.col("geom")), 6).alias("eroded_area"),
+    )
+
+
+Q82_SQL = """
+SELECT p_partkey,
+       round(((p_size / 10.0 + 0.1) - 0.1) * (((p_partkey % 5) / 10.0 + 0.2) - 0.1), 6)
+         AS eroded_area
+FROM part WHERE p_partkey % 7 = 0
+"""
+
+
 def q44_tile_zonal(spark, sf_dir):
     """Zonal raster<->vector join: count points per (tile, box) pair —
     tile assignment through the vectorized kernel UDF this time."""
@@ -1131,6 +1187,52 @@ boxes(box_id, minx, miny, maxx, maxy) AS (
   VALUES {', '.join(f'({b[0]}, {b[1]}, {b[2]}, {b[3]}, {b[4]})' for b in BOXES)}
 )
 SELECT box_id, {_cell_sql(6)} AS tile, count(*) AS n_points
+FROM pts JOIN boxes
+  ON pts.lon BETWEEN boxes.minx AND boxes.maxx
+ AND pts.lat BETWEEN boxes.miny AND boxes.maxy
+GROUP BY 1, 2
+"""
+
+
+def q83_zonal_stats(spark, sf_dir):
+    """Zonal STATISTICS (A-family widening of q44's zonal counts): per
+    (box, tile), count + exact integer sum of the event measure + mean.
+    The measure is floored to integer cents BEFORE aggregation so the
+    shuffled partial sums are order-independent and bit-exact in any
+    engine; the mean is ONE double division at the end."""
+    res = 6
+    pts = _event_points(spark, sf_dir)
+    pts = pts.withColumn("tile", geo_udfs.lonlat_cell(res)(F.col("lon"), F.col("lat")))
+    pts = pts.withColumn("geom", _mk_point(F.col("lon"), F.col("lat")))
+    pts = pts.withColumn("cents", F.floor(F.col("value") * 100.0).cast("long"))
+    boxes = spark.createDataFrame(
+        [(b[0], bytearray(W.box(b[1], b[2], b[3], b[4]))) for b in BOXES],
+        "box_id int, box_geom binary",
+    )
+    joined = spatial_join.points_in_polygons_join(
+        pts.select("event_id", "tile", "cents", "geom", "lon", "lat"),
+        boxes,
+        res=res,
+        point_geom="geom",
+        poly_geom="box_geom",
+        lonlat_cols=("lon", "lat"),
+    )
+    return joined.groupBy("box_id", "tile").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.round(F.sum("cents").cast("double") / F.count(F.lit(1)), 6).alias("mean_cents"),
+    )
+
+
+Q83_SQL = f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+boxes(box_id, minx, miny, maxx, maxy) AS (
+  VALUES {', '.join(f'({b[0]}, {b[1]}, {b[2]}, {b[3]}, {b[4]})' for b in BOXES)}
+)
+SELECT box_id, {_cell_sql(6)} AS tile, count(*) AS n_points,
+       CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents,
+       round(CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS DOUBLE) / count(*), 6)
+         AS mean_cents
 FROM pts JOIN boxes
   ON pts.lon BETWEEN boxes.minx AND boxes.maxx
  AND pts.lat BETWEEN boxes.miny AND boxes.maxy
@@ -1762,6 +1864,45 @@ SELECT doc_id,
          AS n_lines_removed
 FROM tagged
 GROUP BY doc_id
+"""
+
+
+def q81_bm25(spark, sf_dir):
+    """BM25 term scoring over the corpus (retrieval/search scorer,
+    Robertson k1=1.2 b=0.75): per-(doc, term) rows so every value is a
+    single scalar expression — Spark F.log == DuckDB ln (libm), formula
+    op-order mirrored term for term, round 6 with ~1e-15 drift."""
+    docs = _t(spark, sf_dir, "documents")
+    out = text.bm25_term_scores(docs, ["spark", "join", "vector"])
+    return out.select(
+        "doc_id", "tok", F.round("bm25", 6).alias("bm25"),
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.col("dl").cast("long").alias("dl"),
+    )
+
+
+Q81_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl
+), tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks
+  WHERE tok IN ('spark', 'join', 'vector') GROUP BY doc_id, tok
+), dfreq AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+)
+SELECT tf.doc_id, tf.tok,
+       round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * (tf * 2.2)
+             / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs))),
+             6) AS bm25,
+       tf, df, dl
+FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
 """
 
 
@@ -2740,4 +2881,8 @@ QUERIES: dict[str, tuple] = {
     "q77_heavy_hitters": (q77_heavy_hitters, Q77_SQL),
     "q78_knn_geodesic": (q78_knn_geodesic, Q78_SQL),
     "q79_buffer_area": (q79_buffer_area, Q79_SQL),
+    "q80_set_ops": (q80_set_ops, Q80_SQL),
+    "q81_bm25": (q81_bm25, Q81_SQL),
+    "q82_erosion_area": (q82_erosion_area, Q82_SQL),
+    "q83_zonal_stats": (q83_zonal_stats, Q83_SQL),
 }

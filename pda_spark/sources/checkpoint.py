@@ -199,6 +199,52 @@ class CheckpointManager:
                 return self.read(name)
         return self.write_stage(build(), name, parents=parents, cluster_by=cluster_by)
 
+    def merge_upsert(
+        self, df: DataFrame, name: str, key: str, parents: list[str] | None = None
+    ) -> DataFrame:
+        """Full Iceberg ``MERGE INTO`` semantics on the parquet
+        substitute: WHEN MATCHED THEN UPDATE (incoming row wins), WHEN
+        NOT MATCHED THEN INSERT. The merged table is materialized to a
+        staging directory and swapped in with two renames, so a reader
+        of the old data never sees a half-written state and a crash
+        mid-swap leaves either the old or the new directory complete;
+        the manifest (written last) remains the commit marker either
+        way. Contrast ``merge_append`` (ON CONFLICT DO NOTHING): there
+        matched rows keep the EXISTING values."""
+        import shutil
+
+        incoming = df.dropDuplicates([key])
+        data_dir = os.path.join(self._dir(name), "data")
+        if self.is_complete(name):
+            kept = self.read(name).join(
+                incoming.select(key), on=key, how="left_anti"
+            )
+            staging = data_dir + f".staging.{uuid.uuid4().hex[:8]}"
+            kept.unionByName(incoming).write.mode("overwrite").parquet(staging)
+            old = data_dir + f".old.{uuid.uuid4().hex[:8]}"
+            os.rename(data_dir, old)
+            os.rename(staging, data_dir)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            incoming.write.mode("overwrite").parquet(data_dir)
+        out = self.spark.read.parquet(data_dir)
+        metrics = self._collect_metrics(data_dir, out)
+        prev_parents = self.manifest(name).get("parents", []) if self.is_complete(name) else []
+        self._commit(
+            name,
+            {
+                "status": "committed",
+                "stage": name,
+                "run_id": self.run_id,
+                "parents": sorted(set((parents or []) + prev_parents)),
+                "schema": out.schema.jsonValue(),
+                "key": key,
+                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                **metrics,
+            },
+        )
+        return out
+
     def merge_append(self, df: DataFrame, name: str, key: str, parents: list[str] | None = None) -> DataFrame:
         """Idempotent keyed append (ON CONFLICT DO NOTHING / Iceberg
         MERGE WHEN NOT MATCHED THEN INSERT). Duplicate keys *within* the

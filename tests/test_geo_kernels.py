@@ -410,3 +410,21 @@ def test_buffer_geom_3035_polygon_rim(fake_poly):
     assert a1 > a0
     # the 1 m rim on a ~1.2M km^2 polygon is tiny: < 0.01% growth
     assert (a1 - a0) / a0 < 1e-4
+
+
+def test_erosion_area():
+    sq = np.array([[0.0, 0], [10, 0], [10, 10], [0, 10], [0, 0]])
+    # convex erosion is exact: (10-2)^2
+    assert abs(kernels.erosion_area([[sq]], 1.0) - 64.0) < 1e-9
+    # erosion by more than the inradius empties the polygon
+    assert abs(kernels.erosion_area([[sq]], 5.0)) < 1e-9
+    assert abs(kernels.erosion_area([[sq]], 7.0)) < 1e-9
+    # hole GROWS under erosion: outer 10x10 shrink to 8x8, hole 2x2
+    # grows to 4x4 with rounded (convex-outward) corners
+    hole = np.array([[4.0, 4], [6, 4], [6, 6], [4, 6], [4, 4]])
+    a = kernels.erosion_area([[sq, hole]], 1.0)
+    a32 = 0.5 * 32 * np.sin(2 * np.pi / 32)
+    # grown hole = 2x2 + 4 edge-rects (2x1) + four quarter 32-gon fans
+    assert abs(a - (64.0 - (4.0 + 8.0 + a32))) < 1e-9
+    # zero distance = identity
+    assert abs(kernels.erosion_area([[sq, hole]], 0.0) - 96.0) < 1e-9

@@ -151,3 +151,32 @@ def test_checkpoint_resume_skips_complete_stages(spark, corpus, tmp_path):
     out = ingest_web_corpus(corpus, ckpt3)
     assert ckpt3.is_complete("satellites")
     assert out["satellites"].count() == 4
+
+
+def test_merge_upsert_updates_matched_inserts_new(spark, tmp_path):
+    """Iceberg MERGE INTO semantics on the parquet substitute: matched
+    keys take the INCOMING values (vs merge_append, where existing
+    wins), unmatched insert, untouched rows survive, and the swap is
+    idempotent on re-run."""
+    ckpt = CheckpointManager(spark, str(tmp_path / "up"))
+    first = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, v string, n long"
+    )
+    ckpt.merge_upsert(first, "dim", key="id")
+    second = spark.createDataFrame(
+        [(2, "B2", 99), (4, "d", 40)], "id long, v string, n long"
+    )
+    out = ckpt.merge_upsert(second, "dim", key="id")
+    rows = {r["id"]: (r["v"], r["n"]) for r in out.collect()}
+    assert rows == {1: ("a", 10), 2: ("B2", 99), 3: ("c", 30), 4: ("d", 40)}
+    # contrast: merge_append on the same collision keeps the OLD row
+    ckpt2 = CheckpointManager(spark, str(tmp_path / "ap"))
+    ckpt2.merge_append(first, "dim", key="id")
+    rows2 = {r["id"]: (r["v"], r["n"])
+             for r in ckpt2.merge_append(second, "dim", key="id").collect()}
+    assert rows2[2] == ("b", 20) and rows2[4] == ("d", 40)
+    # idempotent re-run: same batch, same table
+    again = {r["id"]: (r["v"], r["n"])
+             for r in ckpt.merge_upsert(second, "dim", key="id").collect()}
+    assert again == rows
+    assert ckpt.manifest("dim")["rows"] == 4
