@@ -210,6 +210,30 @@ def buffer_lines(
     return sweep.merged_boundary_polygons(quads)
 
 
+def convex_hull(pts: np.ndarray) -> np.ndarray:
+    """ST_ConvexHull of a point set — Andrew's monotone chain, O(n log n).
+    Returns the closed CCW hull ring ((k+1, 2)); duplicate input points
+    are collapsed and collinear boundary points dropped (strict turns),
+    matching GEOS's minimal-vertex hull."""
+    p = np.unique(np.asarray(pts, dtype=np.float64), axis=0)
+    if len(p) <= 2:
+        return np.vstack([p, p[:1]])
+
+    def half(points):
+        chain: list[np.ndarray] = []
+        for q in points:
+            while len(chain) >= 2 and float(
+                np.cross(chain[-1] - chain[-2], q - chain[-2])
+            ) <= 0.0:
+                chain.pop()
+            chain.append(q)
+        return chain
+
+    lower = half(p)
+    upper = half(p[::-1])
+    return np.array(lower[:-1] + upper[:-1] + [lower[0]])
+
+
 def erosion_area(
     polys: list[list[np.ndarray]], dist: float, quad_segs: int = 8
 ) -> float:

@@ -1597,6 +1597,133 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q86_pivot(spark, sf_dir):
+    """Pivot (wide heatmap matrix — the reference dashboard's
+    time×category grid as columns, app/maps.py heat series): order
+    counts per month pivoted on priority with an EXPLICIT value list
+    (never values-discovery — that is a whole extra scan + a driver
+    collect at 100 TB); absent cells zero-filled to match the oracle's
+    conditional counts."""
+    o = _t(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    wide = (
+        o.select(month, "o_orderpriority")
+        .groupBy("month")
+        .pivot("o_orderpriority", prios)
+        .count()
+    )
+    renames = {p: f"p{i + 1}" for i, p in enumerate(prios)}
+    return wide.select(
+        "month",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("long").alias(renames[p]) for p in prios],
+    )
+
+
+Q86_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS p1,
+       CAST(count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS BIGINT) AS p2,
+       CAST(count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS BIGINT) AS p3,
+       CAST(count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS BIGINT) AS p4,
+       CAST(count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS BIGINT) AS p5
+FROM orders GROUP BY 1
+"""
+
+
+def q84_range_window(spark, sf_dir):
+    """RANGE-frame window (value-based frames — the §2.5 frame kind q68
+    doesn't cover): per user, the rolling 1-hour event count and
+    integer-cents sum. The frame bound is in epoch MICROSECONDS on both
+    engines (Spark unix_micros / DuckDB epoch_us — second-truncation
+    would disagree on peers); RANGE includes all ties by SQL standard,
+    so the result is deterministic without a unique ordering."""
+    ev = _t(spark, sf_dir, "events").filter(F.pmod(F.col("user_id"), F.lit(50)) == 0)
+    # parquet ts is TIMESTAMP_NTZ; the session TZ is pinned UTC so the
+    # cast is the identity wall-clock mapping DuckDB's epoch_us applies
+    ev = ev.withColumn("ets_us", F.unix_micros(F.col("ts").cast("timestamp"))).withColumn(
+        "cents", F.floor(F.col("value") * 100.0).cast("long")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ets_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ets_us",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum("cents").over(w).cast("long").alias("cents_1h"),
+    )
+
+
+Q84_SQL = """
+SELECT user_id, event_id, epoch_us(ts) AS ets_us,
+       count(*) OVER w AS n_1h,
+       CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) OVER w AS BIGINT) AS cents_1h
+FROM events WHERE user_id % 50 = 0
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q85_convex_hull(spark, sf_dir):
+    """ST_ConvexHull as a grouped UDAF (monotone chain kernel): per
+    group, 12 rim points on an ellipse (angles 2πk/12) plus interior
+    points at radius factor ≤ 0.5 — the hull must keep EXACTLY the 12
+    rim vertices (discrete, robust to 1-ulp coordinate drift), and its
+    shoelace area equals the inscribed-12-gon closed form
+    6·rx·ry·sin(π/6) to float rounding (round 6)."""
+    import numpy as np_
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    j = F.floor(F.col("event_id") / 10).cast("long")
+    gid = F.pmod(F.col("event_id"), F.lit(10))
+    k = F.pmod(j, F.lit(12)).cast("double")
+    rim = F.pmod(j, F.lit(5)) == 0
+    f = F.when(rim, F.lit(1.0)).otherwise(
+        F.lit(0.3) + F.pmod(j, F.lit(3)).cast("double") * F.lit(0.1)
+    )
+    rx = F.lit(2.0) + F.pmod(gid, F.lit(3)).cast("double")
+    ry = F.lit(1.5) + F.pmod(gid, F.lit(4)).cast("double") * F.lit(0.5)
+    theta = k * F.lit(np_.pi / 6)
+    pts = ev.select(
+        gid.alias("gid"),
+        (gid.cast("double") * F.lit(10.0) + f * rx * F.cos(theta)).alias("x"),
+        (f * ry * F.sin(theta)).alias("y"),
+    )
+
+    def hull_fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from pda_spark.geo import kernels
+
+        ring = kernels.convex_hull(np.column_stack([pdf["x"], pdf["y"]]))
+        return pd.DataFrame(
+            {
+                "gid": [int(pdf["gid"].iloc[0])],
+                "hull_n": [len(ring) - 1],
+                "hull_area": [abs(kernels.ring_area_signed(ring))],
+            }
+        )
+
+    out = pts.groupBy("gid").applyInPandas(
+        hull_fn, "gid long, hull_n long, hull_area double"
+    )
+    return out.select("gid", "hull_n", F.round("hull_area", 6).alias("hull_area"))
+
+
+Q85_SQL = """
+SELECT DISTINCT event_id % 10 AS gid,
+       CAST(12 AS BIGINT) AS hull_n,
+       round(6 * (2.0 + (event_id % 10) % 3) * (1.5 + ((event_id % 10) % 4) * 0.5)
+             * sin(pi() / 6), 6) AS hull_area
+FROM events
+"""
+
+
 def q69_distance_join(spark, sf_dir):
     """ST_DWithin-class distance join (J4, reference city-buffer
     db.py:236-245) through the fully-JVM within_distance_join — cover
@@ -2885,4 +3012,7 @@ QUERIES: dict[str, tuple] = {
     "q81_bm25": (q81_bm25, Q81_SQL),
     "q82_erosion_area": (q82_erosion_area, Q82_SQL),
     "q83_zonal_stats": (q83_zonal_stats, Q83_SQL),
+    "q84_range_window": (q84_range_window, Q84_SQL),
+    "q85_convex_hull": (q85_convex_hull, Q85_SQL),
+    "q86_pivot": (q86_pivot, Q86_SQL),
 }

@@ -428,3 +428,18 @@ def test_erosion_area():
     assert abs(a - (64.0 - (4.0 + 8.0 + a32))) < 1e-9
     # zero distance = identity
     assert abs(kernels.erosion_area([[sq, hole]], 0.0) - 96.0) < 1e-9
+
+
+def test_convex_hull_monotone_chain():
+    # square + interior + collinear edge midpoint: hull is the 4 corners
+    pts = np.array([[0.0, 0], [10, 0], [10, 10], [0, 10],
+                    [5, 5], [2, 3], [5, 0], [0, 5]])
+    ring = kernels.convex_hull(pts)
+    assert len(ring) == 5 and np.all(ring[0] == ring[-1])
+    assert abs(kernels.ring_area_signed(ring) - 100.0) < 1e-12  # CCW positive
+    corners = {(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)}
+    assert {tuple(p) for p in ring[:-1]} == corners
+    # duplicates collapse; degenerate cases return what exists
+    assert len(kernels.convex_hull(np.array([[1.0, 1], [1, 1]]))) == 2
+    two = kernels.convex_hull(np.array([[0.0, 0], [3, 4]]))
+    assert len(two) == 3
