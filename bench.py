@@ -53,6 +53,10 @@ HEADLINE = [
     "q45_rect_intersects",   # polygon x polygon intersects join
     "q46_dissolve_area",     # geometric dissolve (scanline union kernel)
     "q48_river_intersects",  # LineString x polygon intersects join (rivers)
+    "q79_buffer_area",       # Minkowski buffer (capsule union, Arrow UDF)
+    "q81_bm25",              # BM25 retrieval scoring (two explode legs)
+    "q83_zonal_stats",       # zonal sum/mean stats (exact integer cents)
+    "q85_convex_hull",       # convex hull UDAF (monotone chain)
 ]
 
 

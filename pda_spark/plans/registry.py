@@ -1240,6 +1240,53 @@ GROUP BY 1, 2
 """
 
 
+def q87_focal_stats(spark, sf_dir):
+    """Focal (3x3 neighborhood) statistics over the cell grid — raster
+    smoothing via scatter-gather (each donor cell contributes to its 9
+    recipients through pure Catalyst bit math, one grouped sum; the raw
+    points are aggregated ONCE before any neighborhood work). Mean is a
+    single division by the in-bounds window size."""
+    from pda_spark.operators import tiling
+
+    res = 6
+    pts = _event_points(spark, sf_dir)
+    cnt = (
+        pts.withColumn("cell", geo_udfs.cell_of_xy_expr(F.col("lon"), F.col("lat"), res))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = tiling.focal_stats(cnt, res=res)
+    return out.select(
+        "cell", "focal_sum", "win_cells", F.round("focal_mean", 6).alias("focal_mean")
+    )
+
+
+_N6 = 1 << 6
+Q87_SQL = f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+cnt AS (
+  SELECT least(greatest(floor((lon + 180.0) / 360.0 * {_N6}), 0), {_N6 - 1})::BIGINT AS ix,
+         least(greatest(floor((lat + 90.0) / 180.0 * {_N6}), 0), {_N6 - 1})::BIGINT AS iy,
+         count(*) AS n
+  FROM pts GROUP BY 1, 2
+), sc AS (
+  SELECT ix + dx AS rix, iy + dy AS riy, n
+  FROM cnt
+  CROSS JOIN (VALUES (-1), (0), (1)) AS ox(dx)
+  CROSS JOIN (VALUES (-1), (0), (1)) AS oy(dy)
+  WHERE ix + dx BETWEEN 0 AND {_N6 - 1} AND iy + dy BETWEEN 0 AND {_N6 - 1}
+)
+SELECT (6::BIGINT * 288230376151711744 + (rix << 29) + riy) AS cell,
+       CAST(sum(n) AS BIGINT) AS focal_sum,
+       CAST((least(rix + 1, {_N6 - 1}) - greatest(rix - 1, 0) + 1)
+            * (least(riy + 1, {_N6 - 1}) - greatest(riy - 1, 0) + 1) AS BIGINT) AS win_cells,
+       round(CAST(sum(n) AS DOUBLE)
+             / ((least(rix + 1, {_N6 - 1}) - greatest(rix - 1, 0) + 1)
+                * (least(riy + 1, {_N6 - 1}) - greatest(riy - 1, 0) + 1)), 6) AS focal_mean
+FROM sc GROUP BY rix, riy
+"""
+
+
 def q45_rect_intersects(spark, sf_dir):
     """Polygon x polygon intersects join through cover/dedup/refine —
     rectangles make the oracle a pure interval-overlap join. Exercises the
@@ -3015,4 +3062,5 @@ QUERIES: dict[str, tuple] = {
     "q84_range_window": (q84_range_window, Q84_SQL),
     "q85_convex_hull": (q85_convex_hull, Q85_SQL),
     "q86_pivot": (q86_pivot, Q86_SQL),
+    "q87_focal_stats": (q87_focal_stats, Q87_SQL),
 }

@@ -119,3 +119,33 @@ def test_cluster_by_cell_disjoint_ranges(spark, world):
     assert len(stats) > 1
     for prev, cur in zip(stats, stats[1:]):
         assert prev["hi"] <= cur["lo"]  # ranges don't interleave
+
+
+def test_focal_stats_hand_computed(spark):
+    """3x3 focal sum/mean with edge-clipped windows: donors at grid
+    corner (0,0) and center; empty in-window cells count as zero value
+    but full window size (raster semantics)."""
+    from pyspark.sql import functions as SF
+
+    from pda_spark.geo import cells as C
+    from pda_spark.operators import tiling
+
+    res = 3  # 8x8 grid
+    mk = lambda ix, iy: int(C.cell_id(res, __import__("numpy").asarray([ix]), __import__("numpy").asarray([iy]))[0])
+    cnt = spark.createDataFrame(
+        [(mk(0, 0), 10), (mk(1, 1), 5), (mk(4, 4), 7)], "cell long, n long"
+    )
+    out = {r["cell"]: r for r in tiling.focal_stats(cnt, res=res).collect()}
+    # corner cell (0,0): window is 2x2 in-bounds, receives both donors
+    c00 = out[mk(0, 0)]
+    assert c00["focal_sum"] == 15 and c00["win_cells"] == 4
+    assert abs(c00["focal_mean"] - 15 / 4) < 1e-12
+    # (2,2): 3x3 interior window, only donor (1,1) in range
+    c22 = out[mk(2, 2)]
+    assert c22["focal_sum"] == 5 and c22["win_cells"] == 9
+    # isolated donor's own cell: sum includes itself only
+    assert out[mk(4, 4)]["focal_sum"] == 7
+    # recipient with no donors in window -> absent (support dilation only)
+    assert mk(7, 7) not in out
+    # support dilation: (5,5) receives from (4,4) though it had no count
+    assert out[mk(5, 5)]["focal_sum"] == 7
