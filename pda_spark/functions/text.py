@@ -329,21 +329,24 @@ def bm25_term_scores(
     (no float accumulation-order hazard) and a SQL oracle replays the
     identical op sequence; callers aggregate per doc when ranking.
 
-    Scale shape (100 TB): the query-term filter runs BEFORE the tf
-    aggregate (the exploded stream shrinks to matching tokens
-    immediately); df comes from the tiny tf table, not a second corpus
-    pass; doc lengths are one map-side-combinable count; N/avgdl is a
-    broadcast one-row aggregate. Two corpus passes total (dl + tf) —
-    both single codegen'd explode legs, never materialized."""
+    Scale shape (100 TB): doc length is ``size(split(...))`` — a SCALAR
+    expression, so the dl and N/avgdl legs never explode the token
+    stream at all (plan-audited: the naive toks.groupBy(doc_id) shape
+    cost two extra full-corpus explodes); the only explode legs are tf
+    and its df re-derivation, and the query-term filter runs the moment
+    tokens exist. N/avgdl is a broadcast one-row aggregate."""
     from pyspark.sql import functions as F
 
+    toklen = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"), toklen.cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
-    )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
     tf = (
         toks.filter(F.col("tok").isin(terms))

@@ -51,6 +51,16 @@ AUDITED = [
     "q75_boilerplate_lines",
     "q76_intersects_right_outer",
     "q77_heavy_hitters",
+    "q78_knn_geodesic",
+    "q79_buffer_area",
+    "q80_set_ops",
+    "q81_bm25",
+    "q82_erosion_area",
+    "q83_zonal_stats",
+    "q84_range_window",
+    "q85_convex_hull",
+    "q86_pivot",
+    "q87_focal_stats",
 ]
 
 
