@@ -463,6 +463,29 @@ def distance_geodesic_lonlat():
     return _dist
 
 
+@pandas_udf(T.ArrayType(T.DoubleType()))
+def geodesic_seg_lengths(geom: pd.Series) -> pd.Series:
+    """Per-segment great-circle lengths of a (multi)linestring in metres
+    on the authalic sphere (ST_LengthSpheroid's per-segment face —
+    emitting segments instead of the per-line sum keeps every value a
+    single scalar haversine, no float accumulation order)."""
+    from pda_spark.geo import proj, wkb as W
+
+    out = []
+    for b in geom:
+        g = W.decode(bytes(b))
+        lens: list[float] = []
+        for ln in g.lines():
+            lens.extend(
+                float(v)
+                for v in haversine_m(
+                    ln[:-1, 0], ln[:-1, 1], ln[1:, 0], ln[1:, 1], proj.RQ
+                )
+            )
+        out.append(lens)
+    return pd.Series(out)
+
+
 def haversine_m(lon_a, lat_a, lon_b, lat_b, radius: float):
     """Shared numpy haversine kernel (also the parity-test oracle)."""
     p1 = np.radians(np.asarray(lat_a, dtype=np.float64))

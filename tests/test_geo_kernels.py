@@ -443,3 +443,23 @@ def test_convex_hull_monotone_chain():
     assert len(kernels.convex_hull(np.array([[1.0, 1], [1, 1]]))) == 2
     two = kernels.convex_hull(np.array([[0.0, 0], [3, 4]]))
     assert len(two) == 3
+
+
+def test_buffer_convex_direct_matches_union_path():
+    """The O(V) direct convex offset must agree with the generic capsule
+    union (forced by duplicating the polygon, which disables the
+    single-convex fast path) — rotated pentagon, non-grid normals."""
+    ang = np.linspace(0.3, 0.3 + 2 * np.pi, 5, endpoint=False)
+    pent = np.column_stack([3 * np.cos(ang) + 5, 2.4 * np.sin(ang) - 1])
+    pent = np.vstack([pent, pent[:1]])
+    d = 0.7
+    direct = kernels.buffer_polys([[pent]], d)
+    union = kernels.buffer_polys([[pent], [pent]], d)  # same region, slow path
+    a_direct = kernels.polygons_area(direct)
+    a_union = kernels.polygons_area(union)
+    # arc endpoints differ (exact normals vs grid crossings) by O(step^2)
+    # sagitta slivers; areas agree to the discretization tolerance
+    assert abs(a_direct - a_union) / a_union < 1e-3
+    assert a_direct > kernels.polygons_area([[pent]])
+    # both contain the original polygon's vertices strictly
+    assert kernels.points_in_polygons(pent[:-1], direct).all()
