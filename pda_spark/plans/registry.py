@@ -294,6 +294,54 @@ SELECT p_partkey, p_brand FROM part WHERE p_brand = 'Brand#33'
 """
 
 
+def q89_anti_join(spark, sf_dir):
+    """Explicit left-anti join gate (the J-family's NOT EXISTS face —
+    the complement of q04's semi join): customers with no open-status
+    orders, count per market segment."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    inactive = c.join(o.select(F.col("o_custkey").alias("c_custkey")), on="c_custkey", how="left_anti")
+    return inactive.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_inactive"))
+
+
+Q89_SQL = """
+SELECT c_mktsegment, count(*) AS n_inactive
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+)
+GROUP BY 1
+"""
+
+
+def q90_union_by_name(spark, sf_dir):
+    """unionByName(allowMissingColumns=True) — schema-evolution union
+    (late columns null-filled), the shape incremental ingests hit when a
+    source adds a field mid-stream."""
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") < 1000).select("o_orderkey", "o_totalprice")
+    new = o.filter(F.col("o_orderkey") >= 59000).select(
+        "o_orderkey", "o_totalprice", F.col("o_orderpriority").alias("priority")
+    )
+    u = old.unionByName(new, allowMissingColumns=True)
+    return u.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("price_cents"),
+        "priority",
+    )
+
+
+Q90_SQL = """
+SELECT o_orderkey, CAST(floor(o_totalprice * 100.0) AS BIGINT) AS price_cents,
+       NULL AS priority
+FROM orders WHERE o_orderkey < 1000
+UNION ALL BY NAME
+SELECT o_orderkey, CAST(floor(o_totalprice * 100.0) AS BIGINT) AS price_cents,
+       o_orderpriority AS priority
+FROM orders WHERE o_orderkey >= 59000
+"""
+
+
 def q09_scalar_funcs(spark, sf_dir):
     """Scalar functions F10/F11/F12: casefold/initcap-style, date_format,
     floor-cast, arithmetic round."""
@@ -3097,4 +3145,6 @@ QUERIES: dict[str, tuple] = {
     "q86_pivot": (q86_pivot, Q86_SQL),
     "q87_focal_stats": (q87_focal_stats, Q87_SQL),
     "q88_geodesic_length": (q88_geodesic_length, Q88_SQL),
+    "q89_anti_join": (q89_anti_join, Q89_SQL),
+    "q90_union_by_name": (q90_union_by_name, Q90_SQL),
 }
