@@ -56,15 +56,18 @@ def get_spark(
         # Arrow-UDF stages on all cores; on a real cluster the input is
         # many files/row-groups and this floor is a no-op.
         .config("spark.sql.files.minPartitionNum", str(cores))
-        # minPartitionNum alone is NOT enough for the sub-4MB fixture
-        # files: the split size is max(total/minPartitionNum,
-        # openCostInBytes), and the 4 MB default open cost floors any
-        # small file to ONE split (measured round 5: q79's map-only
-        # Arrow buffer stage ran 2858 rows serially, 16.5 s -> ~1 s
-        # after this). At production scale files dwarf 4 MB and the
-        # default open-cost heuristic is what you want — this only
-        # lowers the floor so tiny inputs still use every core.
-        .config("spark.sql.files.openCostInBytes", "4096")
+        # NOTE on small files: minPartitionNum does NOT split sub-4MB
+        # files (split size = max(total/minPartitionNum, openCostInBytes)
+        # and the 4 MB default open cost floors them to ONE split).
+        # Round 5 measured BOTH sides of forcing it
+        # (openCostInBytes=4096): map-only Python stages go 32-wide, but
+        # every PRE-shuffle Arrow stage then runs 32 tasks x 2 busy
+        # procs and trips this host's ~10-core throttle — q45's
+        # intersects join went 2.9 s -> 7.4 s while q79 gained nothing
+        # it couldn't get from a faster kernel (post-shuffle stages were
+        # never the issue: AQE coalesces them narrow). So the stock open
+        # cost stays; per-row kernels must be fast enough to run on few
+        # splits at test SF, and real deployments have >4 MB files.
         # InferFiltersFromGenerate clones the ENTIRE generator expression
         # into a pushed-down `size(child) > 0` predicate — for explode
         # over a computed array (shingle+md5 chains, token transforms)

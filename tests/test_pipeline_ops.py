@@ -618,3 +618,20 @@ def test_hll_distinct_tracks_exact(spark):
         F.approx_count_distinct("tok", 0.02).alias("approx"),
     ).first()
     assert abs(row["approx"] - row["exact"]) <= 0.05 * row["exact"]
+
+
+def test_explode_plan_carries_no_inferred_generator_filter(spark):
+    """Round-5 session guard: InferFiltersFromGenerate would clone the
+    whole shingle+md5 generator expression into a pushed size(...)>0
+    predicate, evaluating the chain twice per row (measured 5.8->1.1 s
+    on decontamination at sf0.1). The session excludes the rule; this
+    pins the plan so a config regression resurfaces here."""
+    from pda_spark.functions import dedup as D
+
+    docs = spark.createDataFrame([(1, "some text here")], ["doc_id", "text"])
+    expl = D.doc_shingle_hashes(docs, "doc_id")
+    plan = expl._jdf.queryExecution().executedPlan().toString()
+    # the tell: a Filter node containing the md5 transform chain
+    for line in plan.splitlines():
+        if "Filter" in line and "md5" in line:
+            raise AssertionError(f"generator filter clone present:\n{plan}")
