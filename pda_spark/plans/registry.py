@@ -438,6 +438,58 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+def q91_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond q12's rollup lattice): two
+    independent one-dimension aggregates + the grand total in one pass,
+    with grouping_id disambiguating the null-vs-missing dimension —
+    expressed through spark.sql so the S10 SQL surface is exercised
+    end-to-end."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_q91_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        FROM _q91_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+Q91_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def q92_date_arith(spark, sf_dir):
+    """Date arithmetic surface (F10-F13 widening): add_months, datediff
+    vs a fixed epoch, quarter/dayofweek extraction, last_day — all
+    calendar-exact integers (no timezone or float hazards)."""
+    o = _t(spark, sf_dir, "orders").filter(F.pmod(F.col("o_orderkey"), F.lit(13)) == 0)
+    return o.select(
+        "o_orderkey",
+        F.add_months("o_orderdate", 3).alias("plus3m"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("long").alias("days_since_92"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.last_day("o_orderdate").alias("month_end"),
+    )
+
+
+Q92_SQL = """
+SELECT o_orderkey,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+       CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS days_since_92,
+       CAST(quarter(o_orderdate) AS INT) AS qtr,
+       CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+       last_day(o_orderdate) AS month_end
+FROM orders WHERE o_orderkey % 13 = 0
+"""
+
+
 def _heat_sql(grain: str) -> str:
     from pda_spark.operators.timeseries import GRAINS, _DATE_GRAINS, _STEP
 
@@ -3147,4 +3199,6 @@ QUERIES: dict[str, tuple] = {
     "q88_geodesic_length": (q88_geodesic_length, Q88_SQL),
     "q89_anti_join": (q89_anti_join, Q89_SQL),
     "q90_union_by_name": (q90_union_by_name, Q90_SQL),
+    "q91_grouping_sets": (q91_grouping_sets, Q91_SQL),
+    "q92_date_arith": (q92_date_arith, Q92_SQL),
 }
