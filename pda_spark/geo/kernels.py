@@ -201,15 +201,22 @@ def _buffer_convex_direct(
         out.append(pts[i] + dist * n1)
         b = pts[(i + 1) % nv]
         out.append(b + dist * n1)
-        # arc at b from n1 to the next non-degenerate edge's normal
+        # arc at b from n1 to the next non-degenerate edge's normal,
+        # spanning the exterior TURN angle atan2(cross, dot) — a
+        # collinear vertex (turn ~ 0) gets NO arc (the old a2<=a1 ->
+        # +2pi wraparound spliced a full circle there, inflating the
+        # area by pi*d^2 per redundant vertex; round-5 review)
         j = (i + 1) % nv
         while normals[j] is None:
             j = (j + 1) % nv
         n2 = normals[j]
+        turn = float(np.arctan2(
+            n1[0] * n2[1] - n1[1] * n2[0], n1[0] * n2[0] + n1[1] * n2[1]
+        ))
+        if turn <= 1e-12:
+            continue
         a1 = float(np.arctan2(n1[1], n1[0]))
-        a2 = float(np.arctan2(n2[1], n2[0]))
-        if a2 <= a1:
-            a2 += 2.0 * np.pi
+        a2 = a1 + turn
         for k in range(int(np.floor(a1 / step)) + 1, int(np.ceil(a2 / step))):
             ang = k * step
             if a1 < ang < a2:

@@ -1163,8 +1163,11 @@ SELECT query_id, event_id, round(d, 6) AS dist_m, rank FROM (
 """
 
 
-def q43_bbox_area(spark, sf_dir):
-    """WKB encode/decode + shoelace area vs plain rectangle arithmetic."""
+def _part_rects(spark, sf_dir) -> DataFrame:
+    """Shared deterministic rectangle fixture over the part table
+    (p_partkey % 7), used by q43 (shoelace area), q79 (dilation), and
+    q82 (erosion) — ONE derivation so the three paired closed-form
+    oracles can never drift from the fixture (round-5 review)."""
     p = _t(spark, sf_dir, "part").filter(F.pmod(F.col("p_partkey"), F.lit(7)) == 0)
     rect = p.select(
         "p_partkey",
@@ -1173,12 +1176,15 @@ def q43_bbox_area(spark, sf_dir):
         (F.col("p_size") / 10.0 + 0.1).alias("w"),
         (F.pmod(F.col("p_partkey"), F.lit(5)) / 10.0 + 0.2).alias("h"),
     )
-
-    rect = rect.withColumn(
+    return rect.withColumn(
         "geom",
         _mk_box(F.col("minx"), F.col("miny"), F.col("minx") + F.col("w"), F.col("miny") + F.col("h")),
     )
-    return rect.select(
+
+
+def q43_bbox_area(spark, sf_dir):
+    """WKB encode/decode + shoelace area vs plain rectangle arithmetic."""
+    return _part_rects(spark, sf_dir).select(
         "p_partkey", F.round(geo_udfs.area_planar(F.col("geom")), 9).alias("area_deg2")
     )
 
@@ -1200,19 +1206,7 @@ def q79_buffer_area(spark, sf_dir):
     arithmetic; round 4 leaves ~9 orders of magnitude of margin over the
     scanline-vs-closed-form float drift (~1e-13 relative)."""
     d = 0.35
-    p = _t(spark, sf_dir, "part").filter(F.pmod(F.col("p_partkey"), F.lit(7)) == 0)
-    rect = p.select(
-        "p_partkey",
-        (F.pmod(F.col("p_partkey") * 13, F.lit(3000)) / 100.0 - 15.0).alias("minx"),
-        (F.pmod(F.col("p_partkey") * 17, F.lit(2000)) / 100.0 + 38.0).alias("miny"),
-        (F.col("p_size") / 10.0 + 0.1).alias("w"),
-        (F.pmod(F.col("p_partkey"), F.lit(5)) / 10.0 + 0.2).alias("h"),
-    )
-    rect = rect.withColumn(
-        "geom",
-        _mk_box(F.col("minx"), F.col("miny"), F.col("minx") + F.col("w"), F.col("miny") + F.col("h")),
-    )
-    return rect.select(
+    return _part_rects(spark, sf_dir).select(
         "p_partkey",
         F.round(geo_udfs.buffer_area_planar(d)(F.col("geom")), 4).alias("buf_area"),
     )
@@ -1233,19 +1227,7 @@ def q82_erosion_area(spark, sf_dir):
     Rectangle erosion has sharp corners, so the closed form
     (w-2d)(h-2d) is EXACT — no arc discretization term at all."""
     d = 0.05
-    p = _t(spark, sf_dir, "part").filter(F.pmod(F.col("p_partkey"), F.lit(7)) == 0)
-    rect = p.select(
-        "p_partkey",
-        (F.pmod(F.col("p_partkey") * 13, F.lit(3000)) / 100.0 - 15.0).alias("minx"),
-        (F.pmod(F.col("p_partkey") * 17, F.lit(2000)) / 100.0 + 38.0).alias("miny"),
-        (F.col("p_size") / 10.0 + 0.1).alias("w"),
-        (F.pmod(F.col("p_partkey"), F.lit(5)) / 10.0 + 0.2).alias("h"),
-    )
-    rect = rect.withColumn(
-        "geom",
-        _mk_box(F.col("minx"), F.col("miny"), F.col("minx") + F.col("w"), F.col("miny") + F.col("h")),
-    )
-    return rect.select(
+    return _part_rects(spark, sf_dir).select(
         "p_partkey",
         F.round(geo_udfs.buffer_area_planar(-d)(F.col("geom")), 6).alias("eroded_area"),
     )

@@ -58,8 +58,14 @@ class CheckpointManager:
             return json.load(f)
 
     def _table_name(self, name: str) -> str:
-        safe = "".join(c if c.isalnum() else "_" for c in name)
-        return f"ckpt_{safe}_{''.join(c if c.isalnum() else '_' for c in self.base.strip('/'))[-40:]}"
+        # readable prefix + collision-proof digest: sanitizing alone maps
+        # distinct stage names ('a-b' vs 'a_b') to one identifier, and a
+        # catalog hit on the WRONG stage would silently serve its rows
+        import hashlib
+
+        safe = "".join(c if c.isalnum() else "_" for c in name)[:32]
+        digest = hashlib.md5(f"{self.base}\x00{name}".encode()).hexdigest()[:10]
+        return f"ckpt_{safe}_{digest}"
 
     def read(self, name: str) -> DataFrame:
         """Read a committed stage. Bucketed stages come back THROUGH the
@@ -204,46 +210,71 @@ class CheckpointManager:
     ) -> DataFrame:
         """Full Iceberg ``MERGE INTO`` semantics on the parquet
         substitute: WHEN MATCHED THEN UPDATE (incoming row wins), WHEN
-        NOT MATCHED THEN INSERT. The merged table is materialized to a
-        staging directory and swapped in with two renames, so a reader
-        of the old data never sees a half-written state and a crash
-        mid-swap leaves either the old or the new directory complete;
-        the manifest (written last) remains the commit marker either
-        way. Contrast ``merge_append`` (ON CONFLICT DO NOTHING): there
+        NOT MATCHED THEN INSERT. Crash safety (round-5 review): the
+        manifest is demoted to ``status: swapping`` BEFORE the directory
+        renames — a kill anywhere inside the swap leaves the stage
+        not-complete, so a resumed ``stage()`` rebuilds instead of
+        reading a dangling path, and the final manifest (written last)
+        re-commits. A ``cluster_by`` layout recorded by a prior
+        ``write_stage`` is preserved: the merged rows are re-written
+        bucketed under the same spec and the catalog table re-registered
+        (dropped first, never left stale over re-laid-out files).
+        Contrast ``merge_append`` (ON CONFLICT DO NOTHING): there
         matched rows keep the EXISTING values."""
         import shutil
 
         incoming = df.dropDuplicates([key])
         data_dir = os.path.join(self._dir(name), "data")
-        if self.is_complete(name):
+        prev = self.manifest(name) if self.is_complete(name) else {}
+        spec = prev.get("cluster_by")
+        cluster_by = (spec["col"], spec["buckets"]) if spec else None
+        if prev:
             kept = self.read(name).join(
                 incoming.select(key), on=key, how="left_anti"
             )
             staging = data_dir + f".staging.{uuid.uuid4().hex[:8]}"
             kept.unionByName(incoming).write.mode("overwrite").parquet(staging)
+            # demote the commit marker FIRST: from here until the final
+            # _commit the stage is officially incomplete
+            self._commit(name, {**prev, "status": "swapping"})
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._table_name(name)}")
             old = data_dir + f".old.{uuid.uuid4().hex[:8]}"
             os.rename(data_dir, old)
-            os.rename(staging, data_dir)
+            if cluster_by:
+                merged = self.spark.read.parquet(staging)
+                col, n_buckets = cluster_by
+                (
+                    merged.write.mode("overwrite")
+                    .bucketBy(n_buckets, col)
+                    .sortBy(col)
+                    .option("path", data_dir)
+                    .saveAsTable(self._table_name(name))
+                )
+                shutil.rmtree(staging, ignore_errors=True)
+            else:
+                os.rename(staging, data_dir)
             shutil.rmtree(old, ignore_errors=True)
         else:
             incoming.write.mode("overwrite").parquet(data_dir)
         out = self.spark.read.parquet(data_dir)
         metrics = self._collect_metrics(data_dir, out)
-        prev_parents = self.manifest(name).get("parents", []) if self.is_complete(name) else []
         self._commit(
             name,
             {
                 "status": "committed",
                 "stage": name,
                 "run_id": self.run_id,
-                "parents": sorted(set((parents or []) + prev_parents)),
+                "parents": sorted(set((parents or []) + prev.get("parents", []))),
                 "schema": out.schema.jsonValue(),
                 "key": key,
                 "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                **({"cluster_by": spec} if spec else {}),
                 **metrics,
             },
         )
-        return out
+        # re-read through the manifest so a preserved bucket spec comes
+        # back catalog-routed (bucketing survives into join planning)
+        return self.read(name)
 
     def merge_append(self, df: DataFrame, name: str, key: str, parents: list[str] | None = None) -> DataFrame:
         """Idempotent keyed append (ON CONFLICT DO NOTHING / Iceberg

@@ -136,7 +136,12 @@ def scan_offset(
     ``fetch_page`` must be picklable and must raise TransientHTTPError
     for retryable statuses."""
     import pandas as pd
+    from pyspark.sql import types as T
 
+    if isinstance(schema, str):
+        # normalize DDL strings up front: the empty-batch fallback below
+        # needs field NAMES, and executors shouldn't re-parse per task
+        schema = T.StructType.fromDDL(schema)
     kw = retry or {}
     ids = spark.range(n_pages)
     if partitions:

@@ -463,3 +463,15 @@ def test_buffer_convex_direct_matches_union_path():
     assert a_direct > kernels.polygons_area([[pent]])
     # both contain the original polygon's vertices strictly
     assert kernels.points_in_polygons(pent[:-1], direct).all()
+
+
+def test_buffer_convex_direct_collinear_vertex():
+    """Round-5 review regression: a redundant collinear vertex must add
+    NO arc (the wraparound bug spliced a full 2*pi circle there,
+    inflating the area by ~pi*d^2)."""
+    rect = np.array([[0.0, 0], [1, 0], [2, 0], [2, 1], [0, 1], [0, 0]])
+    d = 0.35
+    a32 = 0.5 * 32 * np.sin(2 * np.pi / 32)
+    got = kernels.polygons_area(kernels.buffer_polys([[rect]], d))
+    want = 2.0 + 2 * d * 3.0 + a32 * d * d
+    assert abs(got - want) < 1e-9

@@ -180,3 +180,72 @@ def test_merge_upsert_updates_matched_inserts_new(spark, tmp_path):
              for r in ckpt.merge_upsert(second, "dim", key="id").collect()}
     assert again == rows
     assert ckpt.manifest("dim")["rows"] == 4
+
+
+def test_merge_upsert_preserves_bucketed_layout(spark, tmp_path):
+    """Round-5 review: upserting a cluster_by stage must re-lay the
+    merged files under the SAME bucket spec and re-register the catalog
+    table — never leave a stale bucketed table over plain files."""
+    from pyspark.sql import functions as SF
+
+    ckpt = CheckpointManager(spark, str(tmp_path / "bu"))
+    first = spark.range(1000).select(SF.col("id").alias("cell"), (SF.col("id") * 2).alias("v"))
+    ckpt.write_stage(first, "facts", cluster_by=("cell", 4))
+    upd = spark.range(0, 1000, 5).select(SF.col("id").alias("cell"), (SF.col("id") * 7).alias("v"))
+    out = ckpt.merge_upsert(upd, "facts", key="cell")
+    m = ckpt.manifest("facts")
+    assert m["cluster_by"] == {"col": "cell", "buckets": 4} and m["rows"] == 1000
+    got = {r["cell"]: r["v"] for r in out.collect()}
+    assert got[5] == 35 and got[7] == 14
+    # the returned frame is catalog-routed: a self-join on cell with
+    # broadcast disabled carries no Exchange (bucket layout survived)
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        other = ckpt.write_stage(first.withColumnRenamed("v", "w"), "dim", cluster_by=("cell", 4))
+        from conftest import formatted_plan
+        plan = formatted_plan(out.join(other, "cell"))
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+
+
+def test_merge_upsert_crash_mid_swap_leaves_stage_incomplete(spark, tmp_path, monkeypatch):
+    """Round-5 review: a kill between the two swap renames must NOT
+    leave a 'committed' manifest pointing at a missing data dir — the
+    manifest is demoted to 'swapping' first, so stage() rebuilds."""
+    import os as _os
+
+    from pda_spark.sources import checkpoint as cp
+
+    ckpt = CheckpointManager(spark, str(tmp_path / "cr"))
+    first = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    ckpt.merge_upsert(first, "dim", key="id")
+    real_rename = _os.rename
+    calls = {"n": 0}
+
+    def exploding_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            real_rename(src, dst)          # data -> old succeeds...
+            raise OSError("simulated crash between swap renames")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(cp.os, "rename", exploding_rename)
+    upd = spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string")
+    import pytest as _pytest
+    with _pytest.raises(OSError):
+        ckpt.merge_upsert(upd, "dim", key="id")
+    monkeypatch.setattr(cp.os, "rename", real_rename)
+    # the half-swapped stage is NOT complete -> stage() rebuilds it
+    assert not ckpt.is_complete("dim")
+    rebuilt = ckpt.stage("dim", lambda: first)
+    assert {r["id"] for r in rebuilt.collect()} == {1, 2}
+    assert ckpt.is_complete("dim")
+
+
+def test_checkpoint_table_names_collision_free(spark, tmp_path):
+    mgr = CheckpointManager(spark, str(tmp_path / "tn"))
+    assert mgr._table_name("facts-cell") != mgr._table_name("facts_cell")
+    other = CheckpointManager(spark, str(tmp_path / "tn2"))
+    assert mgr._table_name("facts") != other._table_name("facts")
