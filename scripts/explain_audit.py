@@ -61,6 +61,11 @@ AUDITED = [
     "q85_convex_hull",
     "q86_pivot",
     "q87_focal_stats",
+    "q88_geodesic_length",
+    "q89_anti_join",
+    "q90_union_by_name",
+    "q91_grouping_sets",
+    "q92_date_arith",
 ]
 
 
