@@ -110,6 +110,47 @@ def buffer_geom(dist_m: float, quad_segs: int = 8):
     return _buffer
 
 
+# (mask, shift) steps spreading a 29-bit value to even bit positions of
+# an int64 — the classic Morton magic numbers, shared verbatim by the
+# Catalyst expression and the SQL-oracle generator so they cannot drift
+MORTON_SPREAD_STEPS = [
+    (0x0000FFFF0000FFFF, 16),
+    (0x00FF00FF00FF00FF, 8),
+    (0x0F0F0F0F0F0F0F0F, 4),
+    (0x3333333333333333, 2),
+    (0x5555555555555555, 1),
+]
+
+
+def morton_spread_expr(col):
+    """Spread the low 29 bits of ``col`` to even bit positions (bit
+    interleave half) — pure Catalyst bit arithmetic, codegen'd."""
+    x = col.cast("long").bitwiseAND(F.lit((1 << 29) - 1))
+    for mask, shift in MORTON_SPREAD_STEPS:
+        x = (x.bitwiseOR(F.shiftleft(x, shift))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def zorder_expr(ix_col, iy_col):
+    """Morton / Z-order code of two 29-bit grid coordinates — the
+    space-filling-curve sort key for data LAYOUT (Iceberg's
+    write-ordered Z-order on cell, SURVEY §4 index strategy): sorting a
+    fact table by this key makes spatially nearby rows file-adjacent,
+    so parquet row-group min/max stats prune 2-D range
+    scans that a row-major cell sort can only prune in one axis."""
+    return morton_spread_expr(ix_col).bitwiseOR(
+        F.shiftleft(morton_spread_expr(iy_col), 1)
+    )
+
+
+def morton_spread_sql(expr: str) -> str:
+    """DuckDB SQL replaying morton_spread_expr bit-for-bit."""
+    x = f"(CAST({expr} AS BIGINT) & {(1 << 29) - 1})"
+    for mask, shift in MORTON_SPREAD_STEPS:
+        x = f"(({x} | ({x} << {shift})) & {mask})"
+    return x
+
+
 def buffer_area_planar(dist: float, quad_segs: int = 8):
     """Area of the offset of a polygonal geometry in its own planar
     coordinates (no projection) — the SQL-oracle-friendly face of the

@@ -369,6 +369,68 @@ def bm25_term_scores(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    context_len: int,
+    id_col: str = "doc_id",
+    len_col: str = "n_chars",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Sequence packing — the concat-and-chunk batching step before
+    training (GPT-style): documents are laid end-to-end in a
+    deterministic pseudo-random order (Knuth hash of id, the
+    quota-sampler's ordering) and cut into fixed ``context_len`` bins.
+    Emits (doc_id, bin_id, bin_offset, n) where bin_id/bin_offset locate
+    the document's FIRST unit in the packed stream — a doc crossing a
+    bin boundary continues into the next bin (the standard
+    packing-with-splits formulation; no padding waste, fill factor is
+    exactly 1 except the final bin).
+
+    Scale shape: the running sum reuses the two-level cumsum (contiguous
+    hash-range buckets, see quota_sample_by_chars) so one window never
+    holds the corpus; bin assignment is then pure arithmetic on the
+    global offset. SQL-replayable exactly (integer sums + floor
+    division)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    m = 2147483647
+    ids = F.col(id_col).cast("long")
+    guarded = F.when(ids >= 0, ids).otherwise(
+        F.raise_error(F.lit("pack_sequences: doc_id must be non-negative"))
+    )
+    h = F.pmod(F.pmod(guarded, F.lit(m)) * F.lit(2654435761).cast("long"), F.lit(m))
+    width = -(-m // n_buckets)
+    d = docs.withColumn("_h", h).withColumn(
+        "_bkt", (F.col("_h") / F.lit(width)).cast("int")
+    )
+    bsum = d.groupBy("_bkt").agg(F.sum(F.col(len_col).cast("long")).alias("_bchars"))
+    wprefix = Window.orderBy(F.col("_bkt").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bsum.select(
+        "_bkt", F.coalesce(F.sum("_bchars").over(wprefix), F.lit(0)).alias("_offset")
+    )
+    wlocal = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.col("_h").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.col("_offset") + F.coalesce(
+        F.sum(F.col(len_col).cast("long")).over(wlocal), F.lit(0)
+    )
+    return (
+        d.join(F.broadcast(offsets), on="_bkt")
+        .withColumn("_start", start)
+        .select(
+            id_col,
+            (F.col("_start") / context_len).cast("long").alias("bin_id"),
+            F.pmod(F.col("_start"), F.lit(context_len)).cast("long").alias("bin_offset"),
+            F.col(len_col).cast("long").alias("n"),
+        )
+    )
+
+
 def pii_scrub(col: Column) -> Column:
     """PII redaction for training corpora: emails, phone-like number
     runs, and IPv4 literals replaced with typed placeholder tokens (the

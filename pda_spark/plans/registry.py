@@ -1369,6 +1369,36 @@ FROM sc GROUP BY rix, riy
 """
 
 
+def q94_zorder(spark, sf_dir):
+    """Morton / Z-order layout key (the Iceberg write-order story,
+    SURVEY §4): event points -> res-8 grid coords -> bit-interleaved
+    code, entirely Catalyst bit arithmetic; the oracle replays the
+    IDENTICAL magic-mask spread steps (one shared constant table
+    generates both sides)."""
+    res = 8
+    pts = _event_points(spark, sf_dir)
+    cell = geo_udfs.cell_of_xy_expr(F.col("lon"), F.col("lat"), res)
+    mask = (1 << 29) - 1
+    ix = F.shiftright(cell, 29).bitwiseAND(F.lit(mask))
+    iy = cell.bitwiseAND(F.lit(mask))
+    return pts.select(
+        "event_id", geo_udfs.zorder_expr(ix, iy).alias("zcode")
+    )
+
+
+_N8 = 1 << 8
+_Q94_IX = f"least(greatest(floor((lon + 180.0) / 360.0 * {_N8}), 0), {_N8 - 1})::BIGINT"
+_Q94_IY = f"least(greatest(floor((lat + 90.0) / 180.0 * {_N8}), 0), {_N8 - 1})::BIGINT"
+
+Q94_SQL = f"""
+WITH pts AS ({_EVENT_POINTS_SQL})
+SELECT event_id,
+       ({geo_udfs.morton_spread_sql(_Q94_IX)}
+        | ({geo_udfs.morton_spread_sql(_Q94_IY)} << 1)) AS zcode
+FROM pts
+"""
+
+
 def q45_rect_intersects(spark, sf_dir):
     """Polygon x polygon intersects join through cover/dedup/refine —
     rectangles make the oracle a pure interval-overlap join. Exercises the
@@ -2014,6 +2044,31 @@ WITH h AS (
   FROM h
 )
 SELECT doc_id, lang, n_chars, cum_chars FROM c WHERE cum_chars <= 20000
+"""
+
+
+def q93_sequence_packing(spark, sf_dir):
+    """Sequence packing (concat-and-chunk, the pre-training batching
+    step): docs laid end-to-end in Knuth-hash order, cut into 2048-char
+    bins; each doc's (bin, offset) is pure integer arithmetic on the
+    two-level exclusive-prefix cumsum — SQL replays the single-window
+    equivalent exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.pack_sequences(docs, context_len=2048)
+
+
+Q93_SQL = """
+WITH h AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n,
+         ((CAST(doc_id AS BIGINT) % 2147483647) * 2654435761) % 2147483647 AS hk
+  FROM documents
+), c AS (
+  SELECT doc_id, n,
+         CAST(coalesce(sum(n) OVER (ORDER BY hk, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+  FROM h
+)
+SELECT doc_id, s // 2048 AS bin_id, s % 2048 AS bin_offset, n FROM c
 """
 
 
@@ -3183,4 +3238,6 @@ QUERIES: dict[str, tuple] = {
     "q90_union_by_name": (q90_union_by_name, Q90_SQL),
     "q91_grouping_sets": (q91_grouping_sets, Q91_SQL),
     "q92_date_arith": (q92_date_arith, Q92_SQL),
+    "q93_sequence_packing": (q93_sequence_packing, Q93_SQL),
+    "q94_zorder": (q94_zorder, Q94_SQL),
 }

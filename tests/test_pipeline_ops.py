@@ -635,3 +635,63 @@ def test_explode_plan_carries_no_inferred_generator_filter(spark):
     for line in plan.splitlines():
         if "Filter" in line and "md5" in line:
             raise AssertionError(f"generator filter clone present:\n{plan}")
+
+
+def test_pack_sequences_invariants(spark):
+    """Concat-and-chunk packing: docs laid end-to-end in hash order fill
+    bins exactly (zero padding waste); (bin_id, bin_offset) is the
+    global running offset split by context_len."""
+    from pda_spark.functions import text as T
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"), (F.pmod(F.col("id"), F.lit(37)) + 5).alias("n_chars")
+    )
+    C = 128
+    rows = T.pack_sequences(docs, context_len=C, n_buckets=8).collect()
+    assert len(rows) == 200
+    # python oracle: same hash order, same running offsets
+    hk = lambda d: ((d % 2147483647) * 2654435761) % 2147483647
+    cum, want = 0, {}
+    for d in sorted(range(200), key=lambda d: (hk(d), d)):
+        want[d] = (cum // C, cum % C)
+        cum += d % 37 + 5
+    got = {r["doc_id"]: (r["bin_id"], r["bin_offset"]) for r in rows}
+    assert got == want
+    # every bin before the last is filled exactly (no padding waste):
+    # total chars span [0, cum) contiguously
+    assert max(r["bin_id"] for r in rows) == (cum - 1) // C
+
+
+def test_zorder_locality_beats_row_major(spark):
+    """Sorting by the Morton code keeps consecutive rows spatially
+    closer on average than the row-major cell sort — the property that
+    makes parquet min/max stats prune 2-D ranges."""
+    import numpy as np
+
+    from pda_spark.functions import geo_udfs as G
+
+    n = 32
+    grid = spark.range(n * n).select(
+        (F.col("id") / n).cast("long").alias("ix"), F.pmod(F.col("id"), F.lit(n)).alias("iy")
+    )
+    z = grid.select("ix", "iy", G.zorder_expr(F.col("ix"), F.col("iy")).alias("z"))
+    rows = sorted(z.collect(), key=lambda r: r["z"])
+    rowmajor = sorted(rows, key=lambda r: (r["ix"], r["iy"]))
+
+    def worst_chunk_side(ordered, chunk=64):
+        # a parquet row-group's min/max footprint: the bbox of each
+        # consecutive chunk; pruning a 2-D range needs BOTH sides small
+        worst = 0.0
+        for i in range(0, len(ordered), chunk):
+            c = ordered[i:i + chunk]
+            xs = [r["ix"] for r in c]
+            ys = [r["iy"] for r in c]
+            worst = max(worst, max(max(xs) - min(xs), max(ys) - min(ys)))
+        return worst
+
+    # z-order 64-row chunks are 8x8 blocks (max side 7); row-major
+    # chunks span the FULL iy axis (max side 31) — lat pruning dead
+    assert worst_chunk_side(rows) == 7
+    assert worst_chunk_side(rowmajor) == n - 1
+    # bijectivity on the grid: all codes distinct
+    assert len({r["z"] for r in rows}) == n * n
