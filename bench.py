@@ -57,6 +57,9 @@ HEADLINE = [
     "q81_bm25",              # BM25 retrieval scoring (two explode legs)
     "q83_zonal_stats",       # zonal sum/mean stats (exact integer cents)
     "q85_convex_hull",       # convex hull UDAF (monotone chain)
+    "q87_focal_stats",       # focal raster smoothing (scatter-gather)
+    "q93_sequence_packing",  # concat-and-chunk packing (two-level cumsum)
+    "q94_zorder",            # Morton layout key (pure Catalyst bit math)
 ]
 
 

@@ -110,6 +110,17 @@ def buffer_geom(dist_m: float, quad_segs: int = 8):
     return _buffer
 
 
+@pandas_udf(T.BooleanType())
+def contains_pred(geom_a: pd.Series, geom_b: pd.Series) -> pd.Series:
+    """ST_Contains(a, b) — polygonal operands, B off A's boundary
+    (kernels.polys_contains contract). Vectorized Arrow batch, decode
+    cached per distinct buffer."""
+    get = _decode_cache()
+    return pd.Series(
+        [kernels.polys_contains(get(a), get(b)) for a, b in zip(geom_a, geom_b)]
+    )
+
+
 # (mask, shift) steps spreading a 29-bit value to even bit positions of
 # an int64 — the classic Morton magic numbers, shared verbatim by the
 # Catalyst expression and the SQL-oracle generator so they cannot drift

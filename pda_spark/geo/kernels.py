@@ -431,6 +431,37 @@ def _points_on_segments(pts: np.ndarray, e0: np.ndarray, e1: np.ndarray) -> np.n
     return ((cross == 0) & inx & iny).any(axis=1)
 
 
+def polys_contains(ga: wkb.Geom, gb: wkb.Geom) -> bool:
+    """ST_Contains(A, B) for polygonal operands with B strictly off A's
+    boundary (the fixture contract everywhere in this engine): A
+    contains B iff every B vertex is interior to A (even-odd — a vertex
+    inside one of A's holes counts as outside), no boundary edges
+    cross, and no hole ring of A sits strictly inside B (a hole
+    swallowed whole by B punches B out of A with zero crossings).
+    Boundary-touching inputs are outside the contract — the even-odd
+    ray cast's float tolerance makes on-boundary vertices undefined,
+    exactly as documented for points_in_polygons."""
+    apolys = ga.polygons()
+    bpts = gb.points()
+    if not points_in_polygons(bpts, apolys).all():
+        return False
+    ae0, ae1 = _edges([r for rings in apolys for r in rings])
+    be0, be1 = _edges([r for rings in gb.polygons() for r in rings])
+    if _segments_cross(ae0, ae1, be0, be1):
+        return False
+    bpolys = gb.polygons()
+    for rings in apolys:
+        for hole in rings[1:]:
+            if points_in_polygons(hole[:-1], bpolys).all():
+                return False
+    return True
+
+
+def polys_within(ga: wkb.Geom, gb: wkb.Geom) -> bool:
+    """ST_Within(A, B) == ST_Contains(B, A)."""
+    return polys_contains(gb, ga)
+
+
 def is_axis_rect(g: wkb.Geom) -> bool:
     """True iff the geometry is a single closed axis-aligned rectangle
     (5-point ring, every edge horizontal or vertical). For such a pair,

@@ -1428,6 +1428,72 @@ def q45_rect_intersects(spark, sf_dir):
     return pairs.groupBy("lc_id").agg(F.count(F.lit(1)).alias("n_images"))
 
 
+def q95_contains_join(spark, sf_dir):
+    """ST_Contains / ST_Within over the q45 rect fixture: intersecting
+    pairs (same cover/dedup/refine join) flagged with containment in
+    BOTH directions through the general polys_contains kernel
+    (vertex-interior + no-crossing + hole-swallow tests); the oracle is
+    strict interval containment — exact here because the lc fixture's
+    .0013 offsets guarantee no img/lc boundary ever coincides."""
+    o = _t(spark, sf_dir, "orders").filter(F.pmod(F.col("o_orderkey"), F.lit(37)) == 0)
+    img = o.select(
+        F.col("o_orderkey").alias("img_id"),
+        (F.pmod(F.col("o_orderkey") * 7, F.lit(4000)) / 100.0 - 20.0).alias("ix"),
+        (F.pmod(F.col("o_orderkey") * 11, F.lit(2200)) / 100.0 + 37.0).alias("iy"),
+        (F.pmod(F.col("o_orderkey"), F.lit(10)) / 20.0 + 0.05).alias("ih"),
+    )
+    img = img.withColumn("geom", _mk_box(F.col("ix") - F.col("ih"), F.col("iy") - F.col("ih"),
+                                        F.col("ix") + F.col("ih"), F.col("iy") + F.col("ih")))
+    p = _t(spark, sf_dir, "part").filter(F.pmod(F.col("p_partkey"), F.lit(11)) == 0)
+    lc = p.select(
+        F.col("p_partkey").alias("lc_id"),
+        (F.pmod(F.col("p_partkey") * 13, F.lit(4000)) / 100.0 - 19.9987).alias("cx"),
+        (F.pmod(F.col("p_partkey") * 17, F.lit(2200)) / 100.0 + 37.0013).alias("cy"),
+        (F.pmod(F.col("p_partkey"), F.lit(8)) / 10.0 + 0.2).alias("ch"),
+    )
+    lc = lc.withColumn("lc_geom", _mk_box(F.col("cx") - F.col("ch"), F.col("cy") - F.col("ch"),
+                                         F.col("cx") + F.col("ch"), F.col("cy") + F.col("ch")))
+    pairs = spatial_join.intersects_join(
+        img.select("img_id", "geom"), lc.select("lc_id", "lc_geom"),
+        res=6, left_geom="geom", right_geom="lc_geom",
+    )
+    pairs = (
+        pairs.select("img_id", "lc_id")
+        .join(F.broadcast(img.select("img_id", "geom")), "img_id")
+        .join(F.broadcast(lc.select("lc_id", "lc_geom")), "lc_id")
+    )
+    return pairs.select(
+        "img_id", "lc_id",
+        geo_udfs.contains_pred(F.col("geom"), F.col("lc_geom")).alias("img_contains_lc"),
+        geo_udfs.contains_pred(F.col("lc_geom"), F.col("geom")).alias("lc_contains_img"),
+    )
+
+
+Q95_SQL = """
+WITH img AS (
+  SELECT o_orderkey AS img_id,
+         ((o_orderkey * 7) % 4000) / 100.0 - 20.0 AS ix,
+         ((o_orderkey * 11) % 2200) / 100.0 + 37.0 AS iy,
+         (o_orderkey % 10) / 20.0 + 0.05 AS ih
+  FROM orders WHERE o_orderkey % 37 = 0
+), lc AS (
+  SELECT p_partkey AS lc_id,
+         ((p_partkey * 13) % 4000) / 100.0 - 19.9987 AS cx,
+         ((p_partkey * 17) % 2200) / 100.0 + 37.0013 AS cy,
+         (p_partkey % 8) / 10.0 + 0.2 AS ch
+  FROM part WHERE p_partkey % 11 = 0
+)
+SELECT img_id, lc_id,
+       (ix - ih < cx - ch AND cx + ch < ix + ih AND
+        iy - ih < cy - ch AND cy + ch < iy + ih) AS img_contains_lc,
+       (cx - ch < ix - ih AND ix + ih < cx + ch AND
+        cy - ch < iy - ih AND iy + ih < cy + ch) AS lc_contains_img
+FROM img JOIN lc
+  ON ix - ih <= cx + ch AND cx - ch <= ix + ih
+ AND iy - ih <= cy + ch AND cy - ch <= iy + ih
+"""
+
+
 def q62_salted_intersects(spark, sf_dir):
     """The q45 polygon x polygon join through the SKEW-SALTED path
     (salt=8: the broadcast side replicates per salt value, the big side
@@ -3240,4 +3306,5 @@ QUERIES: dict[str, tuple] = {
     "q92_date_arith": (q92_date_arith, Q92_SQL),
     "q93_sequence_packing": (q93_sequence_packing, Q93_SQL),
     "q94_zorder": (q94_zorder, Q94_SQL),
+    "q95_contains_join": (q95_contains_join, Q95_SQL),
 }

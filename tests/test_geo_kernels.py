@@ -475,3 +475,30 @@ def test_buffer_convex_direct_collinear_vertex():
     got = kernels.polygons_area(kernels.buffer_polys([[rect]], d))
     want = 2.0 + 2 * d * 3.0 + a32 * d * d
     assert abs(got - want) < 1e-9
+
+
+def test_polys_contains_semantics():
+    sq = lambda x0, y0, x1, y1: np.array(
+        [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype=float
+    )
+    A = wkb.decode(wkb.polygon([sq(0, 0, 10, 10)]))
+    inner = wkb.decode(wkb.polygon([sq(2, 2, 4, 4)]))
+    overlapping = wkb.decode(wkb.polygon([sq(8, 8, 12, 12)]))
+    outside = wkb.decode(wkb.polygon([sq(20, 20, 22, 22)]))
+    assert kernels.polys_contains(A, inner)
+    assert not kernels.polys_contains(A, overlapping)
+    assert not kernels.polys_contains(A, outside)
+    assert not kernels.polys_contains(inner, A)
+    assert kernels.polys_within(inner, A)
+    # holes: B inside A's hole -> not contained; B overlapping the hole
+    # boundary -> not contained; B swallowing the hole whole -> not
+    # contained (zero crossings, the dedicated hole-vertex test)
+    holed = wkb.decode(wkb.polygon([sq(0, 0, 10, 10), sq(4, 4, 6, 6)]))
+    in_hole = wkb.decode(wkb.polygon([sq(4.5, 4.5, 5.5, 5.5)]))
+    across_hole = wkb.decode(wkb.polygon([sq(3, 3, 5, 5)]))
+    swallows_hole = wkb.decode(wkb.polygon([sq(3, 3, 7, 7)]))
+    beside_hole = wkb.decode(wkb.polygon([sq(1, 1, 3, 3)]))
+    assert not kernels.polys_contains(holed, in_hole)
+    assert not kernels.polys_contains(holed, across_hole)
+    assert not kernels.polys_contains(holed, swallows_hole)
+    assert kernels.polys_contains(holed, beside_hole)
