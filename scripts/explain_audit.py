@@ -66,6 +66,9 @@ AUDITED = [
     "q90_union_by_name",
     "q91_grouping_sets",
     "q92_date_arith",
+    "q93_sequence_packing",
+    "q94_zorder",
+    "q95_contains_join",
 ]
 
 
