@@ -331,6 +331,114 @@ def points_in_polygons_join_multires(
     return refined.drop("_cell", "_plon", "_plat", "_pbb")
 
 
+def intersects_join_multires(
+    left: DataFrame,
+    right: DataFrame,
+    resolutions: tuple[int, ...] = (4, 6, 8),
+    left_geom: str = "geom",
+    right_geom: str = "geom",
+    broadcast_right: bool = True,
+    target_cells: int = 4,
+) -> DataFrame:
+    """Polygon x polygon intersects join with PER-GEOMETRY resolution —
+    the area-by-area sibling of points_in_polygons_join_multires (J15):
+    continent-size and scene-size polygons meet in ONE equi-join with
+    bounded cover fan-out on BOTH sides.
+
+    Pairing across levels: each geometry picks the coarsest listed
+    resolution bounding its bbox-cover fan-out (one Arrow stage emits
+    bbox + chosen res), then emits its BBOX cover at its own level AND
+    at every coarser listed level (the ancestor sets — derived in pure
+    Catalyst from the bbox, no extra Python; a bbox cover's ancestor set
+    IS the bbox cover at the coarser res). Cell ids carry the res in
+    their high bits, so one int64 equi-join spans all levels. A pair
+    with resolutions (rl, rr) meets ONLY at min(rl, rr): rows at
+    coarser common levels are ancestor-vs-ancestor and are rejected by
+    the `is_cover on at least one side` filter, and within the meeting
+    level the SW-reference-point rule (evaluated AT that level) keeps
+    exactly one cell — no pair-dedup shuffle anywhere.
+    """
+    res_list = sorted(set(int(r) for r in resolutions))
+    lo, hi = res_list[0], res_list[-1]
+
+    @pandas_udf(T.StructType([
+        T.StructField("bbox", T.ArrayType(T.DoubleType())),
+        T.StructField("res", T.IntegerType()),
+    ]))
+    def _br(geom: pd.Series) -> pd.DataFrame:
+        from pda_spark.geo import kernels
+
+        from pda_spark.functions.geo_udfs import _decode_cache
+
+        get = _decode_cache()
+        bbs, rss = [], []
+        for buf in geom:
+            bb = kernels.bbox(get(buf))
+            dim = max(bb[2] - bb[0], bb[3] - bb[1])
+            r = max(lo, min(hi, C.choose_res(dim, target_cells)))
+            r = max(x for x in res_list if x <= r)
+            bbs.append(list(bb))
+            rss.append(r)
+        return pd.DataFrame({"bbox": bbs, "res": rss})
+
+    def emit(df, geom, bb_col):
+        df = df.withColumn("_br", _br.asNondeterministic()(F.col(geom)))
+        df = df.withColumns(
+            {bb_col: F.col("_br.bbox"), "_res": F.col("_br.res")}
+        ).drop("_br")
+        def level_emit(rm: int):
+            # NOTE: the tag lambda must take exactly ONE parameter — a
+            # two-arg lambda (e.g. the `rm=rm` default-capture idiom)
+            # is interpreted by F.transform as (element, INDEX) and the
+            # level constant silently becomes the array index
+            arr = geo_udfs.cover_cells_bbox_expr(
+                F.col(bb_col)[0], F.col(bb_col)[1], F.col(bb_col)[2], F.col(bb_col)[3], rm
+            )
+            tagged = F.transform(
+                arr,
+                lambda c: F.struct(
+                    c.alias("cell"), (F.lit(rm) == F.col("_res")).alias("is_cover")
+                ),
+            )
+            # emit this level only for geometries at least as fine as it
+            return F.slice(
+                tagged, 1,
+                F.when(F.col("_res") >= rm, F.size(tagged)).otherwise(F.lit(0)),
+            )
+
+        per_level = [level_emit(rm) for rm in res_list]
+        df = df.withColumn("_e", F.explode(F.concat(*per_level)))
+        return df.withColumns(
+            {"_cell": F.col("_e.cell"), "_is_cover": F.col("_e.is_cover")}
+        ).drop("_e", "_res")
+
+    lb, rb = "_lbb", "_rbb"
+    lft = emit(left, left_geom, lb).withColumnRenamed("_is_cover", "_lcov")
+    rgt = emit(right, right_geom, rb).withColumnRenamed("_is_cover", "_rcov")
+    r = F.broadcast(rgt) if broadcast_right else rgt
+    cand = lft.join(r, on="_cell", how="inner")
+    # meeting level: at least one side's row is its REAL cover
+    cand = cand.filter(F.col("_lcov") | F.col("_rcov"))
+    # SW-reference-point dedup evaluated at the meeting level (the res
+    # lives in the cell id's high bits)
+    ref_lon = F.greatest(F.col(lb)[0], F.col(rb)[0])
+    ref_lat = F.greatest(F.col(lb)[1], F.col(rb)[1])
+    level = F.shiftright(F.col("_cell"), 58).cast("int")
+    ref_cell = None
+    for rm in res_list:
+        this = geo_udfs.cell_of_xy_expr(ref_lon, ref_lat, rm)
+        ref_cell = this if ref_cell is None else F.when(level == rm, this).otherwise(ref_cell)
+    cand = cand.filter(F.col("_cell") == ref_cell)
+    cand = cand.filter(
+        (F.col(lb)[0] <= F.col(rb)[2])
+        & (F.col(rb)[0] <= F.col(lb)[2])
+        & (F.col(lb)[1] <= F.col(rb)[3])
+        & (F.col(rb)[1] <= F.col(lb)[3])
+    )
+    refined = cand.filter(geo_udfs.intersects_pair(F.col(left_geom), F.col(right_geom)))
+    return refined.drop("_cell", "_lcov", "_rcov", lb, rb)
+
+
 def intersects_join(
     left: DataFrame,
     right: DataFrame,

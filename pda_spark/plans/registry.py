@@ -1494,6 +1494,66 @@ FROM img JOIN lc
 """
 
 
+def q96_intersects_multires(spark, sf_dir):
+    """Polygon x polygon intersects with PER-GEOMETRY resolution
+    (area-by-area multires — q70's J15 for region x region): BOTH sides
+    mix continent-scale (~6-15 deg) and scene-scale (~0.2-1 deg) rects,
+    each covering at its own level; one equi-join spans levels via the
+    res-prefixed cell id, pairs meet exactly once (coarser side's level,
+    SW-reference-point rule) — no dedup shuffle. Oracle: plain interval
+    overlap over the same fixture."""
+    o = _t(spark, sf_dir, "orders").filter(F.pmod(F.col("o_orderkey"), F.lit(61)) == 0)
+    big_a = F.pmod(F.col("o_orderkey"), F.lit(2)) == 0
+    a = o.select(
+        F.col("o_orderkey").alias("a_id"),
+        (F.pmod(F.col("o_orderkey") * 7, F.lit(3000)) / 100.0 - 15.0).alias("cx"),
+        (F.pmod(F.col("o_orderkey") * 11, F.lit(1800)) / 100.0 + 39.0).alias("cy"),
+        F.when(big_a, F.pmod(F.col("o_orderkey"), F.lit(5)) + 3.0)
+        .otherwise(F.pmod(F.col("o_orderkey"), F.lit(4)) / 10.0 + 0.1).alias("hh"),
+    )
+    a = a.withColumn("geom", _mk_box(F.col("cx") - F.col("hh"), F.col("cy") - F.col("hh"),
+                                     F.col("cx") + F.col("hh"), F.col("cy") + F.col("hh")))
+    p = _t(spark, sf_dir, "part").filter(F.pmod(F.col("p_partkey"), F.lit(23)) == 0)
+    big_b = F.pmod(F.col("p_partkey"), F.lit(2)) == 0
+    b = p.select(
+        F.col("p_partkey").alias("b_id"),
+        (F.pmod(F.col("p_partkey") * 13, F.lit(3000)) / 100.0 - 14.9987).alias("dx"),
+        (F.pmod(F.col("p_partkey") * 17, F.lit(1800)) / 100.0 + 39.0013).alias("dy"),
+        F.when(big_b, F.pmod(F.col("p_partkey"), F.lit(4)) + 2.5)
+        .otherwise(F.pmod(F.col("p_partkey"), F.lit(6)) / 10.0 + 0.15).alias("gg"),
+    )
+    b = b.withColumn("r_geom", _mk_box(F.col("dx") - F.col("gg"), F.col("dy") - F.col("gg"),
+                                       F.col("dx") + F.col("gg"), F.col("dy") + F.col("gg")))
+    pairs = spatial_join.intersects_join_multires(
+        a.select("a_id", "geom"), b.select("b_id", "r_geom"),
+        resolutions=(3, 5, 7), left_geom="geom", right_geom="r_geom",
+    )
+    return pairs.select("a_id", "b_id")
+
+
+Q96_SQL = """
+WITH a AS (
+  SELECT o_orderkey AS a_id,
+         ((o_orderkey * 7) % 3000) / 100.0 - 15.0 AS cx,
+         ((o_orderkey * 11) % 1800) / 100.0 + 39.0 AS cy,
+         CASE WHEN o_orderkey % 2 = 0 THEN (o_orderkey % 5) + 3.0
+              ELSE (o_orderkey % 4) / 10.0 + 0.1 END AS hh
+  FROM orders WHERE o_orderkey % 61 = 0
+), b AS (
+  SELECT p_partkey AS b_id,
+         ((p_partkey * 13) % 3000) / 100.0 - 14.9987 AS dx,
+         ((p_partkey * 17) % 1800) / 100.0 + 39.0013 AS dy,
+         CASE WHEN p_partkey % 2 = 0 THEN (p_partkey % 4) + 2.5
+              ELSE (p_partkey % 6) / 10.0 + 0.15 END AS gg
+  FROM part WHERE p_partkey % 23 = 0
+)
+SELECT a_id, b_id
+FROM a JOIN b
+  ON cx - hh <= dx + gg AND dx - gg <= cx + hh
+ AND cy - hh <= dy + gg AND dy - gg <= cy + hh
+"""
+
+
 def q62_salted_intersects(spark, sf_dir):
     """The q45 polygon x polygon join through the SKEW-SALTED path
     (salt=8: the broadcast side replicates per salt value, the big side
@@ -3307,4 +3367,5 @@ QUERIES: dict[str, tuple] = {
     "q93_sequence_packing": (q93_sequence_packing, Q93_SQL),
     "q94_zorder": (q94_zorder, Q94_SQL),
     "q95_contains_join": (q95_contains_join, Q95_SQL),
+    "q96_intersects_multires": (q96_intersects_multires, Q96_SQL),
 }

@@ -685,3 +685,51 @@ def test_intersects_join_outer_variants(spark, world):
     lrows = left.collect()
     all_imgs = {r["img_id"] for r in imgs.collect()}
     assert {r["img_id"] for r in lrows if r["lc_id"] is None} == all_imgs - {i for i, _ in inner_pairs}
+
+
+def test_intersects_multires_brute_force_parity(spark):
+    """Mixed-extent polygon x polygon multires join: pair set equals the
+    brute-force bbox-overlap truth AND each pair appears exactly once
+    (the coarser-side meeting level + SW-reference-point rule — no
+    dedup shuffle to hide double-emits)."""
+    from pyspark.sql import functions as SF
+
+    from pda_spark.operators import spatial_join
+    from pda_spark.plans.registry import _mk_box
+
+    def mk(prefix, n, seed, off):
+        # `off` keeps the two sides' box edges off each other's grid —
+        # exact-touch pairs would be float-undefined in BOTH the kernel
+        # and the python truth (same trick as the q45/q95 fixtures)
+        d = spark.range(n).select(
+            (SF.col("id") + seed).alias(f"{prefix}_id"),
+            (SF.pmod(SF.col("id") * 37 + seed, SF.lit(300)) / 10.0 - 15.0 + off).alias("x"),
+            (SF.pmod(SF.col("id") * 53 + seed, SF.lit(160)) / 10.0 + 40.0 + off).alias("y"),
+            SF.when(SF.pmod(SF.col("id"), SF.lit(3)) == 0, SF.lit(5.0))
+            .otherwise(SF.pmod(SF.col("id"), SF.lit(4)) / 10.0 + 0.2).alias("h"),
+        )
+        return d.withColumn(
+            f"{prefix}_geom",
+            _mk_box(SF.col("x") - SF.col("h"), SF.col("y") - SF.col("h"),
+                    SF.col("x") + SF.col("h"), SF.col("y") + SF.col("h")),
+        )
+
+    A, B = mk("a", 40, 1, 0.0), mk("b", 35, 7, 0.00137)
+    got = spatial_join.intersects_join_multires(
+        A.select("a_id", "a_geom"), B.select("b_id", "b_geom"),
+        resolutions=(3, 5, 7), left_geom="a_geom", right_geom="b_geom",
+    ).select("a_id", "b_id")
+    rows = [(r["a_id"], r["b_id"]) for r in got.collect()]
+    assert len(rows) == len(set(rows)), "pair emitted more than once"
+    # brute-force truth: box-CORNER interval overlap, the same float
+    # arithmetic the kernel's bbox comparisons use
+    av = [(r["a_id"], r["x"], r["y"], r["h"]) for r in A.collect()]
+    bv = [(r["b_id"], r["x"], r["y"], r["h"]) for r in B.collect()]
+    want = {
+        (ai, bi)
+        for ai, ax, ay, ah in av
+        for bi, bx, by, bh in bv
+        if ax - ah <= bx + bh and bx - bh <= ax + ah
+        and ay - ah <= by + bh and by - bh <= ay + ah
+    }
+    assert set(rows) == want
