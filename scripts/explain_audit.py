@@ -69,6 +69,7 @@ AUDITED = [
     "q93_sequence_packing",
     "q94_zorder",
     "q95_contains_join",
+    "q96_intersects_multires",
 ]
 
 
