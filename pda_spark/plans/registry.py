@@ -438,6 +438,46 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+def q97_correlated_subquery(spark, sf_dir):
+    """Correlated scalar subquery (P6/J6 driver gate — previously
+    pytest-only): orders above their OWN customer's average order value.
+    Spark expresses the correlation as a per-customer aggregate joined
+    back (what Catalyst de-correlates such subqueries into anyway); the
+    oracle keeps the textbook correlated form. Money handled as exact
+    integer cents; the per-customer mean is ONE double division
+    identical in both engines."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "cents", F.floor(F.col("o_totalprice") * 100.0).cast("long")
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("avg_cents")
+    )
+    return (
+        o.join(per_cust, "o_custkey")
+        .filter(F.col("cents").cast("double") > F.col("avg_cents"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            F.max("cents").cast("long").alias("max_cents"),
+        )
+    )
+
+
+Q97_SQL = """
+WITH o AS (
+  SELECT o_custkey, CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_custkey, count(*) AS n_above, CAST(max(cents) AS BIGINT) AS max_cents
+FROM o a
+WHERE CAST(cents AS DOUBLE) > (
+  SELECT CAST(sum(b.cents) AS DOUBLE) / count(*) FROM o b
+  WHERE b.o_custkey = a.o_custkey
+)
+GROUP BY o_custkey
+"""
+
+
 def q91_grouping_sets(spark, sf_dir):
     """Explicit GROUPING SETS (beyond q12's rollup lattice): two
     independent one-dimension aggregates + the grand total in one pass,
@@ -3368,4 +3408,5 @@ QUERIES: dict[str, tuple] = {
     "q94_zorder": (q94_zorder, Q94_SQL),
     "q95_contains_join": (q95_contains_join, Q95_SQL),
     "q96_intersects_multires": (q96_intersects_multires, Q96_SQL),
+    "q97_correlated_subquery": (q97_correlated_subquery, Q97_SQL),
 }
