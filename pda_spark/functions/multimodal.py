@@ -2,13 +2,18 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow UDFs over
-``mapInPandas``. The image/audio codec libraries are NOT present in this
-container, so the decode step is stubbed two ways:
+``mapInPandas``. Compressed-codec libraries (JPEG/PNG/video) are NOT
+present in this container, so decode is layered (VERDICT r5 #3):
 
-- ``decode_image`` raises ``NotImplementedError`` (the real-codec slot);
-- ``fake_decode_image`` is a deterministic stand-in (bytes -> seeded
-  pseudo-pixel stats) so the Spark-side plumbing — schema, partitioning,
-  UDF signature, Arrow batch shape — is real and tested.
+- ``decode_image`` is a REAL dependency-free decoder for the
+  uncompressed formats (binary PPM/PGM, 24-bit + 8-bit-grayscale BMP
+  with row padding) — pure numpy byte parsing, gated end-to-end by
+  q98 (encode -> bytes -> decode -> integer pixel stats vs a DuckDB
+  oracle replaying the pixel formula);
+- compressed formats still raise ``NotImplementedError`` (the external
+  codec slot);
+- ``fake_decode_image`` remains the deterministic stand-in for opaque
+  payloads whose format we can't parse (q28 gate — unchanged).
 """
 
 from __future__ import annotations
@@ -45,9 +50,140 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _pnm_header_tokens(payload: bytes, n_tokens: int) -> tuple[list[int], int]:
+    """Parse ``n_tokens`` whitespace-separated integers after the PNM
+    magic, honoring ``#`` comments; returns (tokens, offset_past_header).
+    The pixel data starts exactly ONE whitespace byte after the last
+    header token (Netpbm spec)."""
+    toks: list[int] = []
+    i = 2  # past the 2-byte magic
+    cur = b""
+    while len(toks) < n_tokens:
+        if i >= len(payload):
+            raise ValueError("truncated PNM header")
+        c = payload[i : i + 1]
+        if c == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+        elif c in (b" ", b"\t", b"\r", b"\n"):
+            if cur:
+                toks.append(int(cur))
+                cur = b""
+        else:
+            cur += c
+        i += 1
+    return toks, i
+
+
+def _decode_pnm(payload: bytes) -> np.ndarray:
+    magic = payload[:2]
+    channels = 3 if magic == b"P6" else 1
+    (w, h, maxval), off = _pnm_header_tokens(payload, 3)
+    if maxval <= 0 or maxval > 255:
+        raise ValueError(f"PNM maxval {maxval} unsupported (8-bit only)")
+    need = w * h * channels
+    px = np.frombuffer(payload, dtype=np.uint8, count=need, offset=off)
+    if channels == 3:
+        return px.reshape(h, w, 3)
+    return px.reshape(h, w)
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Windows BMP, BITMAPINFOHEADER, uncompressed (BI_RGB): 24-bit BGR
+    or 8-bit grayscale-palette; rows bottom-up (positive height) or
+    top-down (negative), each padded to a 4-byte multiple."""
+    if len(payload) < 54:
+        raise ValueError("truncated BMP")
+    data_off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError(f"BMP header size {hdr_size} unsupported (need BITMAPINFOHEADER)")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0:
+        raise NotImplementedError(
+            f"BMP compression {compression} requires an external codec"
+        )
+    if bpp not in (8, 24):
+        raise ValueError(f"BMP bpp {bpp} unsupported (8 or 24)")
+    bottom_up, h = h > 0, abs(h)
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * nch]
+    if bottom_up:
+        rows = rows[::-1]
+    if nch == 1:
+        return np.ascontiguousarray(rows)
+    # stored BGR -> returned RGB
+    return np.ascontiguousarray(rows.reshape(h, w, 3)[:, :, ::-1])
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Real decode slot — requires an image codec not in this container."""
-    raise NotImplementedError("image codecs unavailable in this environment; use fake_decode_image")
+    """Dependency-free image decode for uncompressed formats: binary
+    PPM (P6) / PGM (P5) and BMP (24-bit BGR or 8-bit grayscale, BI_RGB,
+    bottom-up or top-down, 4-byte row padding). Returns uint8
+    ``(h, w, 3)`` (RGB) or ``(h, w)`` (gray). Compressed formats
+    (JPEG/PNG/...) raise NotImplementedError — that codec slot stays
+    external to this container."""
+    payload = bytes(payload)
+    if payload[:2] in (b"P6", b"P5"):
+        return _decode_pnm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    raise NotImplementedError(
+        "compressed image codecs unavailable in this environment; "
+        "decode_image handles PPM/PGM/BMP — use fake_decode_image for opaque payloads"
+    )
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """Binary PPM (P6) / PGM (P5) encoder for fixture synthesis — the
+    inverse of ``_decode_pnm``."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 3:
+        h, w, _ = arr.shape
+        return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+    h, w = arr.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """24-bit (RGB input) or 8-bit-grayscale BMP encoder, BITMAPINFOHEADER,
+    bottom-up rows with 4-byte padding — the inverse of ``_decode_bmp``."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    nch = 1 if gray else 3
+    stride = (w * nch + 3) & ~3
+    palette = b"".join(bytes([i, i, i, 0]) for i in range(256)) if gray else b""
+    data_off = 54 + len(palette)
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = arr[y] if gray else arr[y, :, ::-1]  # RGB -> BGR
+        body += row.tobytes() + b"\x00" * (stride - w * nch)
+    file_hdr = (
+        b"BM"
+        + (data_off + len(body)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + data_off.to_bytes(4, "little")
+    )
+    info_hdr = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (nch * 8).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + ((256 if gray else 0)).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+    )
+    return file_hdr + info_hdr + palette + bytes(body)
 
 
 def fake_decode_image(payload: bytes, w: int = 8, h: int = 8) -> np.ndarray:
@@ -91,6 +227,56 @@ def extract_image_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
     return media.mapInPandas(fn, FEATURE_SCHEMA)
+
+
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("r_sum", T.LongType()),
+        T.StructField("g_sum", T.LongType()),
+        T.StructField("b_sum", T.LongType()),
+    ]
+)
+
+
+def decode_image_stats(media: DataFrame) -> DataFrame:
+    """REAL-decode feature extraction (q98 gate): parse each payload
+    with ``decode_image`` (PPM/PGM/BMP byte parsing — header offsets,
+    BGR order, bottom-up rows, stride padding) and emit exact integer
+    stats. Any parsing bug shifts bytes and breaks the channel sums, so
+    the DuckDB oracle (which replays the fixture's pixel formula
+    arithmetically) gates the decoder end-to-end. Grayscale decodes
+    fill all three channel sums with the gray sum."""
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_image(bytes(payload))
+                if px.ndim == 2:
+                    h, w = px.shape
+                    s = int(px.astype(np.int64).sum())
+                    sums = (s, s, s)
+                else:
+                    h, w, _ = px.shape
+                    sums = tuple(
+                        int(px[:, :, c].astype(np.int64).sum()) for c in range(3)
+                    )
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "r_sum": sums[0],
+                        "g_sum": sums[1],
+                        "b_sum": sums[2],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODE_SCHEMA.fields])
+
+    return media.mapInPandas(fn, DECODE_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:

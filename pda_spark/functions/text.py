@@ -424,7 +424,10 @@ def pack_sequences(
         .withColumn("_start", start)
         .select(
             id_col,
-            (F.col("_start") / context_len).cast("long").alias("bin_id"),
+            # Integer floor division on longs (matches the DuckDB `//`
+            # oracle exactly): double division would round the quotient
+            # once cumulative offsets approach 2^53 chars.
+            F.expr(f"_start div {int(context_len)}").alias("bin_id"),
             F.pmod(F.col("_start"), F.lit(context_len)).cast("long").alias("bin_offset"),
             F.col(len_col).cast("long").alias("n"),
         )

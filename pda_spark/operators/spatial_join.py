@@ -331,6 +331,25 @@ def points_in_polygons_join_multires(
     return refined.drop("_cell", "_plon", "_plat", "_pbb")
 
 
+def _disambiguate_right_geom(
+    left: DataFrame, right: DataFrame, left_geom: str, right_geom: str
+) -> tuple[DataFrame, str]:
+    """When both sides name their geometry column identically, the
+    post-join refine's ``F.col(geom)`` would raise AMBIGUOUS_REFERENCE.
+    Rename the right side's geometry to ``<name>_right`` internally (the
+    output keeps that name — callers joining a table to itself get
+    distinct geometry columns for free)."""
+    if left_geom != right_geom:
+        return right, right_geom
+    new = f"{right_geom}_right"
+    if new in right.columns or new in left.columns:
+        raise ValueError(
+            f"intersects_join: cannot disambiguate geometry column "
+            f"{right_geom!r}; column {new!r} already exists"
+        )
+    return right.withColumnRenamed(right_geom, new), new
+
+
 def intersects_join_multires(
     left: DataFrame,
     right: DataFrame,
@@ -357,7 +376,12 @@ def intersects_join_multires(
     the `is_cover on at least one side` filter, and within the meeting
     level the SW-reference-point rule (evaluated AT that level) keeps
     exactly one cell — no pair-dedup shuffle anywhere.
+
+    If ``left_geom == right_geom`` the right side's geometry column is
+    renamed to ``<name>_right`` in the output (see
+    ``_disambiguate_right_geom``).
     """
+    right, right_geom = _disambiguate_right_geom(left, right, left_geom, right_geom)
     res_list = sorted(set(int(r) for r in resolutions))
     lo, hi = res_list[0], res_list[-1]
 
@@ -468,7 +492,12 @@ def intersects_join(
     that side that intersect nothing, other side's columns null — the
     same null-safe anti-join backfill (and the same UNIQUE-id contract)
     as points_in_polygons_join; requires ``left_id`` / ``right_id``.
+
+    If ``left_geom == right_geom`` the right side's geometry column is
+    renamed to ``<name>_right`` in the output (see
+    ``_disambiguate_right_geom``).
     """
+    right, right_geom = _disambiguate_right_geom(left, right, left_geom, right_geom)
     if how not in ("inner", "left", "right"):
         raise ValueError(f"intersects_join: how={how!r} unsupported; one of 'inner', 'left', 'right'")
     if how == "left" and (left_id is None or left_id not in left.columns):

@@ -3190,6 +3190,62 @@ FROM documents WHERE doc_id < 100
 """
 
 
+def q98_image_decode(spark, sf_dir):
+    """REAL image decode through the gate (VERDICT r5 #3 — upgrades the
+    L17 codec slot from fake-decode): per-doc pixel arrays come from a
+    pure-arithmetic formula, get ENCODED to real bytes — binary PPM for
+    even doc_id, 24-bit BMP for odd (bottom-up BGR rows with 4-byte
+    stride padding; widths 5..11 so padding varies) — then round-trip
+    through multimodal.decode_image, emitting exact integer channel
+    sums. The DuckDB oracle replays the pixel formula arithmetically,
+    so any header-offset / stride / BGR / row-order bug in the decoder
+    shifts bytes and breaks the sums. Two chained mapInPandas stages
+    (encode, decode) = two Python workers on this leg — fine for a
+    fixture-sized gate; production decode is the single
+    decode_image_stats stage."""
+    from pda_spark.functions import multimodal
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120).select("doc_id")
+
+    def make_media(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 5 + did % 7, 4 + did % 5
+                i = np.arange(w * h * 3, dtype=np.int64)
+                px = ((did * 31 + i * 7) % 256).astype(np.uint8).reshape(h, w, 3)
+                enc = multimodal.encode_bmp if did % 2 else multimodal.encode_ppm
+                rows.append({"media_id": f"{did:06d}", "payload": enc(px)})
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media_schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    media = docs.mapInPandas(make_media, media_schema)
+    return multimodal.decode_image_stats(media)
+
+
+Q98_SQL = """
+WITH d AS (
+  SELECT doc_id, 5 + doc_id % 7 AS w, 4 + doc_id % 5 AS h
+  FROM documents WHERE doc_id < 120
+)
+SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(list_sum([(doc_id * 31 + (3 * p) * 7) % 256 for p in range(0, w * h)]) AS BIGINT) AS r_sum,
+       CAST(list_sum([(doc_id * 31 + (3 * p + 1) * 7) % 256 for p in range(0, w * h)]) AS BIGINT) AS g_sum,
+       CAST(list_sum([(doc_id * 31 + (3 * p + 2) * 7) % 256 for p in range(0, w * h)]) AS BIGINT) AS b_sum
+FROM d
+"""
+
+
 def q46_dissolve_area(spark, sf_dir):
     """Geometric dissolve (ST_UNION GROUP BY, A6/A7) through the real
     scanline union kernel: per brand, heavily-overlapping axis-aligned
@@ -3322,57 +3378,16 @@ WHERE num_area > 0
 
 # ============================================================ registry
 
+# Ordering contract (VERDICT r05 #1): the driver correctness artifact
+# records only the FIRST 50 keys of this dict.  Rotation rule, recorded in
+# CLAUDE.md: each round, queries WITHOUT a green row in any prior
+# CORRECTNESS_r{N}.json artifact come first (new gates at the very top),
+# then enough long-proven load-bearing queries to fill slot 50, then the
+# long-proven remainder.  Cumulative proof ledger: DRIVER_LEDGER.json.
 QUERIES: dict[str, tuple] = {
-    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
-    "q02_filter_orders": (q02_filter_orders, Q02_SQL),
-    "q03_join_agg": (q03_join_agg, Q03_SQL),
-    "q04_semi_join": (q04_semi_join, Q04_SQL),
-    "q05_topk_window": (q05_topk_window, Q05_SQL),
-    "q06_distinct_sort": (q06_distinct_sort, Q06_SQL),
-    "q07_gap_fill": (q07_gap_fill, Q07_SQL),
-    "q08_union_dedup": (q08_union_dedup, Q08_SQL),
-    "q09_scalar_funcs": (q09_scalar_funcs, Q09_SQL),
-    "q10_json_extract": (q10_json_extract, Q10_SQL),
-    "q11_collect_set": (q11_collect_set, Q11_SQL),
-    "q12_rollup": (q12_rollup, Q12_SQL),
-    "q13_heat_weekly": (q13_heat_weekly, _heat_sql("W")),
-    "q14_heat_hourly": (q14_heat_hourly, _heat_sql("H")),
-    "q20_token_stats": (q20_token_stats, Q20_SQL),
-    "q21_lang_id": (q21_lang_id, _lang_id_sql()),
-    "q23_fingerprint_groups": (q23_fingerprint_groups, Q23_SQL),
-    "q24_dedup_counts": (q24_dedup_counts, Q24_SQL),
-    "q25_ngram_jaccard": (q25_ngram_jaccard, Q25_SQL),
-    "q26_minhash": (q26_minhash, _minhash_sql()),
-    "q27_simhash": (q27_simhash, _simhash_sql()),
-    "q28_media_features": (q28_media_features, _media_sql()),
-    "q29_cdc_chunks": (q29_cdc_chunks, Q29_SQL),
-    "q30_cosine_topk": (q30_cosine_topk, Q30_SQL),
-    "q31_lsh_ann": (q31_lsh_ann, _lsh_ann_sql()),
-    "q32_cosine_neardup": (q32_cosine_neardup, Q32_SQL),
-    "q33_ivf_ann": (q33_ivf_ann, _ivf_sql()),
-    "q34_lsh_neardup": (q34_lsh_neardup, _lsh_neardup_sql()),
-    "q40_cell_assign": (q40_cell_assign, Q40_SQL),
-    "q41_pip_join": (q41_pip_join, Q41_SQL),
-    "q42_knn": (q42_knn, Q42_SQL),
-    "q43_bbox_area": (q43_bbox_area, Q43_SQL),
-    "q44_tile_zonal": (q44_tile_zonal, Q44_SQL),
-    "q45_rect_intersects": (q45_rect_intersects, Q45_SQL),
-    "q46_dissolve_area": (q46_dissolve_area, Q46_SQL),
-    "q47_coverage_pct": (q47_coverage_pct, Q47_SQL),
-    "q48_river_intersects": (q48_river_intersects, Q48_SQL),
-    "q49_river_length": (q49_river_length, Q49_SQL),
-    "q50_river_crossings": (q50_river_crossings, Q50_SQL),
-    "q51_dedup_clusters": (q51_dedup_clusters, _q51_sql()),
-    "q52_repetition_quality": (q52_repetition_quality, Q52_SQL),
-    "q53_train_split": (q53_train_split, Q53_SQL),
-    "q54_url_normalize": (q54_url_normalize, Q54_SQL),
-    "q55_sessionize": (q55_sessionize, Q55_SQL),
-    "q56_curation_pipeline": (q56_curation_pipeline, _q56_sql()),
-    "q57_asof_join": (q57_asof_join, Q57_SQL),
-    "q58_interval_join": (q58_interval_join, Q58_SQL),
-    "q59_stratified_sample": (q59_stratified_sample, Q59_SQL),
-    "q60_vocabulary": (q60_vocabulary, Q60_SQL),
-    "q61_simplify": (q61_simplify, Q61_SQL),
+    # --- new round-6 gates ---
+    "q98_image_decode": (q98_image_decode, Q98_SQL),
+    # --- never driver-proven (r03/r04/r05 artifacts cut at slot 50) ---
     "q62_salted_intersects": (q62_salted_intersects, Q45_SQL),
     "q63_video_frames": (q63_video_frames, Q63_SQL),
     "q64_pip_wkb": (q64_pip_wkb, Q41_SQL),
@@ -3409,4 +3424,56 @@ QUERIES: dict[str, tuple] = {
     "q95_contains_join": (q95_contains_join, Q95_SQL),
     "q96_intersects_multires": (q96_intersects_multires, Q96_SQL),
     "q97_correlated_subquery": (q97_correlated_subquery, Q97_SQL),
+    # --- driver-proven fillers to slot 50 (most load-bearing first) ---
+    "q41_pip_join": (q41_pip_join, Q41_SQL),
+    "q42_knn": (q42_knn, Q42_SQL),
+    "q45_rect_intersects": (q45_rect_intersects, Q45_SQL),
+    "q46_dissolve_area": (q46_dissolve_area, Q46_SQL),
+    "q47_coverage_pct": (q47_coverage_pct, Q47_SQL),
+    "q51_dedup_clusters": (q51_dedup_clusters, _q51_sql()),
+    "q55_sessionize": (q55_sessionize, Q55_SQL),
+    "q56_curation_pipeline": (q56_curation_pipeline, _q56_sql()),
+    "q57_asof_join": (q57_asof_join, Q57_SQL),
+    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
+    "q05_topk_window": (q05_topk_window, Q05_SQL),
+    "q26_minhash": (q26_minhash, _minhash_sql()),
+    "q30_cosine_topk": (q30_cosine_topk, Q30_SQL),
+    "q33_ivf_ann": (q33_ivf_ann, _ivf_sql()),
+    # --- long-proven remainder (rotated past the driver's 50-query cap) ---
+    "q02_filter_orders": (q02_filter_orders, Q02_SQL),
+    "q03_join_agg": (q03_join_agg, Q03_SQL),
+    "q04_semi_join": (q04_semi_join, Q04_SQL),
+    "q06_distinct_sort": (q06_distinct_sort, Q06_SQL),
+    "q07_gap_fill": (q07_gap_fill, Q07_SQL),
+    "q08_union_dedup": (q08_union_dedup, Q08_SQL),
+    "q09_scalar_funcs": (q09_scalar_funcs, Q09_SQL),
+    "q10_json_extract": (q10_json_extract, Q10_SQL),
+    "q11_collect_set": (q11_collect_set, Q11_SQL),
+    "q12_rollup": (q12_rollup, Q12_SQL),
+    "q13_heat_weekly": (q13_heat_weekly, _heat_sql("W")),
+    "q14_heat_hourly": (q14_heat_hourly, _heat_sql("H")),
+    "q20_token_stats": (q20_token_stats, Q20_SQL),
+    "q21_lang_id": (q21_lang_id, _lang_id_sql()),
+    "q23_fingerprint_groups": (q23_fingerprint_groups, Q23_SQL),
+    "q24_dedup_counts": (q24_dedup_counts, Q24_SQL),
+    "q25_ngram_jaccard": (q25_ngram_jaccard, Q25_SQL),
+    "q27_simhash": (q27_simhash, _simhash_sql()),
+    "q28_media_features": (q28_media_features, _media_sql()),
+    "q29_cdc_chunks": (q29_cdc_chunks, Q29_SQL),
+    "q31_lsh_ann": (q31_lsh_ann, _lsh_ann_sql()),
+    "q32_cosine_neardup": (q32_cosine_neardup, Q32_SQL),
+    "q34_lsh_neardup": (q34_lsh_neardup, _lsh_neardup_sql()),
+    "q40_cell_assign": (q40_cell_assign, Q40_SQL),
+    "q43_bbox_area": (q43_bbox_area, Q43_SQL),
+    "q44_tile_zonal": (q44_tile_zonal, Q44_SQL),
+    "q48_river_intersects": (q48_river_intersects, Q48_SQL),
+    "q49_river_length": (q49_river_length, Q49_SQL),
+    "q50_river_crossings": (q50_river_crossings, Q50_SQL),
+    "q52_repetition_quality": (q52_repetition_quality, Q52_SQL),
+    "q53_train_split": (q53_train_split, Q53_SQL),
+    "q54_url_normalize": (q54_url_normalize, Q54_SQL),
+    "q58_interval_join": (q58_interval_join, Q58_SQL),
+    "q59_stratified_sample": (q59_stratified_sample, Q59_SQL),
+    "q60_vocabulary": (q60_vocabulary, Q60_SQL),
+    "q61_simplify": (q61_simplify, Q61_SQL),
 }

@@ -187,9 +187,58 @@ def test_multimodal_features(spark):
     assert first == again
 
 
-def test_multimodal_decode_stub():
+def test_multimodal_decode_compressed_still_raises():
+    # JPEG/PNG magic: the external-codec slot stays a documented stub
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"xx")
+        multimodal.decode_image(b"\xff\xd8\xff\xe0JFIF....")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_decode_image_roundtrips_all_formats():
+    """Real decoder (VERDICT r5 #3): encode->decode is the identity for
+    binary PPM/PGM and 24/8-bit BMP across widths that vary the BMP
+    stride padding (w*3 % 4 takes every value)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    for w in (5, 6, 7, 8, 11):
+        for h in (4, 9):
+            rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            assert np.array_equal(multimodal.decode_image(multimodal.encode_ppm(rgb)), rgb)
+            assert np.array_equal(multimodal.decode_image(multimodal.encode_ppm(gray)), gray)
+            assert np.array_equal(multimodal.decode_image(multimodal.encode_bmp(rgb)), rgb)
+            assert np.array_equal(multimodal.decode_image(multimodal.encode_bmp(gray)), gray)
+    # PNM headers may carry comments and arbitrary whitespace
+    p = b"P6\n# comment\n 5\t4 # trailing\n255\n" + bytes(range(60))
+    px = multimodal.decode_image(p)
+    assert px.shape == (4, 5, 3) and px.ravel()[0] == 0 and px.ravel()[-1] == 59
+    # top-down BMP (negative height) decodes to the same array
+    top_down = bytearray(multimodal.encode_bmp(np.arange(36, dtype=np.uint8).reshape(3, 4, 3)))
+    rows = multimodal.decode_image(bytes(top_down))
+    body = bytes(top_down[54:])
+    flipped = top_down[:54] + b"".join(
+        body[i * 12 : i * 12 + 12] for i in range(2, -1, -1)
+    )
+    flipped = bytearray(flipped)
+    flipped[22:26] = (-3).to_bytes(4, "little", signed=True)
+    assert np.array_equal(multimodal.decode_image(bytes(flipped)), rows)
+
+
+def test_decode_image_stats_gray_fills_channels(spark):
+    import numpy as np
+
+    gray = np.full((4, 6), 7, dtype=np.uint8)
+    media = spark.createDataFrame(
+        [("g1", bytearray(multimodal.encode_bmp(gray))),
+         ("g2", bytearray(multimodal.encode_ppm(gray)))],
+        "media_id string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in multimodal.decode_image_stats(media).collect()}
+    for r in rows.values():
+        assert (r["width"], r["height"]) == (6, 4)
+        assert r["r_sum"] == r["g_sum"] == r["b_sum"] == 7 * 24
 
 
 def test_frame_sample(spark):

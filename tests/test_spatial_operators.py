@@ -733,3 +733,55 @@ def test_intersects_multires_brute_force_parity(spark):
         and ay - ah <= by + bh and by - bh <= ay + ah
     }
     assert set(rows) == want
+
+
+def test_intersects_join_same_geom_name_disambiguated(spark):
+    """ADVICE r5: with the default left_geom=right_geom='geom' the
+    post-join refine used to raise AMBIGUOUS_REFERENCE; the right side
+    is now renamed to geom_right internally (self-join works)."""
+    from pyspark.sql import functions as SF
+
+    from pda_spark.operators import spatial_join
+    from pda_spark.plans.registry import _mk_box
+
+    def mk(n, seed, off):
+        d = spark.range(n).select(
+            (SF.col("id") + seed).alias("gid"),
+            (SF.pmod(SF.col("id") * 37 + seed, SF.lit(200)) / 10.0 + off).alias("x"),
+            (SF.pmod(SF.col("id") * 53 + seed, SF.lit(120)) / 10.0 + 40.0 + off).alias("y"),
+        )
+        return d.select(
+            "gid",
+            _mk_box(SF.col("x") - 0.4, SF.col("y") - 0.4,
+                    SF.col("x") + 0.4, SF.col("y") + 0.4).alias("geom"),
+        )
+
+    A, B = mk(25, 1, 0.0), mk(20, 5, 0.00137)
+    for fn, kw in (
+        (spatial_join.intersects_join, {"res": 6}),
+        (spatial_join.intersects_join_multires, {"resolutions": (4, 6)}),
+    ):
+        out = fn(
+            A.withColumnRenamed("gid", "a_id"),
+            B.withColumnRenamed("gid", "b_id"),
+            **kw,
+        )
+        assert "geom" in out.columns and "geom_right" in out.columns
+        n = out.count()  # must not raise AMBIGUOUS_REFERENCE
+        assert n > 0
+    # pair parity between the two operators on the same-name fixture
+    p1 = set(
+        (r["a_id"], r["b_id"])
+        for r in spatial_join.intersects_join(
+            A.withColumnRenamed("gid", "a_id"),
+            B.withColumnRenamed("gid", "b_id"), res=6,
+        ).select("a_id", "b_id").collect()
+    )
+    p2 = set(
+        (r["a_id"], r["b_id"])
+        for r in spatial_join.intersects_join_multires(
+            A.withColumnRenamed("gid", "a_id"),
+            B.withColumnRenamed("gid", "b_id"), resolutions=(4, 6),
+        ).select("a_id", "b_id").collect()
+    )
+    assert p1 == p2

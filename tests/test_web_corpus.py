@@ -249,3 +249,107 @@ def test_checkpoint_table_names_collision_free(spark, tmp_path):
     assert mgr._table_name("facts-cell") != mgr._table_name("facts_cell")
     other = CheckpointManager(spark, str(tmp_path / "tn2"))
     assert mgr._table_name("facts") != other._table_name("facts")
+
+
+def test_merge_upsert_sweeps_orphan_swap_dirs(spark, tmp_path):
+    """ADVICE r5: a kill mid-swap leaks data.staging.* / data.old.*
+    siblings; the next writer entry for that stage must GC them."""
+    import os as _os
+
+    ckpt = CheckpointManager(spark, str(tmp_path / "gc"))
+    first = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    ckpt.merge_upsert(first, "dim", key="id")
+    stage_dir = ckpt._dir("dim")
+    # simulate the leak a mid-swap crash leaves behind
+    for leaked in ("data.staging.deadbeef", "data.old.deadbeef"):
+        _os.makedirs(_os.path.join(stage_dir, leaked, "junk"))
+    upd = spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string")
+    ckpt.merge_upsert(upd, "dim", key="id")
+    leftovers = [
+        e for e in _os.listdir(stage_dir) if ".staging." in e or ".old." in e
+    ]
+    assert leftovers == []
+    got = {(r["id"], r["v"]) for r in ckpt.read("dim").collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_merge_sync_deletes_absent_and_is_idempotent(spark, tmp_path):
+    """VERDICT r5 #4: the three MERGE flavors contrasted on one fixture.
+    upsert keeps unmatched existing rows; sync deletes them (WHEN NOT
+    MATCHED BY SOURCE THEN DELETE); append keeps EXISTING values for
+    matched keys. Sync re-runs are idempotent."""
+    base = [(1, "a"), (2, "b"), (3, "c")]
+    src = [(2, "B"), (4, "d")]
+    schema = "id long, v string"
+
+    for flavor, want in (
+        ("merge_upsert", {(1, "a"), (2, "B"), (3, "c"), (4, "d")}),
+        ("merge_sync", {(2, "B"), (4, "d")}),
+        ("merge_append", {(1, "a"), (2, "b"), (3, "c"), (4, "d")}),
+    ):
+        ckpt = CheckpointManager(spark, str(tmp_path / flavor))
+        ckpt.merge_upsert(spark.createDataFrame(base, schema), "dim", key="id")
+        fn = getattr(ckpt, flavor)
+        fn(spark.createDataFrame(src, schema), "dim", key="id")
+        got = {(r["id"], r["v"]) for r in ckpt.read("dim").collect()}
+        assert got == want, flavor
+        # idempotent re-run
+        fn(spark.createDataFrame(src, schema), "dim", key="id")
+        got2 = {(r["id"], r["v"]) for r in ckpt.read("dim").collect()}
+        assert got2 == want, f"{flavor} re-run"
+
+
+def test_merge_sync_delete_condition_scopes_the_delete(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE AND <cond> THEN DELETE: only the
+    partition being synced loses its absent rows."""
+    from pyspark.sql import functions as SF
+
+    ckpt = CheckpointManager(spark, str(tmp_path / "scoped"))
+    base = [(1, "eu", "a"), (2, "eu", "b"), (3, "us", "c")]
+    ckpt.merge_upsert(
+        spark.createDataFrame(base, "id long, region string, v string"), "dim", key="id"
+    )
+    src = spark.createDataFrame([(2, "eu", "B")], "id long, region string, v string")
+    ckpt.merge_sync(src, "dim", key="id", delete_condition=SF.col("region") == "eu")
+    got = {(r["id"], r["region"], r["v"]) for r in ckpt.read("dim").collect()}
+    # id=1 (eu, unmatched) deleted; id=3 (us, unmatched) survives
+    assert got == {(2, "eu", "B"), (3, "us", "c")}
+
+
+def test_merge_schema_evolution_write_then_widen_then_read(spark, tmp_path):
+    """VERDICT r5 #4 write-side ALTER-equivalent: evolve_schema=True
+    merges a WIDER incoming schema (new column null-filled on old rows),
+    the manifest records the widened schema, and a dropped column
+    null-fills on the incoming side."""
+    ckpt = CheckpointManager(spark, str(tmp_path / "evo"))
+    ckpt.merge_upsert(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), "dim", key="id"
+    )
+    wider = spark.createDataFrame(
+        [(2, "B", 9.5), (3, "c", 1.5)], "id long, v string, score double"
+    )
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        ckpt.merge_upsert(wider, "dim", key="id")  # strict mode still refuses
+    ckpt.merge_upsert(wider, "dim", key="id", evolve_schema=True)
+    out = ckpt.read("dim")
+    assert set(out.columns) == {"id", "v", "score"}
+    got = {(r["id"], r["v"], r["score"]) for r in out.collect()}
+    assert got == {(1, "a", None), (2, "B", 9.5), (3, "c", 1.5)}
+    fields = {f["name"] for f in ckpt.manifest("dim")["schema"]["fields"]}
+    assert "score" in fields
+    # narrowing incoming (drops v) null-fills v on the new row only
+    narrow = spark.createDataFrame([(4, 2.5)], "id long, score double")
+    ckpt.merge_upsert(narrow, "dim", key="id", evolve_schema=True)
+    got = {(r["id"], r["v"], r["score"]) for r in ckpt.read("dim").collect()}
+    assert (4, None, 2.5) in got and (1, "a", None) in got
+
+
+def test_merge_sync_preserves_bucketed_layout(spark, tmp_path):
+    ckpt = CheckpointManager(spark, str(tmp_path / "syncb"))
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(20)], "id long, v string")
+    ckpt.write_stage(df, "facts", cluster_by=("id", 4))
+    src = spark.createDataFrame([(i, f"w{i}") for i in range(5, 25)], "id long, v string")
+    out = ckpt.merge_sync(src, "facts", key="id")
+    assert out.count() == 20
+    assert ckpt.manifest("facts")["cluster_by"] == {"col": "id", "buckets": 4}
