@@ -113,6 +113,93 @@ def _arr_lit(vals: list[float]) -> str:
     return "array(" + ",".join(f"{x}D" for x in vals) + ")"
 
 
+def kmeans_fit(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale_bits: int = 24,
+) -> tuple[list[list[float]], list[float]]:
+    """Distributed spherical Lloyd fit for IVF coarse quantizers
+    (VERDICT r5 #7 — replaces the lowest-id-vectors stand-in with a real
+    bounded-iteration fit). Per iteration: centroids broadcast as
+    literals, every vector assigns to its max-cosine centroid (the SAME
+    assignment expression ``ivf_topk`` uses, JVM-side), and the update
+    is one map-side-combinable groupBy over ``posexplode`` — shuffled
+    rows per iteration = n_centroids * dim * n_partitions partials, the
+    collect is n_centroids * dim rows. No corpus-sized state anywhere.
+
+    DETERMINISM: the update accumulates round(v_i/|v| * 2^scale_bits) as
+    int64 — integer sums are order-independent, so the fitted centroids
+    are bit-identical under any partitioning / core count (a float sum
+    would make the fit depend on partition order). The objective history
+    (mean cosine to the assigned centroid, one float per iteration) IS
+    an unordered float sum — monotonicity asserts use a tolerance.
+    Updating with NORMALIZED vectors is spherical k-means proper: the
+    mean of unit vectors is the direction maximizing the summed cosine,
+    so each Lloyd step is non-decreasing in the objective. Empty
+    clusters keep their previous centroid. int64 headroom: |sum| <=
+    2^scale_bits * n_rows, fine through ~2^39 rows per cluster.
+
+    Returns ``(centroids, history)``; centroids feed ``ivf_topk`` (and
+    the pinned-literal oracle path) unchanged."""
+    import math
+
+    cents = ivf_centroids(vectors, n_centroids, id_col, vec_col)
+    scale = float(1 << scale_bits)
+    history: list[float] = []
+    for _ in range(n_iter):
+        norms = [repr(math.sqrt(sum(x * x for x in c))) for c in cents]
+        sc = F.array(
+            *[
+                (_dot(vec_col, _arr_lit(c)) / F.expr(f"{n}D"))
+                for c, n in zip(cents, norms)
+            ]
+        )
+        assigned = vectors.select(
+            F.col(vec_col).alias("_v"),
+            sc.alias("_sc"),
+            _norm(vec_col).alias("_vn"),
+        ).select(
+            F.array_position(F.col("_sc"), F.array_max(F.col("_sc"))).alias("_cid"),
+            (F.array_max(F.col("_sc")) / F.col("_vn")).alias("_sim"),
+            "_v",
+            "_vn",
+        )
+        ex = assigned.select(
+            "_cid", "_sim", "_vn", F.posexplode(F.col("_v")).alias("_pos", "_val")
+        )
+        rows = (
+            ex.groupBy("_cid", "_pos")
+            .agg(
+                F.sum(
+                    F.round(F.col("_val").cast("double") / F.col("_vn") * scale).cast(
+                        "long"
+                    )
+                ).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+                F.sum("_sim").alias("_simsum"),
+            )
+            .collect()
+        )
+        dim = len(cents[0])
+        new = [list(c) for c in cents]  # empty clusters keep previous
+        counts = [0] * n_centroids
+        sim_total, n_total = 0.0, 0
+        for r in rows:
+            cid, pos = int(r["_cid"]) - 1, int(r["_pos"])
+            counts[cid] = int(r["_n"])
+            new[cid][pos] = int(r["_s"]) / (scale * int(r["_n"]))
+            if pos == 0:
+                sim_total += float(r["_simsum"])
+                n_total += int(r["_n"])
+        assert all(len(c) == dim for c in new)
+        history.append(sim_total / max(n_total, 1))
+        cents = new
+    return cents, history
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
