@@ -381,3 +381,128 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text", n_bits: int = 16
         bit = F.when(F.col(f"s_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         sig = bit if sig is None else (sig + bit)
     return sums.withColumn("simhash", sig.cast("long")).select("doc_id", "simhash")
+
+
+def substring_containment(
+    corpus: DataFrame,
+    snippets: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    snip_id_col: str = "snip_id",
+    snip_text_col: str = "stext",
+    k: int = 8,
+) -> DataFrame:
+    """Exact substring-containment search: all (snip_id, doc_id) pairs
+    where the normalized snippet occurs verbatim inside the normalized
+    document (quotation detection / eval-contamination at the exact-
+    match level — the sharp twin of the shingle-overlap
+    ``decontaminate``).
+
+    Scale path (rare-shingle inverted index, the prefix-filter idiom
+    from set-similarity joins): a snippet contained in a doc shares ALL
+    its k-shingles with that doc, so its LOWEST-document-frequency
+    shingle indexes exactly the candidate posting list. Build the
+    corpus (doc, shingle-hash) posting table + per-hash df (one explode
+    + one hash-agg — at 100 TB both are precomputed index artifacts,
+    not per-query work), pick each snippet's rarest present shingle,
+    join that single hash against the postings, and verify candidates
+    with one JVM ``instr`` per (snippet, candidate). Hash collisions
+    only ADD candidates (verify prunes); they never lose a true pair.
+    Snippets shorter than k can't use the index and fall back to a
+    broadcast scan (bounded: they are the degenerate queries).
+
+    Returns (snip_id, doc_id) pairs, self-matches included."""
+    norm = lambda c: F.regexp_replace(F.lower(F.trim(F.col(c))), r"\s+", " ")  # noqa: E731
+    corp = corpus.select(F.col(id_col).alias("doc_id"), norm(text_col).alias("_ctext"))
+    snips = snippets.select(
+        F.col(snip_id_col).alias("snip_id"), norm(snip_text_col).alias("_stext")
+    )
+
+    sh = F.expr(
+        f"transform(sequence(1, length(_ctext) - {k - 1}), i -> xxhash64(substring(_ctext, i, {k})))"
+    )
+    # corpus-sized intra-query scratch, used twice (df agg + candidate
+    # probe) — same localCheckpoint trade-off as the LSH band table
+    postings = (
+        corp.filter(F.length("_ctext") >= k)
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("h"))
+        .localCheckpoint(eager=False)
+    )
+    dfreq = postings.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+
+    long_s = snips.filter(F.length("_stext") >= k)
+    ssh = F.expr(
+        f"transform(sequence(1, length(_stext) - {k - 1}), i -> xxhash64(substring(_stext, i, {k})))"
+    )
+    s_h = long_s.select("snip_id", F.explode(F.array_distinct(ssh)).alias("h"))
+    rare = (
+        s_h.join(dfreq, "h")
+        .groupBy("snip_id")
+        .agg(F.min(F.struct("df", "h")).alias("_m"))
+        .select("snip_id", F.col("_m.h").alias("h"))
+    )
+    cands = rare.join(postings, "h").select("snip_id", "doc_id")
+    verified = (
+        cands.join(long_s, "snip_id")
+        .join(corp, "doc_id")
+        .filter(F.instr(F.col("_ctext"), F.col("_stext")) > 0)
+        .select("snip_id", "doc_id")
+    )
+
+    # empty-after-normalization snippets are dropped, not matched-to-all
+    # (instr(x, '') == 1 would pair them with every document)
+    short_s = snips.filter((F.length("_stext") < k) & (F.length("_stext") > 0))
+    brute = (
+        corp.crossJoin(F.broadcast(short_s))
+        .filter(F.instr(F.col("_ctext"), F.col("_stext")) > 0)
+        .select("snip_id", "doc_id")
+    )
+    return verified.unionByName(brute)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    hasher: str = "md5",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every k-shingle, slide a window of ``w``
+    consecutive hashes, keep the MINIMUM hash of each window, emit the
+    distinct selected hashes per document. Guarantees every exact match
+    of length >= k + w - 1 shares a fingerprint, with ~2/(w+1) density.
+
+    Emitting distinct min VALUES (not positions) keeps the result
+    independent of tie-position conventions, so a SQL window-min
+    replays it exactly. The per-doc window is ROWS-bounded and
+    partitioned by doc — no corpus-sized window state at scale."""
+    from pyspark.sql import Window
+
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ").alias("_norm"),
+    )
+    shingles = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(_norm) - {k - 1}, 1)),"
+                f" i -> substring(_norm, i, {k}))"
+            )
+        ).alias("pos", "sh"),
+    ).withColumn("h", shingle_hash(F.col("sh"), hasher))
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    n_sh = Window.partitionBy("doc_id")
+    fp = (
+        shingles.withColumn("minh", F.min("h").over(win))
+        .withColumn("_n", F.count(F.lit(1)).over(n_sh))
+        # windows that would run past the last shingle are not complete
+        # windows — but a doc with fewer than w shingles keeps its single
+        # (truncated) window so every doc fingerprints to >= 1 hash
+        .filter((F.col("pos") <= F.col("_n") - w) | (F.col("pos") == 0))
+        .select("doc_id", "minh")
+        .distinct()
+    )
+    return fp

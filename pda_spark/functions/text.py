@@ -530,3 +530,39 @@ def remove_boilerplate_lines(
         F.sum((~is_kept).cast("long")).cast("long").alias("n_lines_removed"),
     )
     return out.select("doc_id", "clean_text", "n_lines_kept", "n_lines_removed")
+
+
+def tfidf_term_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """TF-IDF over the FULL vocabulary (no query-term list — the
+    feature-extraction twin of the query-scoped ``bm25_term_scores``):
+    one row per (doc, term) with tf, df and
+    tfidf = tf * (ln((1 + N)/(1 + df)) + 1)   (sklearn smooth-idf form,
+    never divides by zero, keeps terms present in every doc).
+
+    Per-(doc, term) scalar rows sidestep float accumulation order (the
+    q81 rule); callers needing doc vectors aggregate downstream. Output
+    size is the distinct (doc, term) count — the same cardinality every
+    inverted index carries, shuffled once on doc_id and once (tiny) on
+    term. N is a broadcast one-row aggregate."""
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    if min_df > 1:
+        dfreq = dfreq.filter(F.col("df") >= min_df)
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
+    return (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "tok", "tf", "df", (F.col("tf") * idf).alias("tfidf"))
+    )

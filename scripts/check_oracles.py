@@ -82,9 +82,17 @@ def canon_frame(pdf: pd.DataFrame):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    if not os.path.isdir(sf_dir):
+        sys.exit(f"usage: check_oracles.py [sf_dir] [query ...] — not a dir: {sf_dir}")
 
     import __spark_entry__ as e
     from pda_spark.session import get_spark
+
+    if only:
+        unknown = only - set(e.queries())
+        if unknown:
+            # a typo'd filter must fail loudly, not pass vacuously
+            sys.exit(f"unknown query names: {sorted(unknown)}")
 
     spark = get_spark(app_name="oracle-check", cores=8, shuffle_partitions=16)
     con = duckdb.connect()

@@ -38,7 +38,9 @@ def make_pyfiles(repo_root: str) -> str:
             if "__pycache__" in dirpath:
                 continue
             for fn in filenames:
-                if fn.endswith(".py"):
+                # .json: packaged data (pinned IVF centroid fit) read
+                # via importlib.resources, so it must ride in the zip
+                if fn.endswith((".py", ".json")):
                     full = os.path.join(dirpath, fn)
                     z.write(full, os.path.relpath(full, repo_root))
     return out
