@@ -60,6 +60,11 @@ HEADLINE = [
     "q87_focal_stats",       # focal raster smoothing (scatter-gather)
     "q93_sequence_packing",  # concat-and-chunk packing (two-level cumsum)
     "q94_zorder",            # Morton layout key (pure Catalyst bit math)
+    "q99_udtf_shingles",     # native Python UDTF leg (Arrow table function)
+    "q100_substring_containment",  # rare-shingle inverted index + instr verify
+    "q101_image_downsample", # real decode + block-mean pool (one Arrow stage)
+    "q102_tfidf",            # full-vocabulary tf-idf (two keyed shuffles)
+    "q103_winnowing",        # window-min fingerprint selection
 ]
 
 
