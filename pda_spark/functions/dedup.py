@@ -506,3 +506,109 @@ def winnow_fingerprints(
         .distinct()
     )
     return fp
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs (fuzzy token/URL/title matching
+    — the reference's archived learning scripts dedupe item titles by
+    similarity; here it is a first-class join): all unordered pairs with
+    levenshtein(a, b) <= max_dist, ids ordered id_a < id_b.
+
+    Scale shape: never the n^2 cross product. Length-band blocking is
+    LOSSLESS for edit distance (|len(a) - len(b)| <= d for any pair
+    within distance d): each string lands in band floor(len / (d+1)) and
+    probes its own and the next band, so every qualifying pair meets in
+    at least one band; a dropDuplicates on the id pair (a shuffle over
+    candidates only) uniquifies pairs that meet in both. The verify is
+    the JVM ``levenshtein`` expression — no Python anywhere. Candidate
+    count is sum over bands of |band| * |band +- 1|, the classic
+    blocking bound; for heavier skew (one dominant length) the band key
+    salts like any hot key."""
+    width = max_dist + 1
+    strs = df.select(F.col(id_col).alias("_id"), F.col(str_col).alias("_s")).withColumn(
+        "_band", F.floor(F.length("_s") / width)
+    )
+    probes = strs.select(
+        "_id", "_s", F.explode(F.array(F.col("_band"), F.col("_band") + 1)).alias("_b")
+    )
+    anchors = strs.select(
+        F.col("_id").alias("_id2"), F.col("_s").alias("_s2"), F.col("_band").alias("_b")
+    )
+    cand = (
+        probes.join(anchors, "_b")
+        .filter(F.col("_id") != F.col("_id2"))
+        .select(
+            F.least("_id", "_id2").alias("id_a"),
+            F.greatest("_id", "_id2").alias("id_b"),
+            F.when(F.col("_id") < F.col("_id2"), F.col("_s")).otherwise(F.col("_s2")).alias("s_a"),
+            F.when(F.col("_id") < F.col("_id2"), F.col("_s2")).otherwise(F.col("_s")).alias("s_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.filter(
+        (F.abs(F.length("s_a") - F.length("s_b")) <= max_dist)
+        & (F.levenshtein("s_a", "s_b") <= max_dist)
+    ).select("id_a", "id_b", "s_a", "s_b", F.levenshtein("s_a", "s_b").alias("dist"))
+
+
+def dedup_paragraphs_global(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Global first-occurrence paragraph deduplication (the RefinedWeb /
+    C4-family corpus step the reference's archived learning scripts
+    approximate per-item): every exact paragraph is kept only in the
+    FIRST document that contains it — first by the total order
+    (doc_id, position) — and dropped from every later one; surviving
+    paragraphs reassemble in original order. Returns one row per input
+    doc: (doc_id, clean_text, n_kept, n_removed); a doc whose every
+    paragraph occurred earlier elsewhere emits clean_text NULL with
+    n_kept 0 (the q75 all-boilerplate contract). Repeats WITHIN one doc
+    dedupe too (only the lowest position survives) — the same rule,
+    applied uniformly.
+
+    Shape (100 TB): posexplode paragraphs -> one hash-aggregate
+    min(struct(doc_id, pos)) per paragraph (map-side combinable; the
+    shuffle carries one row per DISTINCT paragraph) -> equi-join back on
+    the paragraph -> per-doc ordered reassembly via array_sort over
+    (pos, para) structs (no window, no driver state). Boilerplate-heavy
+    corpora make some paragraphs hot on the join key; the owner table is
+    deduped so the join is skew-bounded by distinct-paragraph counts,
+    and AQE's skew split handles the probe side."""
+    paras = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    )
+    owners = paras.groupBy("para").agg(
+        F.min(F.struct("doc_id", "pos")).alias("_first")
+    )
+    tagged = paras.join(owners, "para")
+    is_kept = (F.col("doc_id") == F.col("_first.doc_id")) & (
+        F.col("pos") == F.col("_first.pos")
+    )
+    out = tagged.groupBy("doc_id").agg(
+        F.when(
+            F.sum(is_kept.cast("int")) > 0,
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("pos", F.when(is_kept, F.col("para")).alias("para"))
+                        )
+                    ),
+                    lambda x: x["para"],
+                ),
+            ),
+        ).alias("clean_text"),
+        F.sum(is_kept.cast("long")).cast("long").alias("n_kept"),
+        F.sum((~is_kept).cast("long")).cast("long").alias("n_removed"),
+    )
+    return out.select("doc_id", "clean_text", "n_kept", "n_removed")

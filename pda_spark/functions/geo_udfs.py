@@ -162,6 +162,68 @@ def morton_spread_sql(expr: str) -> str:
     return x
 
 
+# Standard geohash base-32 alphabet (public spec: 0-9 then b-z skipping
+# a, i, l, o). The encode below IS the textbook bisection algorithm in
+# closed form: the first b bits of the bisection path for lon are the
+# top b bits of floor((lon+180)/360 * 2^b) — binary-fraction expansion —
+# and the geohash bit stream interleaves lon/lat MSB-first starting with
+# lon, which for equal bit counts is exactly (spread(ix) << 1) |
+# spread(iy) in Morton terms.
+GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_quantize(lon_col, lat_col, bits: int):
+    n = F.lit(1 << bits)
+    ix = F.least(
+        F.greatest(F.floor((lon_col + 180.0) / 360.0 * n), F.lit(0)), n - 1
+    ).cast("long")
+    iy = F.least(
+        F.greatest(F.floor((lat_col + 90.0) / 180.0 * n), F.lit(0)), n - 1
+    ).cast("long")
+    return ix, iy
+
+
+def geohash_expr(lon_col, lat_col, precision: int = 6):
+    """Geohash string of a lon/lat — pure Catalyst (quantize, Morton
+    interleave, base-32 char lookup through an array literal; zero
+    Python). Even ``precision`` only (odd precisions give lon one extra
+    bit, which the equal-split Morton interleave cannot express; 6 ≈
+    1.2 km cells and 8 ≈ 38 m cover the practical range). lon == 180
+    clamps into the last cell (the 'z...' column), matching the usual
+    wrap convention."""
+    if precision % 2 or not 2 <= precision <= 10:
+        raise ValueError(f"geohash_expr: precision must be even in [2, 10], got {precision}")
+    bits = precision * 5 // 2
+    ix, iy = _geohash_quantize(lon_col, lat_col, bits)
+    code = F.shiftleft(morton_spread_expr(ix), 1).bitwiseOR(morton_spread_expr(iy))
+    alphabet = F.array(*[F.lit(c) for c in GEOHASH_BASE32])
+    chars = [
+        F.element_at(
+            alphabet,
+            (F.shiftright(code, 5 * (precision - 1 - i)).bitwiseAND(F.lit(31)) + 1).cast("int"),
+        )
+        for i in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_sql(lon_expr: str, lat_expr: str, precision: int = 6) -> str:
+    """DuckDB SQL replaying geohash_expr bit-for-bit (shared quantize
+    arithmetic + morton_spread_sql + the same alphabet literal)."""
+    if precision % 2 or not 2 <= precision <= 10:
+        raise ValueError(f"geohash_sql: precision must be even in [2, 10], got {precision}")
+    bits = precision * 5 // 2
+    n = 1 << bits
+    ix = f"least(greatest(floor(({lon_expr} + 180.0) / 360.0 * {n}), 0), {n - 1})::BIGINT"
+    iy = f"least(greatest(floor(({lat_expr} + 90.0) / 180.0 * {n}), 0), {n - 1})::BIGINT"
+    code = f"(({morton_spread_sql(ix)} << 1) | {morton_spread_sql(iy)})"
+    chars = " || ".join(
+        f"substring('{GEOHASH_BASE32}', CAST((({code} >> {5 * (precision - 1 - i)}) & 31) + 1 AS INTEGER), 1)"
+        for i in range(precision)
+    )
+    return f"({chars})"
+
+
 def buffer_area_planar(dist: float, quad_segs: int = 8):
     """Area of the offset of a polygonal geometry in its own planar
     coordinates (no projection) — the SQL-oracle-friendly face of the
@@ -626,3 +688,92 @@ def num_points(geom: pd.Series) -> pd.Series:
         else:
             out[i] = len(g.points())
     return pd.Series(out)
+
+
+def hilbert_key(
+    df,
+    ix_col: str,
+    iy_col: str,
+    res: int,
+    out_col: str = "hilbert_d",
+):
+    """Append the Hilbert-curve index of two ``res``-bit grid coordinates
+    — the space-filling LAYOUT key that strictly beats Z-order locality
+    (consecutive keys are always grid-adjacent, no Z-jumps), for
+    write-ordered clustering of spatial fact tables.
+
+    Pure Catalyst: the classic bit-level loop (Wikipedia xy2d — quadrant
+    digit ``(3*rx) xor ry`` then reflect-and-swap rotation) unrolled over
+    the ``res`` levels as a chain of projections. Each level's x/y/d are
+    materialized as intermediate columns referenced several times by the
+    next level, so Catalyst keeps the projections (the CollapseProject
+    >=2-references rule) and the plan stays LINEAR in ``res`` — asserted
+    by pytest. Zero Python, whole-stage codegen throughout.
+
+    ``hilbert_sql`` replays the identical level chain as DuckDB CTEs
+    generated from this same loop body, the q94 shared-constants
+    discipline."""
+    if not 1 <= res <= 29:
+        raise ValueError(f"hilbert_key: res must be in [1, 29], got {res}")
+    n = 1 << res
+    x, y, d = f"_h_x", f"_h_y", f"_h_d"
+    out = df.withColumn(x, F.col(ix_col).cast("long")).withColumn(
+        y, F.col(iy_col).cast("long")
+    ).withColumn(d, F.lit(0).cast("long"))
+    for lvl in range(res - 1, -1, -1):
+        s = 1 << lvl
+        rx = F.when(F.col(x).bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        ry = F.when(F.col(y).bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        out = out.withColumn("_h_rx", rx).withColumn("_h_ry", ry)
+        out = out.withColumn(
+            d,
+            F.col(d)
+            + F.lit(s).cast("long") * F.lit(s)
+            * (F.lit(3) * F.col("_h_rx")).bitwiseXOR(F.col("_h_ry")).cast("long"),
+        )
+        refl = (F.col("_h_ry") == 0) & (F.col("_h_rx") == 1)
+        xr = F.when(refl, F.lit(n - 1) - F.col(x)).otherwise(F.col(x))
+        yr = F.when(refl, F.lit(n - 1) - F.col(y)).otherwise(F.col(y))
+        out = out.withColumn("_h_xr", xr).withColumn("_h_yr", yr)
+        out = out.withColumn(
+            "_h_x2", F.when(F.col("_h_ry") == 0, F.col("_h_yr")).otherwise(F.col("_h_xr"))
+        ).withColumn(
+            "_h_y2", F.when(F.col("_h_ry") == 0, F.col("_h_xr")).otherwise(F.col("_h_yr"))
+        )
+        out = out.withColumn(x, F.col("_h_x2")).withColumn(y, F.col("_h_y2"))
+    return out.withColumn(out_col, F.col(d)).drop(
+        x, y, d, "_h_rx", "_h_ry", "_h_xr", "_h_yr", "_h_x2", "_h_y2"
+    )
+
+
+def hilbert_sql(src_sql: str, keep_cols: list[str], ix: str, iy: str, res: int) -> str:
+    """DuckDB query replaying hilbert_key's level chain bit-for-bit:
+    one CTE per level generated from the SAME loop constants. ``src_sql``
+    must select ``keep_cols`` plus grid coords aliased ``ix``/``iy``."""
+    if not 1 <= res <= 29:
+        raise ValueError(f"hilbert_sql: res must be in [1, 29], got {res}")
+    n = 1 << res
+    keep = ", ".join(keep_cols)
+    parts = [
+        f"h{res} AS (SELECT {keep}, CAST({ix} AS BIGINT) AS hx,"
+        f" CAST({iy} AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd FROM ({src_sql}))"
+    ]
+    prev = f"h{res}"
+    for lvl in range(res - 1, -1, -1):
+        s = 1 << lvl
+        rx = f"CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END"
+        ry = f"CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END"
+        cur = f"h{lvl}"
+        parts.append(
+            f"{cur} AS (SELECT {keep},\n"
+            f"  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {n - 1} - hy ELSE hy END)\n"
+            f"       ELSE hx END AS hx,\n"
+            f"  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {n - 1} - hx ELSE hx END)\n"
+            f"       ELSE hy END AS hy,\n"
+            f"  hd + {s}::BIGINT * {s} * CAST(xor(3 * rx, ry) AS BIGINT) AS hd\n"
+            f"  FROM (SELECT *, {rx} AS rx, {ry} AS ry FROM {prev}))"
+        )
+        prev = cur
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT {keep}, hd AS hilbert_d FROM {prev}"
+    )

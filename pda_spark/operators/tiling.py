@@ -131,6 +131,268 @@ def union_area_by_cells(
     return partials.groupBy("key").agg(F.round(F.sum("area"), 12).alias("union_area"))
 
 
+def tile_pyramid(
+    cell_counts: DataFrame,
+    res: int,
+    min_res: int = 0,
+    cell_col: str = "cell",
+    value_col: str = "n",
+) -> DataFrame:
+    """Multi-zoom tile-pyramid rollup (the slippy-map / hypertile
+    aggregation every tiling backend serves — the reference renders
+    per-tile heat layers at several zooms, /root/reference/app/maps.py):
+    per-cell aggregates at the finest resolution ``res`` roll up to
+    every ancestor zoom in [min_res, res].
+
+    Spark-first shape: aggregate ONCE at the finest zoom (the only
+    shuffle over raw data happens upstream of this operator), then
+    explode the already-tiny per-cell table over the zoom levels and
+    re-aggregate — parent coordinates are pure Catalyst bit shifts
+    (ix >> (res - z)), identical to clamping at the coarser grid because
+    the grids nest exactly (floor(floor(v*2^res)/2^(res-z)) ==
+    floor(v*2^z)). At 100 TB the pyramid shuffle moves only
+    O(cells * levels) rows, never the raw points. Output one row per
+    (zoom, tile): packed cell id plus (tx, ty) grid coords."""
+    ix = F.shiftright(F.col(cell_col), 29).bitwiseAND(F.lit((1 << 29) - 1))
+    iy = F.col(cell_col).bitwiseAND(F.lit((1 << 29) - 1))
+    zoom = F.explode(F.sequence(F.lit(min_res), F.lit(res))).alias("zoom")
+    donors = cell_counts.select(
+        ix.alias("_ix"), iy.alias("_iy"), F.col(value_col).alias("_v")
+    ).select("_ix", "_iy", "_v", zoom)
+    scattered = donors.select(
+        "zoom",
+        F.expr(f"shiftright(_ix, {res} - zoom)").alias("tx"),
+        F.expr(f"shiftright(_iy, {res} - zoom)").alias("ty"),
+        "_v",
+    )
+    agg = scattered.groupBy("zoom", "tx", "ty").agg(F.sum("_v").alias("_sum"))
+    cell_out = (
+        F.col("zoom").cast("long") * F.lit(1 << 58)
+        + F.shiftleft(F.col("tx").cast("long"), 29)
+        + F.col("ty").cast("long")
+    )
+    return agg.select(
+        "zoom",
+        cell_out.alias(cell_col),
+        F.col("tx").cast("long").alias("tx"),
+        F.col("ty").cast("long").alias("ty"),
+        F.col("_sum").cast("long").alias(value_col),
+    )
+
+
+def focal_gradient(
+    cell_counts: DataFrame,
+    res: int,
+    cell_col: str = "cell",
+    value_col: str = "n",
+) -> DataFrame:
+    """Central-difference gradient over the cell grid (the raster
+    slope/aspect primitive — GIS "slope" from a DEM band): for each cell
+    carrying a value, dz/dx = v(east) - v(west) and dz/dy = v(north) -
+    v(south), with absent neighbors contributing 0 (standard sparse-
+    raster convention, documented). Emits the integer-exact gradient
+    components and slope_sq = dzdx^2 + dzdy^2 (the squared gradient
+    magnitude — kept integer so any engine reproduces it bit-for-bit;
+    callers wanting degrees apply atan/sqrt on top).
+
+    Same scatter-gather shape as focal_stats: each donor contributes
+    +v/-v to its four axis neighbors' difference sums plus a presence
+    flag to itself, then ONE grouped sum over the (already aggregated)
+    per-cell table — pure Catalyst bit math, map-side combinable, no
+    Python, never the raw points."""
+    n = 1 << res
+    # (dx, dy, weight-into-dzdx, weight-into-dzdy, presence)
+    offs = [
+        (-1, 0, 1, 0, 0),   # donor is the EAST neighbor of (ix-1, iy)
+        (1, 0, -1, 0, 0),   # donor is the WEST neighbor of (ix+1, iy)
+        (0, -1, 0, 1, 0),   # donor is the NORTH neighbor of (ix, iy-1)
+        (0, 1, 0, -1, 0),   # donor is the SOUTH neighbor of (ix, iy+1)
+        (0, 0, 0, 0, 1),    # presence marker for the donor cell itself
+    ]
+    off = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                    F.lit(wx).alias("wx"), F.lit(wy).alias("wy"),
+                    F.lit(p).alias("p"),
+                )
+                for dx, dy, wx, wy, p in offs
+            ]
+        )
+    ).alias("o")
+    ix = F.shiftright(F.col(cell_col), 29).bitwiseAND(F.lit((1 << 29) - 1))
+    iy = F.col(cell_col).bitwiseAND(F.lit((1 << 29) - 1))
+    donors = cell_counts.select(
+        ix.alias("ix"), iy.alias("iy"), F.col(value_col).cast("long").alias("_v")
+    ).select("ix", "iy", "_v", off)
+    scattered = donors.select(
+        (F.col("ix") + F.col("o.dx")).alias("rix"),
+        (F.col("iy") + F.col("o.dy")).alias("riy"),
+        (F.col("_v") * F.col("o.wx")).alias("_gx"),
+        (F.col("_v") * F.col("o.wy")).alias("_gy"),
+        F.col("o.p").alias("_p"),
+    ).filter(
+        (F.col("rix") >= 0) & (F.col("rix") < n)
+        & (F.col("riy") >= 0) & (F.col("riy") < n)
+    )
+    agg = scattered.groupBy("rix", "riy").agg(
+        F.sum("_gx").alias("dzdx"),
+        F.sum("_gy").alias("dzdy"),
+        F.sum("_p").alias("_pres"),
+    )
+    cell_out = (
+        F.lit(res).cast("long") * F.lit(1 << 58)
+        + F.shiftleft(F.col("rix").cast("long"), 29)
+        + F.col("riy").cast("long")
+    )
+    return agg.filter(F.col("_pres") > 0).select(
+        cell_out.alias(cell_col),
+        F.col("dzdx").cast("long").alias("dzdx"),
+        F.col("dzdy").cast("long").alias("dzdy"),
+        (F.col("dzdx") * F.col("dzdx") + F.col("dzdy") * F.col("dzdy"))
+        .cast("long")
+        .alias("slope_sq"),
+    )
+
+
+def areal_interpolate(
+    zones: DataFrame,
+    res: int,
+    zone_id: str = "zone_id",
+    value_col: str = "value",
+    geom: str = "geom",
+) -> DataFrame:
+    """Areal-weighted interpolation (the classic GIS population-transfer
+    operator): redistribute each zone's value onto the cell grid in
+    proportion to exact overlap area — weight(zone, cell) =
+    area(zone ∩ cell) / area(zone). Works for arbitrary simple polygons
+    with holes: reuses the dissolve clip machinery (Sutherland–Hodgman
+    against convex cell boxes is exact) and the scanline area kernel.
+
+    Emits one row per (zone, cell) with the weight and the transferred
+    contribution — per-pair SCALAR rows (the q81 rule), so downstream
+    per-cell sums are the caller's choice and the gate oracle never
+    replays a float-sum order. Scale shape: one mapInPandas clip stage
+    fanned out by cell (the shuffle key is (zone, cell)), one Arrow area
+    UDF, one broadcast-joinable per-zone area — the raw fact table is
+    never touched."""
+    from pda_spark.operators.dissolve import cell_pieces
+
+    # cell_pieces types its key column string; route an internal string
+    # key through the clip and map back to the caller's typed id via the
+    # broadcast dim (exact round-trip for int/string ids).
+    zdim = zones.select(
+        F.col(zone_id).cast("string").alias("_zk"),
+        F.col(zone_id),
+        F.col(value_col).alias("_zval"),
+        geo_udfs.area_planar(F.col(geom)).alias("_zarea"),
+    )
+    keyed = zones.select(F.col(zone_id).cast("string").alias("_zk"), F.col(geom))
+    pieces = cell_pieces(keyed, res, geom=geom, key_col="_zk")
+    parea = pieces.select(
+        F.col("key").alias("_zk"),
+        "cell",
+        geo_udfs.area_planar(F.col("piece")).alias("_parea"),
+    )
+    # only positive overlaps: a zone edge exactly on a cell boundary
+    # clips to a degenerate zero-area sliver — not a real pair
+    out = parea.filter(F.col("_parea") > 0).join(F.broadcast(zdim), "_zk")
+    weight = F.col("_parea") / F.col("_zarea")
+    return out.select(
+        F.col(zone_id),
+        "cell",
+        weight.alias("weight"),
+        (F.col("_zval") * weight).alias("contribution"),
+    )
+
+
+def morans_i_components(
+    cell_counts: DataFrame,
+    res: int,
+    cell_col: str = "cell",
+    value_col: str = "n",
+) -> DataFrame:
+    """Global Moran's I spatial autocorrelation over the cell grid
+    (the classic hot-spot / clustering statistic — binary queen
+    contiguity weights among the OCCUPIED cells; absent cells are not
+    part of the field, the sparse convention focal_gradient documents).
+
+    Returns ONE row of integer-exact components plus the assembled
+    statistic: with m = #occupied cells, S = sum of values, and
+    d_i = m*x_i - S (= m*(x_i - mean), integer by construction):
+
+        w_pairs    = #directed queen-neighbor pairs (i != j)   [= W]
+        num_scaled = sum over pairs of d_i * d_j               [m^2 units]
+        den_scaled = sum over cells of d_i^2                   [m^2 units]
+        morans_i   = (m * num_scaled) / (w_pairs * den_scaled)
+
+    The m^2 scaling cancels in the ratio, so morans_i is the textbook
+    (n/W) * sum(w_ij z_i z_j) / sum(z_i^2) — but every aggregate is an
+    order-independent INTEGER sum, so any engine reproduces the
+    components bit-for-bit and the one final division is a single
+    replayable float op (the q81/q83 discipline).
+
+    Scale shape: the same scatter-gather as focal_stats — each occupied
+    cell emits its scaled deviation to its <= 8 queen neighbors (pure
+    Catalyst bit math on the packed cell id), one equi-join back onto
+    the occupied-cell table forms the pairs, one grouped sum finishes.
+    Runs on the already-aggregated per-cell table; the raw fact table is
+    never touched. Integer headroom: |d_i| <= m * max(x), so num/den
+    stay in int64 while m^2 * max(x)^2 * pairs < 2^63 — at larger scale
+    emit the components unassembled and ratio outside (docstring
+    contract, not a code path)."""
+    n = 1 << res
+    ix = F.shiftright(F.col(cell_col), 29).bitwiseAND(F.lit((1 << 29) - 1))
+    iy = F.col(cell_col).bitwiseAND(F.lit((1 << 29) - 1))
+    base = cell_counts.select(
+        ix.alias("ix"), iy.alias("iy"), F.col(value_col).cast("long").alias("_x")
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).alias("_m"), F.sum("_x").alias("_s")
+    )
+    dev = base.crossJoin(F.broadcast(tot)).select(
+        "ix", "iy", (F.col("_m") * F.col("_x") - F.col("_s")).alias("_d"), "_m"
+    )
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
+    off = F.explode(
+        F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offs])
+    ).alias("o")
+    scattered = (
+        dev.select("ix", "iy", "_d", off)
+        .select(
+            (F.col("ix") + F.col("o.dx")).alias("rix"),
+            (F.col("iy") + F.col("o.dy")).alias("riy"),
+            F.col("_d").alias("_di"),
+        )
+        .filter(
+            (F.col("rix") >= 0) & (F.col("rix") < n)
+            & (F.col("riy") >= 0) & (F.col("riy") < n)
+        )
+    )
+    pairs = scattered.join(
+        dev.select(F.col("ix").alias("rix"), F.col("iy").alias("riy"), F.col("_d").alias("_dj")),
+        ["rix", "riy"],
+    )
+    num = pairs.agg(
+        F.count(F.lit(1)).alias("w_pairs"), F.sum(F.col("_di") * F.col("_dj")).alias("num_scaled")
+    )
+    den = dev.agg(
+        F.max("_m").alias("m_cells"), F.sum(F.col("_d") * F.col("_d")).alias("den_scaled")
+    )
+    out = num.crossJoin(den)
+    return out.select(
+        F.col("m_cells").cast("long").alias("m_cells"),
+        F.col("w_pairs").cast("long").alias("w_pairs"),
+        F.col("num_scaled").cast("long").alias("num_scaled"),
+        F.col("den_scaled").cast("long").alias("den_scaled"),
+        (
+            (F.col("m_cells") * F.col("num_scaled")).cast("double")
+            / (F.col("w_pairs") * F.col("den_scaled")).cast("double")
+        ).alias("morans_i"),
+    )
+
+
 def focal_stats(
     cell_counts: DataFrame,
     res: int,

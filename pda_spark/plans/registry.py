@@ -3593,6 +3593,308 @@ WHERE num_area > 0
 """
 
 
+def q104_tile_pyramid(spark, sf_dir):
+    """Multi-zoom tile-pyramid rollup (the slippy-map aggregation a
+    tiling backend serves at every zoom — reference renders per-tile
+    heat layers, /root/reference/app/maps.py): event points aggregate
+    ONCE at zoom 8, then the per-cell table rolls up zooms 4..8 through
+    pure Catalyst bit shifts (ix >> (8 - z)). The oracle replays the
+    shifts on the identical clamped child indices — exact because the
+    grids nest (floor(floor(v*256)/2^k) == floor(v*2^(8-k)))."""
+    from pda_spark.operators import tiling
+
+    res = 8
+    pts = _event_points(spark, sf_dir)
+    cnt = (
+        pts.withColumn("cell", geo_udfs.cell_of_xy_expr(F.col("lon"), F.col("lat"), res))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pyr = tiling.tile_pyramid(cnt, res=res, min_res=4)
+    return pyr.select("zoom", "tx", "ty", F.col("n").alias("n_points"))
+
+
+Q104_SQL = f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+c AS (
+  SELECT {_Q94_IX} AS ix8,
+         {_Q94_IY} AS iy8,
+         count(*) AS n
+  FROM pts GROUP BY 1, 2
+)
+SELECT zoom, ix8 >> (8 - zoom) AS tx, iy8 >> (8 - zoom) AS ty,
+       CAST(sum(n) AS BIGINT) AS n_points
+FROM c CROSS JOIN (VALUES (4), (5), (6), (7), (8)) AS z(zoom)
+GROUP BY 1, 2, 3
+"""
+
+
+def q105_geohash(spark, sf_dir):
+    """Geohash encode (the public base-32 cell index every geo stack
+    speaks) — pure Catalyst: quantize, Morton interleave (shared magic-
+    mask table, the q94 discipline), base-32 chars via an array-literal
+    lookup. Precisions 6 and 8 exercise both bit widths; the oracle is
+    generated from the SAME constants by geo_udfs.geohash_sql."""
+    pts = _event_points(spark, sf_dir).filter(F.pmod(F.col("event_id"), F.lit(23)) == 0)
+    return pts.select(
+        "event_id",
+        geo_udfs.geohash_expr(F.col("lon"), F.col("lat"), 6).alias("gh6"),
+        geo_udfs.geohash_expr(F.col("lon"), F.col("lat"), 8).alias("gh8"),
+    )
+
+
+Q105_SQL = f"""
+WITH pts AS ({_EVENT_POINTS_SQL})
+SELECT event_id,
+       {geo_udfs.geohash_sql('lon', 'lat', 6)} AS gh6,
+       {geo_udfs.geohash_sql('lon', 'lat', 8)} AS gh8
+FROM pts WHERE event_id % 23 = 0
+"""
+
+
+# Areal-interpolation zones: every coordinate is a multiple of 0.5 and no
+# edge lies on a res-5 cell boundary (multiples of 11.25 / 5.625), so the
+# whole clip -> shoelace -> divide chain is EXACT binary arithmetic in
+# both engines and floor-scaled integers cannot straddle a rounding edge.
+ZONES = [
+    (0, -16.5, 37.5, -4.0, 46.0, 1200),
+    (1, -6.0, 40.5, 7.5, 51.0, 800),
+    (2, 3.0, 43.5, 14.5, 57.0, 1500),
+    (3, 9.5, 36.5, 19.0, 49.5, 700),
+    (4, -12.0, 50.0, 2.5, 60.5, 950),
+]
+
+
+def q106_areal_interp(spark, sf_dir):
+    """Areal-weighted interpolation (GIS population transfer): zone
+    values redistribute onto the res-5 grid by exact overlap-area share
+    through the REAL clip machinery (Sutherland-Hodgman against cell
+    boxes + scanline area). Per-(zone, cell) scalar rows (the q81 rule);
+    weights/contributions emitted as floor-scaled integers (the
+    CLAUDE.md half-way rule) — exact here because the fixture keeps
+    every coordinate binary-exact (see ZONES note)."""
+    from pda_spark.operators import tiling
+
+    zones = spark.createDataFrame(
+        [(z[0], z[5], bytearray(W.box(z[1], z[2], z[3], z[4]))) for z in ZONES],
+        "zone_id int, pop int, geom binary",
+    )
+    out = tiling.areal_interpolate(zones, res=5, zone_id="zone_id", value_col="pop", geom="geom")
+    return out.select(
+        "zone_id",
+        "cell",
+        F.floor(F.col("weight") * 1000000.0).cast("long").alias("weight_ppm"),
+        F.floor(F.col("contribution") * 100.0).cast("long").alias("contrib_cents"),
+    )
+
+
+Q106_SQL = f"""
+WITH z AS (
+  SELECT * FROM (VALUES {', '.join(f'({z[0]}, {z[1]}, {z[2]}, {z[3]}, {z[4]}, {z[5]})' for z in ZONES)})
+    AS t(zone_id, minx, miny, maxx, maxy, pop)
+), gx AS (
+  SELECT *, unnest(range(CAST(floor((minx + 180.0) / 360.0 * 32) AS BIGINT),
+                         CAST(floor((maxx + 180.0) / 360.0 * 32) AS BIGINT) + 1)) AS ix
+  FROM z
+), gxy AS (
+  SELECT *, unnest(range(CAST(floor((miny + 90.0) / 180.0 * 32) AS BIGINT),
+                         CAST(floor((maxy + 90.0) / 180.0 * 32) AS BIGINT) + 1)) AS iy
+  FROM gx
+), ov AS (
+  SELECT zone_id, pop, ix, iy,
+         greatest(least(maxx, -180.0 + (ix + 1) * 11.25) - greatest(minx, -180.0 + ix * 11.25), 0) AS ow,
+         greatest(least(maxy, -90.0 + (iy + 1) * 5.625) - greatest(miny, -90.0 + iy * 5.625), 0) AS oh,
+         (maxx - minx) * (maxy - miny) AS zarea
+  FROM gxy
+)
+SELECT zone_id, (5::BIGINT * 288230376151711744 + (ix << 29) + iy) AS cell,
+       CAST(floor((ow * oh / zarea) * 1000000.0) AS BIGINT) AS weight_ppm,
+       CAST(floor(pop * (ow * oh / zarea) * 100.0) AS BIGINT) AS contrib_cents
+FROM ov WHERE ow > 0 AND oh > 0
+"""
+
+
+def q107_edit_distance(spark, sf_dir):
+    """Edit-distance near-duplicate pairs (fuzzy string matching as a
+    JOIN): derived key strings 'k' || (c_custkey*7 % 100000) have varied
+    lengths 2-6, so the lossless length-band blocking in
+    dedup.edit_distance_pairs actually spreads candidates over bands;
+    the verify is the JVM levenshtein expression. The oracle brute-
+    forces the cross product — the blocked path must reproduce the
+    exhaustive semantics exactly (DuckDB and Spark levenshtein are the
+    same textbook unit-cost edit distance)."""
+    c = _t(spark, sf_dir, "customer")
+    strs = c.select(
+        F.col("c_custkey").alias("sid"),
+        F.concat(F.lit("k"), F.pmod(F.col("c_custkey") * 7, F.lit(100000)).cast("string")).alias("s"),
+    )
+    pairs = dedup.edit_distance_pairs(strs, id_col="sid", str_col="s", max_dist=1)
+    return pairs.select("id_a", "id_b", "s_a", "s_b", "dist")
+
+
+Q107_SQL = """
+WITH s AS (
+  SELECT c_custkey AS sid, 'k' || CAST((c_custkey * 7) % 100000 AS VARCHAR) AS s
+  FROM customer
+)
+SELECT a.sid AS id_a, b.sid AS id_b, a.s AS s_a, b.s AS s_b,
+       CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+FROM s a JOIN s b ON a.sid < b.sid AND levenshtein(a.s, b.s) <= 1
+"""
+
+
+def q108_focal_gradient(spark, sf_dir):
+    """Central-difference raster gradient (GIS slope/aspect primitive,
+    the q87 scatter-gather shape): per-cell counts emit +v/-v to their
+    four axis neighbors' difference sums plus a presence flag, one
+    grouped sum, integer-exact dzdx/dzdy/slope_sq. Absent neighbors
+    contribute 0 (sparse-raster convention); only cells that CARRY a
+    value are emitted (presence filter)."""
+    from pda_spark.operators import tiling
+
+    res = 6
+    pts = _event_points(spark, sf_dir)
+    cnt = (
+        pts.withColumn("cell", geo_udfs.cell_of_xy_expr(F.col("lon"), F.col("lat"), res))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return tiling.focal_gradient(cnt, res=res)
+
+
+Q108_SQL = f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+cnt AS (
+  SELECT least(greatest(floor((lon + 180.0) / 360.0 * {_N6}), 0), {_N6 - 1})::BIGINT AS ix,
+         least(greatest(floor((lat + 90.0) / 180.0 * {_N6}), 0), {_N6 - 1})::BIGINT AS iy,
+         count(*) AS n
+  FROM pts GROUP BY 1, 2
+), sc AS (
+  SELECT ix + dx AS rix, iy + dy AS riy, n * wx AS gx, n * wy AS gy, p
+  FROM cnt
+  CROSS JOIN (VALUES (-1, 0, 1, 0, 0), (1, 0, -1, 0, 0),
+                     (0, -1, 0, 1, 0), (0, 1, 0, -1, 0),
+                     (0, 0, 0, 0, 1)) AS o(dx, dy, wx, wy, p)
+  WHERE ix + dx BETWEEN 0 AND {_N6 - 1} AND iy + dy BETWEEN 0 AND {_N6 - 1}
+)
+SELECT (6::BIGINT * 288230376151711744 + (rix << 29) + riy) AS cell,
+       CAST(sum(gx) AS BIGINT) AS dzdx,
+       CAST(sum(gy) AS BIGINT) AS dzdy,
+       CAST(sum(gx) * sum(gx) + sum(gy) * sum(gy) AS BIGINT) AS slope_sq
+FROM sc GROUP BY rix, riy HAVING sum(p) > 0
+"""
+
+
+_N7 = 1 << 7
+
+
+def q109_morans_i(spark, sf_dir):
+    """Global Moran's I spatial autocorrelation over the res-7 event
+    grid (binary queen weights among occupied cells). All four
+    components are order-independent INTEGER sums (d_i = m*x_i - S keeps
+    the deviation integral); the assembled statistic is one exact
+    integer ratio, so both engines produce the identical double. The
+    oracle uses a genuinely different algorithm — an inequality
+    self-join on |dix|<=1, |diy|<=1 — against Spark's scatter-gather
+    equi-join, so the pair set itself is cross-checked."""
+    from pda_spark.operators import tiling
+
+    res = 7
+    pts = _event_points(spark, sf_dir)
+    cnt = (
+        pts.withColumn("cell", geo_udfs.cell_of_xy_expr(F.col("lon"), F.col("lat"), res))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return tiling.morans_i_components(cnt, res=res)
+
+
+Q109_SQL = f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+cnt AS (
+  SELECT least(greatest(floor((lon + 180.0) / 360.0 * {_N7}), 0), {_N7 - 1})::BIGINT AS ix,
+         least(greatest(floor((lat + 90.0) / 180.0 * {_N7}), 0), {_N7 - 1})::BIGINT AS iy,
+         count(*) AS n
+  FROM pts GROUP BY 1, 2
+), tot AS (
+  SELECT count(*) AS m, CAST(sum(n) AS BIGINT) AS s FROM cnt
+), dev AS (
+  SELECT ix, iy, m * n - s AS d, m FROM cnt CROSS JOIN tot
+), pairs AS (
+  SELECT a.d AS di, b.d AS dj
+  FROM dev a JOIN dev b
+    ON abs(a.ix - b.ix) <= 1 AND abs(a.iy - b.iy) <= 1
+   AND NOT (a.ix = b.ix AND a.iy = b.iy)
+)
+SELECT (SELECT m FROM tot) AS m_cells,
+       (SELECT count(*) FROM pairs) AS w_pairs,
+       (SELECT CAST(sum(di * dj) AS BIGINT) FROM pairs) AS num_scaled,
+       (SELECT CAST(sum(d * d) AS BIGINT) FROM dev) AS den_scaled,
+       CAST((SELECT m FROM tot) * (SELECT CAST(sum(di * dj) AS BIGINT) FROM pairs) AS DOUBLE)
+         / CAST((SELECT count(*) FROM pairs) * (SELECT CAST(sum(d * d) AS BIGINT) FROM dev) AS DOUBLE)
+         AS morans_i
+"""
+
+
+def q110_paragraph_dedup(spark, sf_dir):
+    """Global first-occurrence paragraph dedup (RefinedWeb/C4-family
+    corpus step): every 5th doc gets a shared promo paragraph appended
+    and every 11th doc REPEATS its own first line, so the fixture
+    exercises cross-doc dedup (only the lowest (doc_id, pos) keeps the
+    promo), within-doc repeats, and the line kept-in-first-doc rule.
+    The oracle replays the min-owner rule with a row_number window —
+    a different mechanism than Spark's min(struct) aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(11)) == 0,
+                F.concat(F.lit("\n"), F.substring_index(F.col("text"), "\n", 1)),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+                F.lit("\nSubscribe to our newsletter today"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = dedup.dedup_paragraphs_global(injected)
+    return out.select(
+        "doc_id", F.md5("clean_text").alias("clean_fp"), "n_kept", "n_removed"
+    )
+
+
+Q110_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 11 = 0
+                 THEN chr(10) || string_split(text, chr(10))[1] ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN chr(10) || 'Subscribe to our newsletter today' ELSE '' END
+           AS t
+  FROM documents
+), sp AS (
+  SELECT doc_id, string_split(t, chr(10)) AS ls FROM d
+), ll AS (
+  SELECT doc_id, unnest([{'pos': i - 1, 'para': ls[i]} for i in range(1, len(ls) + 1)]) AS e
+  FROM sp
+), paras AS (
+  SELECT doc_id, e.pos AS pos, e.para AS para FROM ll
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+  FROM paras
+)
+SELECT doc_id,
+       md5(string_agg(CASE WHEN rn = 1 THEN para END, chr(10) ORDER BY pos)) AS clean_fp,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+FROM ranked
+GROUP BY doc_id
+"""
+
+
 # ============================================================ registry
 
 # Ordering contract (VERDICT r05 #1): the driver correctness artifact
@@ -3603,6 +3905,13 @@ WHERE num_area > 0
 # long-proven remainder.  Cumulative proof ledger: DRIVER_LEDGER.json.
 QUERIES: dict[str, tuple] = {
     # --- new round-6 gates ---
+    "q109_morans_i": (q109_morans_i, Q109_SQL),
+    "q110_paragraph_dedup": (q110_paragraph_dedup, Q110_SQL),
+    "q104_tile_pyramid": (q104_tile_pyramid, Q104_SQL),
+    "q105_geohash": (q105_geohash, Q105_SQL),
+    "q106_areal_interp": (q106_areal_interp, Q106_SQL),
+    "q107_edit_distance": (q107_edit_distance, Q107_SQL),
+    "q108_focal_gradient": (q108_focal_gradient, Q108_SQL),
     "q98_image_decode": (q98_image_decode, Q98_SQL),
     "q99_udtf_shingles": (q99_udtf_shingles, Q99_SQL),
     "q100_substring_containment": (q100_substring_containment, Q100_SQL),

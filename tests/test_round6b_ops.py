@@ -1,0 +1,337 @@
+"""Round-6 batch-2 operators: tile pyramid rollup, geohash encode,
+edit-distance near-dup join, focal gradient, areal interpolation.
+
+Each test verifies against an INDEPENDENT re-derivation (textbook
+bisection geohash, brute-force levenshtein cross product, hand-computed
+grids, conservation laws) — never the operator's own arithmetic.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pda_spark.functions import dedup, geo_udfs
+from pda_spark.geo import cells as C
+from pda_spark.geo import wkb as W
+from pda_spark.operators import tiling
+
+
+def _mk(res, ix, iy):
+    return int(C.cell_id(res, np.asarray([ix]), np.asarray([iy]))[0])
+
+
+# ------------------------------------------------------------ pyramid
+
+
+def test_tile_pyramid_conservation_and_nesting(spark):
+    """Every zoom level conserves the total; each parent tile's value is
+    the sum of its (up to 4) children — the defining pyramid invariants,
+    checked against an independent dict-based rollup."""
+    res = 6
+    rng = np.random.default_rng(11)
+    ix = rng.integers(0, 1 << res, 300)
+    iy = rng.integers(0, 1 << res, 300)
+    v = rng.integers(1, 50, 300)
+    agg = {}
+    for a, b, w in zip(ix, iy, v):
+        agg[(int(a), int(b))] = agg.get((int(a), int(b)), 0) + int(w)
+    cnt = spark.createDataFrame(
+        [(_mk(res, a, b), n) for (a, b), n in agg.items()], "cell long, n long"
+    )
+    out = tiling.tile_pyramid(cnt, res=res, min_res=2)
+    rows = out.collect()
+    total = sum(agg.values())
+    by_zoom = {}
+    got = {}
+    for r in rows:
+        by_zoom[r["zoom"]] = by_zoom.get(r["zoom"], 0) + r["n"]
+        got[(r["zoom"], r["tx"], r["ty"])] = r["n"]
+    assert sorted(by_zoom) == [2, 3, 4, 5, 6]
+    assert all(s == total for s in by_zoom.values())
+    # zoom == res reproduces the input table exactly
+    for (a, b), n in agg.items():
+        assert got[(res, a, b)] == n
+    # independent rollup: shift in python
+    for z in range(2, res):
+        exp = {}
+        for (a, b), n in agg.items():
+            k = (z, a >> (res - z), b >> (res - z))
+            exp[k] = exp.get(k, 0) + n
+        assert {k: v for k, v in got.items() if k[0] == z} == exp
+    # packed cell id decodes back to (tx, ty) at the right res
+    for r in rows:
+        assert r["cell"] == (r["zoom"] << 58) + (r["tx"] << 29) + r["ty"]
+
+
+# ------------------------------------------------------------ geohash
+
+
+def _geohash_ref(lon, lat, precision):
+    """Textbook bisection geohash (independent algorithm: interval
+    halving, not quantize-and-interleave)."""
+    lo_lon, hi_lon, lo_lat, hi_lat = -180.0, 180.0, -90.0, 90.0
+    bits = []
+    even = True
+    while len(bits) < precision * 5:
+        if even:
+            mid = (lo_lon + hi_lon) / 2
+            if lon >= mid:
+                bits.append(1)
+                lo_lon = mid
+            else:
+                bits.append(0)
+                hi_lon = mid
+        else:
+            mid = (lo_lat + hi_lat) / 2
+            if lat >= mid:
+                bits.append(1)
+                lo_lat = mid
+            else:
+                bits.append(0)
+                hi_lat = mid
+        even = not even
+    out = []
+    for i in range(precision):
+        c = 0
+        for b in bits[i * 5 : i * 5 + 5]:
+            c = (c << 1) | b
+        out.append(geo_udfs.GEOHASH_BASE32[c])
+    return "".join(out)
+
+
+def test_geohash_matches_textbook_bisection(spark):
+    rng = np.random.default_rng(7)
+    pts = [(i, float(lo), float(la)) for i, (lo, la) in enumerate(
+        zip(rng.uniform(-180, 180, 150), rng.uniform(-90, 90, 150))
+    )]
+    # domain corners and the wrap edge (lon=180 / lat=90 clamp into the
+    # last cell, which is exactly what always-take-the-right-half does)
+    edge = [(900, -180.0, -90.0), (901, 180.0, 90.0), (902, 0.0, 0.0),
+            (903, 179.999999, -89.999999), (904, -0.000001, 0.000001)]
+    df = spark.createDataFrame(pts + edge, "i long, lon double, lat double")
+    for prec in (2, 6, 8):
+        got = {
+            r["i"]: r["gh"]
+            for r in df.select(
+                "i", geo_udfs.geohash_expr(F.col("lon"), F.col("lat"), prec).alias("gh")
+            ).collect()
+        }
+        for i, lon, lat in pts + edge:
+            assert got[i] == _geohash_ref(lon, lat, prec), (i, lon, lat, prec)
+
+
+def test_geohash_rejects_odd_precision(spark):
+    with pytest.raises(ValueError):
+        geo_udfs.geohash_expr(F.col("lon"), F.col("lat"), 5)
+    with pytest.raises(ValueError):
+        geo_udfs.geohash_sql("lon", "lat", 12)
+
+
+def test_geohash_prefix_nesting(spark):
+    """gh8 of a point always extends its gh6 — the multi-precision cells
+    nest (the property prefix-range scans rely on)."""
+    rng = np.random.default_rng(13)
+    df = spark.createDataFrame(
+        [(float(lo), float(la)) for lo, la in zip(
+            rng.uniform(-180, 180, 200), rng.uniform(-90, 90, 200))],
+        "lon double, lat double",
+    )
+    bad = df.select(
+        geo_udfs.geohash_expr(F.col("lon"), F.col("lat"), 6).alias("g6"),
+        geo_udfs.geohash_expr(F.col("lon"), F.col("lat"), 8).alias("g8"),
+    ).filter(~F.col("g8").startswith(F.col("g6")))
+    assert bad.count() == 0
+
+
+# ------------------------------------------------------ edit distance
+
+
+def _lev(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_pairs_bruteforce_parity(spark):
+    """Length-band blocking must reproduce the exhaustive cross product
+    exactly — verified against a pure-python DP levenshtein at
+    max_dist=2 over strings whose lengths straddle band boundaries."""
+    rng = np.random.default_rng(3)
+    strs = []
+    for i in range(120):
+        n = int(rng.integers(1, 9))
+        strs.append((i, "".join(rng.choice(list("abc"), n))))
+    df = spark.createDataFrame(strs, "sid long, s string")
+    out = dedup.edit_distance_pairs(df, id_col="sid", str_col="s", max_dist=2)
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in out.collect()}
+    exp = {}
+    for i, (ia, sa) in enumerate(strs):
+        for ib, sb in strs[i + 1 :]:
+            d = _lev(sa, sb)
+            if d <= 2:
+                exp[(ia, ib)] = d
+    assert got == exp
+    assert exp, "fixture degenerate: no qualifying pairs"
+    # pairs that cross a length band exist in the fixture (the case
+    # blocking could lose)
+    assert any(len(strs[a][1]) // 3 != len(strs[b][1]) // 3 for a, b in exp)
+
+
+# ------------------------------------------------------ focal gradient
+
+
+def test_focal_gradient_hand_computed(spark):
+    """Central differences on a hand grid: dzdx = v(east) - v(west),
+    dzdy = v(north) - v(south), absent neighbors 0; only value-carrying
+    cells are emitted; edge cells clip out-of-bounds neighbors."""
+    res = 3
+    cnt = spark.createDataFrame(
+        [(_mk(res, 1, 1), 5), (_mk(res, 2, 1), 3), (_mk(res, 1, 2), 7),
+         (_mk(res, 0, 0), 2)],
+        "cell long, n long",
+    )
+    out = {r["cell"]: r for r in tiling.focal_gradient(cnt, res=res).collect()}
+    r11 = out[_mk(res, 1, 1)]
+    assert (r11["dzdx"], r11["dzdy"], r11["slope_sq"]) == (3 - 0, 7 - 0, 9 + 49)
+    r21 = out[_mk(res, 2, 1)]
+    assert (r21["dzdx"], r21["dzdy"]) == (0 - 5, 0)
+    r12 = out[_mk(res, 1, 2)]
+    assert (r12["dzdx"], r12["dzdy"]) == (0, 0 - 5)
+    # corner donor: both out-of-bounds neighbors contribute nothing
+    r00 = out[_mk(res, 0, 0)]
+    assert (r00["dzdx"], r00["dzdy"]) == (0, 0)
+    # (0,1) carries no value -> not emitted even though it has neighbors
+    assert _mk(res, 0, 1) not in out
+    assert set(out) == {_mk(res, 1, 1), _mk(res, 2, 1), _mk(res, 1, 2), _mk(res, 0, 0)}
+
+
+# --------------------------------------------------- areal interpolate
+
+
+def test_areal_interpolate_conservation(spark):
+    """Weights per zone sum to 1 and contributions to the zone value
+    (mass conservation); a zone with a hole excludes the hole's area;
+    integer zone ids survive the internal string round-trip."""
+    res = 4
+    # zone 1: plain box; zone 2: box with a centered hole
+    outer = np.array([[-40.0, 10.0], [20.0, 10.0], [20.0, 50.0], [-40.0, 50.0], [-40.0, 10.0]])
+    hole = np.array([[-10.0, 25.0], [-10.0, 35.0], [0.0, 35.0], [0.0, 25.0], [-10.0, 25.0]])
+    zones = spark.createDataFrame(
+        [
+            (1, 600.0, bytearray(W.box(-100.0, -40.0, -60.0, 0.0))),
+            (2, 900.0, bytearray(W.polygon([outer, hole]))),
+        ],
+        "zid int, val double, geom binary",
+    )
+    out = tiling.areal_interpolate(zones, res=res, zone_id="zid", value_col="val", geom="geom")
+    rows = out.collect()
+    assert out.schema["zid"].dataType.simpleString() == "int"
+    wsum = {1: 0.0, 2: 0.0}
+    csum = {1: 0.0, 2: 0.0}
+    for r in rows:
+        assert 0.0 < r["weight"] <= 1.0
+        wsum[r["zid"]] += r["weight"]
+        csum[r["zid"]] += r["contribution"]
+    assert wsum[1] == pytest.approx(1.0, abs=1e-9)
+    assert wsum[2] == pytest.approx(1.0, abs=1e-9)
+    assert csum[1] == pytest.approx(600.0, abs=1e-6)
+    assert csum[2] == pytest.approx(900.0, abs=1e-6)
+    # the hole is excluded: total overlap area = zone area (area_planar
+    # of the holed polygon), so the hole's cells carry reduced weight —
+    # cross-check one fully-inside-hole containment: no cell weight may
+    # exceed cellarea / zonearea where zonearea excludes the hole
+    cell_w = 360.0 / (1 << res)
+    cell_h = 180.0 / (1 << res)
+    zarea2 = (60.0 * 40.0) - (10.0 * 10.0)
+    for r in rows:
+        if r["zid"] == 2:
+            assert r["weight"] <= cell_w * cell_h / zarea2 + 1e-9
+
+
+# ------------------------------------------------------------ moran's I
+
+
+def test_morans_i_checkerboard_negative_blocks_positive(spark):
+    """Sign sanity on the two textbook patterns: a checkerboard (perfect
+    dispersion) gives strongly negative I; two homogeneous blocks give
+    positive I. Components cross-checked against a python O(m^2) loop."""
+    res = 3
+
+    def run(cells):
+        df = spark.createDataFrame(
+            [(_mk(res, a, b), v) for a, b, v in cells], "cell long, n long"
+        )
+        r = tiling.morans_i_components(df, res=res).collect()[0]
+        # independent brute force
+        m = len(cells)
+        s = sum(v for _, _, v in cells)
+        dev = {(a, b): m * v - s for a, b, v in cells}
+        pairs = [
+            (dev[i], dev[j])
+            for i in dev
+            for j in dev
+            if i != j and abs(i[0] - j[0]) <= 1 and abs(i[1] - j[1]) <= 1
+        ]
+        num = sum(a * b for a, b in pairs)
+        den = sum(d * d for d in dev.values())
+        assert (r["m_cells"], r["w_pairs"], r["num_scaled"], r["den_scaled"]) == (
+            m, len(pairs), num, den,
+        )
+        assert r["morans_i"] == pytest.approx((m * num) / (len(pairs) * den), abs=0)
+        return r["morans_i"]
+
+    # QUEEN contiguity: checkerboard diagonals are same-colored, so the
+    # dispersion signal is diluted to ~-0.14 (rook-only would be near -1)
+    checker = [(a, b, (a + b) % 2 * 10 + 1) for a in range(4) for b in range(4)]
+    blocks = [(a, b, 10 if a < 2 else 1) for a in range(4) for b in range(4)]
+    assert run(checker) < -0.05
+    assert run(blocks) > 0.3
+
+
+def test_morans_i_grid_edge_clipping(spark):
+    """Cells on the grid border have fewer queen neighbors; W must count
+    only in-bounds pairs (corner cell: 3 neighbors when occupied)."""
+    res = 2  # 4x4 grid
+    df = spark.createDataFrame(
+        [(_mk(res, 0, 0), 5), (_mk(res, 0, 1), 2), (_mk(res, 1, 0), 3),
+         (_mk(res, 1, 1), 4)],
+        "cell long, n long",
+    )
+    r = tiling.morans_i_components(df, res=res).collect()[0]
+    # all four cells are mutual queen neighbors: 4*3 directed pairs
+    assert r["w_pairs"] == 12 and r["m_cells"] == 4
+
+
+# ------------------------------------------------------ paragraph dedup
+
+
+def test_dedup_paragraphs_first_occurrence(spark):
+    """Cross-doc: the shared paragraph survives only in the lowest
+    (doc_id, pos); within-doc repeats keep only the first; all-dup docs
+    emit a NULL clean_text row; unique paragraphs always survive."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nshared promo\nbeta"),
+            (2, "shared promo\ngamma\ngamma"),
+            (3, "shared promo"),
+            (4, "delta\nalpha"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.dedup_paragraphs_global(docs).collect()}
+    assert out[1]["clean_text"] == "alpha\nshared promo\nbeta"
+    assert (out[1]["n_kept"], out[1]["n_removed"]) == (3, 0)
+    # doc 2: promo already owned by doc 1; second gamma is a within-doc dup
+    assert out[2]["clean_text"] == "gamma"
+    assert (out[2]["n_kept"], out[2]["n_removed"]) == (1, 2)
+    # doc 3 is ALL duplicates -> row still present, NULL text
+    assert out[3]["clean_text"] is None
+    assert (out[3]["n_kept"], out[3]["n_removed"]) == (0, 1)
+    # 'alpha' was first seen in doc 1 pos 0, so doc 4 loses it
+    assert out[4]["clean_text"] == "delta"
