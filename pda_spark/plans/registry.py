@@ -3895,6 +3895,37 @@ GROUP BY doc_id
 """
 
 
+def q111_hilbert(spark, sf_dir):
+    """Hilbert-curve layout key (the stronger sibling of the q94
+    Z-order: consecutive keys are always grid-adjacent, so row-group
+    bboxes are strictly tighter). Event points -> res-7 grid coords ->
+    the classic xy2d bit loop unrolled as a Catalyst projection chain;
+    the oracle replays the IDENTICAL level chain as DuckDB CTEs
+    generated from the same loop (geo_udfs.hilbert_sql)."""
+    res = 7
+    pts = _event_points(spark, sf_dir).filter(F.pmod(F.col("event_id"), F.lit(17)) == 0)
+    cell = geo_udfs.cell_of_xy_expr(F.col("lon"), F.col("lat"), res)
+    mask = (1 << 29) - 1
+    df = pts.select(
+        "event_id",
+        F.shiftright(cell, 29).bitwiseAND(F.lit(mask)).alias("gx"),
+        cell.bitwiseAND(F.lit(mask)).alias("gy"),
+    )
+    out = geo_udfs.hilbert_key(df, "gx", "gy", res)
+    return out.select("event_id", "gx", "gy", "hilbert_d")
+
+
+_Q111_SRC = f"""
+SELECT event_id,
+       least(greatest(floor((lon + 180.0) / 360.0 * {_N7}), 0), {_N7 - 1})::BIGINT AS gx,
+       least(greatest(floor((lat + 90.0) / 180.0 * {_N7}), 0), {_N7 - 1})::BIGINT AS gy
+FROM ({_EVENT_POINTS_SQL})
+WHERE event_id % 17 = 0
+"""
+
+Q111_SQL = geo_udfs.hilbert_sql(_Q111_SRC, ["event_id", "gx", "gy"], "gx", "gy", 7)
+
+
 # ============================================================ registry
 
 # Ordering contract (VERDICT r05 #1): the driver correctness artifact
@@ -3905,6 +3936,7 @@ GROUP BY doc_id
 # long-proven remainder.  Cumulative proof ledger: DRIVER_LEDGER.json.
 QUERIES: dict[str, tuple] = {
     # --- new round-6 gates ---
+    "q111_hilbert": (q111_hilbert, Q111_SQL),
     "q109_morans_i": (q109_morans_i, Q109_SQL),
     "q110_paragraph_dedup": (q110_paragraph_dedup, Q110_SQL),
     "q104_tile_pyramid": (q104_tile_pyramid, Q104_SQL),

@@ -335,3 +335,91 @@ def test_dedup_paragraphs_first_occurrence(spark):
     assert (out[3]["n_kept"], out[3]["n_removed"]) == (0, 1)
     # 'alpha' was first seen in doc 1 pos 0, so doc 4 loses it
     assert out[4]["clean_text"] == "delta"
+
+
+# ------------------------------------------------------------- hilbert
+
+
+def _xy2d_ref(res, x, y):
+    """Independent python reference (classic xy2d loop)."""
+    n = 1 << res
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_adjacency_bijectivity(spark):
+    """The defining curve property: enumerating d = 0..n^2-1 walks the
+    grid in UNIT steps (|dx|+|dy| == 1 between consecutive keys) and
+    visits every cell exactly once. Z-order fails this (it jumps)."""
+    res = 4
+    n = 1 << res
+    grid = spark.range(n * n).select(
+        (F.col("id") / n).cast("long").alias("gx"), F.pmod(F.col("id"), F.lit(n)).alias("gy")
+    )
+    rows = geo_udfs.hilbert_key(grid, "gx", "gy", res).collect()
+    assert len({r["hilbert_d"] for r in rows}) == n * n
+    inv = {r["hilbert_d"]: (r["gx"], r["gy"]) for r in rows}
+    for k in range(n * n - 1):
+        (x0, y0), (x1, y1) = inv[k], inv[k + 1]
+        assert abs(x1 - x0) + abs(y1 - y0) == 1, k
+    # and matches the independent python reference
+    for r in rows:
+        assert r["hilbert_d"] == _xy2d_ref(res, r["gx"], r["gy"])
+
+
+def test_hilbert_locality_beats_zorder_chunks(spark):
+    """64-row chunks of the hilbert sort are 8x8 blocks (max side 7) AND
+    every within-chunk step is a unit step; the z-order sort has equal
+    bbox sides here but takes long jumps — hilbert's strict adjacency is
+    what keeps range scans sequential."""
+    n = 32
+    res = 5
+    grid = spark.range(n * n).select(
+        (F.col("id") / n).cast("long").alias("gx"), F.pmod(F.col("id"), F.lit(n)).alias("gy")
+    )
+    h = sorted(
+        geo_udfs.hilbert_key(grid, "gx", "gy", res).collect(),
+        key=lambda r: r["hilbert_d"],
+    )
+    worst = 0
+    for i in range(0, len(h), 64):
+        c = h[i : i + 64]
+        xs = [r["gx"] for r in c]
+        ys = [r["gy"] for r in c]
+        worst = max(worst, max(max(xs) - min(xs), max(ys) - min(ys)))
+    assert worst == 7
+    jumps = [
+        abs(b["gx"] - a["gx"]) + abs(b["gy"] - a["gy"]) for a, b in zip(h, h[1:])
+    ]
+    assert max(jumps) == 1
+    z = sorted(
+        grid.select("gx", "gy", geo_udfs.zorder_expr(F.col("gx"), F.col("gy")).alias("z")).collect(),
+        key=lambda r: r["z"],
+    )
+    zjumps = [abs(b["gx"] - a["gx"]) + abs(b["gy"] - a["gy"]) for a, b in zip(z, z[1:])]
+    assert max(zjumps) > 1  # the Z in Z-order
+
+
+def test_hilbert_deep_res_linear_plan(spark):
+    """res 16 (65536^2 grid): parity with the python reference — an
+    exponentially-inlined projection chain could never execute 16
+    levels, so passing here pins the linear-plan property."""
+    rng = np.random.default_rng(21)
+    res = 16
+    n = 1 << res
+    rows = [(int(a), int(b)) for a, b in zip(rng.integers(0, n, 40), rng.integers(0, n, 40))]
+    df = spark.createDataFrame(rows, "gx long, gy long")
+    got = {(r["gx"], r["gy"]): r["hilbert_d"] for r in geo_udfs.hilbert_key(df, "gx", "gy", res).collect()}
+    for x, y in rows:
+        assert got[(x, y)] == _xy2d_ref(res, x, y)
