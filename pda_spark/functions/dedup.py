@@ -513,6 +513,7 @@ def edit_distance_pairs(
     id_col: str,
     str_col: str,
     max_dist: int = 2,
+    salt_bands: int = 1,
 ) -> DataFrame:
     """Edit-distance near-duplicate pairs (fuzzy token/URL/title matching
     — the reference's archived learning scripts dedupe item titles by
@@ -523,25 +524,55 @@ def edit_distance_pairs(
     LOSSLESS for edit distance (|len(a) - len(b)| <= d for any pair
     within distance d): each string lands in band floor(len / (d+1)) and
     probes its own and the next band, so every qualifying pair meets in
-    at least one band; a dropDuplicates on the id pair (a shuffle over
-    candidates only) uniquifies pairs that meet in both. The verify is
-    the JVM ``levenshtein`` expression — no Python anywhere. Candidate
-    count is sum over bands of |band| * |band +- 1|, the classic
-    blocking bound; for heavier skew (one dominant length) the band key
-    salts like any hot key."""
+    at least one band. The candidate stream is verified IN PLACE (cheap
+    length prune, then the JVM ``levenshtein`` expression — no Python
+    anywhere), so only MATCHES reach the pair-dedup shuffle (a pair can
+    meet in both bands); the quadratic candidate volume never shuffles.
+    Real-world lengths cluster (titles, URLs), making one band hot:
+    ``salt_bands=k`` splits each band's anchors into k hash buckets and
+    replicates probes k ways, spreading a hot band over k join tasks at
+    k-fold probe duplication — the standard hot-key salt, a parameter
+    here because length skew is the COMMON case for this operator."""
     width = max_dist + 1
     strs = df.select(F.col(id_col).alias("_id"), F.col(str_col).alias("_s")).withColumn(
         "_band", F.floor(F.length("_s") / width)
     )
-    probes = strs.select(
-        "_id", "_s", F.explode(F.array(F.col("_band"), F.col("_band") + 1)).alias("_b")
-    )
-    anchors = strs.select(
-        F.col("_id").alias("_id2"), F.col("_s").alias("_s2"), F.col("_band").alias("_b")
-    )
-    cand = (
-        probes.join(anchors, "_b")
+    bands = F.array(F.col("_band"), F.col("_band") + 1)
+    if salt_bands > 1:
+        salts = F.array(*[F.lit(j) for j in range(salt_bands)])
+        probes = strs.select(
+            "_id", "_s",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        bands,
+                        lambda b: F.transform(
+                            salts, lambda j: F.struct(b.alias("b"), j.alias("j"))
+                        ),
+                    )
+                )
+            ).alias("_bj"),
+        ).select("_id", "_s", F.col("_bj.b").alias("_b"), F.col("_bj.j").alias("_j"))
+        anchors = strs.select(
+            F.col("_id").alias("_id2"),
+            F.col("_s").alias("_s2"),
+            F.col("_band").alias("_b"),
+            F.pmod(F.xxhash64("_id"), F.lit(salt_bands)).cast("int").alias("_j"),
+        )
+        join_keys = ["_b", "_j"]
+    else:
+        probes = strs.select("_id", "_s", F.explode(bands).alias("_b"))
+        anchors = strs.select(
+            F.col("_id").alias("_id2"), F.col("_s").alias("_s2"), F.col("_band").alias("_b")
+        )
+        join_keys = ["_b"]
+    matched = (
+        probes.join(anchors, join_keys)
         .filter(F.col("_id") != F.col("_id2"))
+        # cheap prune first, DP verify second — both stream inside the
+        # join task, BEFORE any shuffle
+        .filter(F.abs(F.length("_s") - F.length("_s2")) <= max_dist)
+        .filter(F.levenshtein("_s", "_s2") <= max_dist)
         .select(
             F.least("_id", "_id2").alias("id_a"),
             F.greatest("_id", "_id2").alias("id_b"),
@@ -550,10 +581,9 @@ def edit_distance_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand.filter(
-        (F.abs(F.length("s_a") - F.length("s_b")) <= max_dist)
-        & (F.levenshtein("s_a", "s_b") <= max_dist)
-    ).select("id_a", "id_b", "s_a", "s_b", F.levenshtein("s_a", "s_b").alias("dist"))
+    return matched.select(
+        "id_a", "id_b", "s_a", "s_b", F.levenshtein("s_a", "s_b").alias("dist")
+    )
 
 
 def dedup_paragraphs_global(

@@ -702,47 +702,52 @@ def hilbert_key(
     (consecutive keys are always grid-adjacent, no Z-jumps), for
     write-ordered clustering of spatial fact tables.
 
-    Pure Catalyst: the classic bit-level loop (Wikipedia xy2d — quadrant
-    digit ``(3*rx) xor ry`` then reflect-and-swap rotation) unrolled over
-    the ``res`` levels as a chain of projections. Each level's x/y/d are
-    materialized as intermediate columns referenced several times by the
-    next level, so Catalyst keeps the projections (the CollapseProject
-    >=2-references rule) and the plan stays LINEAR in ``res`` — asserted
-    by pytest. Zero Python, whole-stage codegen throughout.
+    Pure Catalyst, BRANCHLESS: the classic xy2d loop (quadrant digit
+    ``(3*rx) xor ry`` then reflect-and-swap rotation) unrolled over the
+    ``res`` levels — but with the rotation rewritten as XOR masks, which
+    is exact on a power-of-two grid: reflection ``n-1-v`` is
+    ``v XOR (n-1)`` (all-ones subtraction never borrows), and the
+    conditional swap is ``x^t, y^t`` with ``t = swap * (x XOR y)``.
+    ~10 cheap integer ops per level with ZERO conditionals. The first
+    cut used CASE-WHEN chains; at res 12 the generated code blew past
+    the JVM codegen limits and fell back to interpreted eval —
+    per-core throughput COLLAPSED under parallelism (5.1 -> 2.8 M
+    rows/s going 2 -> 8 cores). The branchless form stays codegen'd
+    (BENCH/scaling_hilbert.json). Intermediate columns materialize per
+    level so the plan is LINEAR in ``res``.
 
     ``hilbert_sql`` replays the identical level chain as DuckDB CTEs
-    generated from this same loop body, the q94 shared-constants
+    generated from the same loop constants, the q94 shared-constants
     discipline."""
     if not 1 <= res <= 29:
         raise ValueError(f"hilbert_key: res must be in [1, 29], got {res}")
     n = 1 << res
-    x, y, d = f"_h_x", f"_h_y", f"_h_d"
+    x, y, d = "_h_x", "_h_y", "_h_d"
     out = df.withColumn(x, F.col(ix_col).cast("long")).withColumn(
         y, F.col(iy_col).cast("long")
     ).withColumn(d, F.lit(0).cast("long"))
     for lvl in range(res - 1, -1, -1):
-        s = 1 << lvl
-        rx = F.when(F.col(x).bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
-        ry = F.when(F.col(y).bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        rx = F.shiftright(F.col(x), lvl).bitwiseAND(F.lit(1))
+        ry = F.shiftright(F.col(y), lvl).bitwiseAND(F.lit(1))
         out = out.withColumn("_h_rx", rx).withColumn("_h_ry", ry)
-        out = out.withColumn(
-            d,
-            F.col(d)
-            + F.lit(s).cast("long") * F.lit(s)
-            * (F.lit(3) * F.col("_h_rx")).bitwiseXOR(F.col("_h_ry")).cast("long"),
+        digit = (F.col("_h_rx") * 3).bitwiseXOR(F.col("_h_ry"))
+        # digits occupy disjoint bit pairs -> OR is the exact sum
+        out = out.withColumn(d, F.col(d).bitwiseOR(F.shiftleft(digit, 2 * lvl)))
+        # reflect iff (ry == 0 and rx == 1): mask m = rx*(1-ry)*(n-1);
+        # swap iff ry == 0: t = (1-ry)*(x XOR y) — the reflect mask
+        # cancels out of the swap XOR, so t needs only the raw x^y
+        refl = F.col("_h_rx").bitwiseAND(F.lit(1) - F.col("_h_ry"))
+        out = out.withColumn("_h_m", refl * F.lit(n - 1)).withColumn(
+            "_h_t", (F.lit(1) - F.col("_h_ry")) * F.col(x).bitwiseXOR(F.col(y))
         )
-        refl = (F.col("_h_ry") == 0) & (F.col("_h_rx") == 1)
-        xr = F.when(refl, F.lit(n - 1) - F.col(x)).otherwise(F.col(x))
-        yr = F.when(refl, F.lit(n - 1) - F.col(y)).otherwise(F.col(y))
-        out = out.withColumn("_h_xr", xr).withColumn("_h_yr", yr)
         out = out.withColumn(
-            "_h_x2", F.when(F.col("_h_ry") == 0, F.col("_h_yr")).otherwise(F.col("_h_xr"))
+            "_h_x2", F.col(x).bitwiseXOR(F.col("_h_m")).bitwiseXOR(F.col("_h_t"))
         ).withColumn(
-            "_h_y2", F.when(F.col("_h_ry") == 0, F.col("_h_xr")).otherwise(F.col("_h_yr"))
+            "_h_y2", F.col(y).bitwiseXOR(F.col("_h_m")).bitwiseXOR(F.col("_h_t"))
         )
         out = out.withColumn(x, F.col("_h_x2")).withColumn(y, F.col("_h_y2"))
     return out.withColumn(out_col, F.col(d)).drop(
-        x, y, d, "_h_rx", "_h_ry", "_h_xr", "_h_yr", "_h_x2", "_h_y2"
+        x, y, d, "_h_rx", "_h_ry", "_h_m", "_h_t", "_h_x2", "_h_y2"
     )
 
 
@@ -760,18 +765,17 @@ def hilbert_sql(src_sql: str, keep_cols: list[str], ix: str, iy: str, res: int) 
     ]
     prev = f"h{res}"
     for lvl in range(res - 1, -1, -1):
-        s = 1 << lvl
-        rx = f"CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END"
-        ry = f"CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END"
+        rx = f"((hx >> {lvl}) & 1)"
+        ry = f"((hy >> {lvl}) & 1)"
         cur = f"h{lvl}"
         parts.append(
             f"{cur} AS (SELECT {keep},\n"
-            f"  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {n - 1} - hy ELSE hy END)\n"
-            f"       ELSE hx END AS hx,\n"
-            f"  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {n - 1} - hx ELSE hx END)\n"
-            f"       ELSE hy END AS hy,\n"
-            f"  hd + {s}::BIGINT * {s} * CAST(xor(3 * rx, ry) AS BIGINT) AS hd\n"
-            f"  FROM (SELECT *, {rx} AS rx, {ry} AS ry FROM {prev}))"
+            f"  xor(xor(hx, m), t) AS hx,\n"
+            f"  xor(xor(hy, m), t) AS hy,\n"
+            f"  (hd | (xor(rx * 3, ry) << {2 * lvl})) AS hd\n"
+            f"  FROM (SELECT *, (rx & (1 - ry)) * {n - 1} AS m,"
+            f" (1 - ry) * xor(hx, hy) AS t\n"
+            f"        FROM (SELECT *, {rx} AS rx, {ry} AS ry FROM {prev})))"
         )
         prev = cur
     return (

@@ -28,8 +28,21 @@ def _norm(a: str) -> F.Column:
     return F.sqrt(F.expr(f"aggregate({a}, 0.0D, (acc, v) -> acc + cast(v as double) * cast(v as double))"))
 
 
-def with_cosine(df: DataFrame, vec_a: str, vec_b: str, out: str = "cosine") -> DataFrame:
-    return df.withColumn(out, F.round(_dot(vec_a, vec_b) / (_norm(vec_a) * _norm(vec_b)), 6))
+def with_cosine(
+    df: DataFrame,
+    vec_a: str,
+    vec_b: str,
+    out: str = "cosine",
+    norm_a: str | None = None,
+    norm_b: str | None = None,
+) -> DataFrame:
+    """cosine = round(dot / (|a| * |b|), 6). Pass ``norm_a``/``norm_b``
+    columns holding precomputed ``_norm`` values to hoist the norm out
+    of a pair join (per-VECTOR instead of per-PAIR work — bit-identical
+    result, the division sees the exact same operands)."""
+    na = F.col(norm_a) if norm_a else _norm(vec_a)
+    nb = F.col(norm_b) if norm_b else _norm(vec_b)
+    return df.withColumn(out, F.round(_dot(vec_a, vec_b) / (na * nb), 6))
 
 
 def cosine_topk(
@@ -44,8 +57,10 @@ def cosine_topk(
     """Exact brute-force cosine top-k: broadcast queries x full scan,
     JVM-side dot products, window top-k per query (deterministic
     tie-break on vector id)."""
-    cand = vectors.crossJoin(F.broadcast(queries))
-    cand = with_cosine(cand, vec_col, query_vec_col)
+    cand = vectors.withColumn("_nv", _norm(vec_col)).crossJoin(
+        F.broadcast(queries.withColumn("_nq", _norm(query_vec_col)))
+    )
+    cand = with_cosine(cand, vec_col, query_vec_col, norm_a="_nv", norm_b="_nq")
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
         cand.withColumn("rank", F.row_number().over(w))
@@ -78,10 +93,21 @@ def cosine_neardup_pairs(
     refine. Recall < 1 by construction (pytest pins recall vs the exact
     path); candidate count ~ n^2 / 2^n_planes per probe instead of n^2.
     """
-    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    # norms hoisted to per-vector columns (round-6: they were evaluated
+    # per PAIR inside the join — 2/3 of the O(n^2) interpreted-HOF work
+    # for the identical bits, q32 62.6 -> see BENCH/full_suite notes)
+    a = vectors.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    ).withColumn("_na", _norm("_va"))
+    b = vectors.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    ).withColumn("_nb", _norm("_vb"))
     if exact:
-        cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        # block-parallel: the stream side of the broadcast nested-loop
+        # join is otherwise ONE sub-4MB parquet split (openCostInBytes
+        # floor) and the whole n^2 runs in a single task; this is pure
+        # JVM (no Arrow workers), so spreading is safe on this host
+        cand = a.repartition(32).crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     else:
         planes = hyperplanes(dim, n_planes, seed)
         masks = probe_masks(n_planes, probe_radius)
@@ -94,7 +120,7 @@ def cosine_neardup_pairs(
         # distance probe_radius meets on exactly one (a-probe, b-home)
         # bucket, so no dedup pass is needed
         cand = av.join(bv, on="_bucket").filter(F.col("id_a") < F.col("id_b")).drop("_bucket")
-    cand = with_cosine(cand, "_va", "_vb")
+    cand = with_cosine(cand, "_va", "_vb", norm_a="_na", norm_b="_nb")
     return cand.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
 
 

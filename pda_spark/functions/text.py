@@ -566,3 +566,36 @@ def tfidf_term_scores(
         .crossJoin(F.broadcast(n))
         .select("doc_id", "tok", "tf", "df", (F.col("tf") * idf).alias("tfidf"))
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Positional inverted index (the retrieval-side counterpart of
+    tfidf_term_scores / bm25: what a search backend actually serves):
+    one posting row per (term, doc) with the term frequency and the
+    ordered 0-based token positions, plus the term's document frequency
+    on every row (denormalized — postings for one term are consumed
+    together, so df rides along instead of a second lookup).
+
+    Emitted as per-(term, doc) SCALAR rows (the q81 rule): positions are
+    an array_join'd string, tf/df integer-exact, fully order-independent.
+
+    Shape (100 TB): posexplode tokens -> ONE groupBy (term, doc) with
+    collect_list(pos) (map-side combinable counts; the positions list is
+    bounded by doc length) -> a window-free df via a second tiny
+    aggregate over the (term, doc) table joined back on term. The raw
+    corpus shuffles once, keyed (term, doc) — hot terms spread across
+    docs; the df join is on the much smaller distinct-term table."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+    postings = toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.array_join(F.array_sort(F.collect_list("pos")), ",").alias("positions"),
+    )
+    df_tab = postings.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    return postings.join(df_tab, "term").select("term", "doc_id", "tf", "df", "positions")

@@ -1278,7 +1278,12 @@ def q82_erosion_area(spark, sf_dir):
     Rectangle erosion has sharp corners, so the closed form
     (w-2d)(h-2d) is EXACT — no arc discretization term at all."""
     d = 0.05
-    return _part_rects(spark, sf_dir).select(
+    # post-shuffle spread of the Arrow kernel stage: the part scan is one
+    # sub-4MB split, so without this the whole erosion kernel runs in ONE
+    # python worker (15 s at sf0.1); post-shuffle Arrow width is safe on
+    # this host (BENCH/BASELINE.md §3 — only PRE-shuffle forced splits
+    # trip the throttle)
+    return _part_rects(spark, sf_dir).repartition(32).select(
         "p_partkey",
         F.round(geo_udfs.buffer_area_planar(-d)(F.col("geom")), 6).alias("eroded_area"),
     )
@@ -3719,23 +3724,26 @@ def q107_edit_distance(spark, sf_dir):
     JOIN): derived key strings 'k' || (c_custkey*7 % 100000) have varied
     lengths 2-6, so the lossless length-band blocking in
     dedup.edit_distance_pairs actually spreads candidates over bands;
-    the verify is the JVM levenshtein expression. The oracle brute-
-    forces the cross product — the blocked path must reproduce the
-    exhaustive semantics exactly (DuckDB and Spark levenshtein are the
-    same textbook unit-cost edit distance)."""
-    c = _t(spark, sf_dir, "customer")
+    the verify is the JVM levenshtein expression; salt_bands=4 runs the
+    hot-band salted plan (numeric keys concentrate in one length band —
+    the realistic skew), which must emit the identical pair set. The
+    oracle brute-forces the cross product — the blocked+salted path must
+    reproduce the exhaustive semantics exactly (DuckDB and Spark
+    levenshtein are the same textbook unit-cost edit distance). The %7
+    sample keeps the oracle's n^2 and the hot band bounded at sf0.1."""
+    c = _t(spark, sf_dir, "customer").filter(F.pmod(F.col("c_custkey"), F.lit(7)) == 0)
     strs = c.select(
         F.col("c_custkey").alias("sid"),
         F.concat(F.lit("k"), F.pmod(F.col("c_custkey") * 7, F.lit(100000)).cast("string")).alias("s"),
     )
-    pairs = dedup.edit_distance_pairs(strs, id_col="sid", str_col="s", max_dist=1)
+    pairs = dedup.edit_distance_pairs(strs, id_col="sid", str_col="s", max_dist=1, salt_bands=4)
     return pairs.select("id_a", "id_b", "s_a", "s_b", "dist")
 
 
 Q107_SQL = """
 WITH s AS (
   SELECT c_custkey AS sid, 'k' || CAST((c_custkey * 7) % 100000 AS VARCHAR) AS s
-  FROM customer
+  FROM customer WHERE c_custkey % 7 = 0
 )
 SELECT a.sid AS id_a, b.sid AS id_b, a.s AS s_a, b.s AS s_b,
        CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
@@ -3895,6 +3903,42 @@ GROUP BY doc_id
 """
 
 
+def q112_inverted_index(spark, sf_dir):
+    """Positional inverted index over the documents corpus (the
+    retrieval-side counterpart of q102 TF-IDF / q81 BM25): per-(term,
+    doc) posting rows with tf, df, and the ordered token-position list.
+    The oracle replays tokenization (regexp split, empty-token filter)
+    and rebuilds positions with a list comprehension + ordered
+    string_agg — the q75 reassembly idiom, here over token offsets."""
+    docs = _t(spark, sf_dir, "documents")
+    out = text.inverted_index(docs)
+    # sample the term space to keep the gate row count civil
+    return out.filter(F.length("term") >= 6)
+
+
+Q112_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, ls FROM (
+    SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ls FROM documents
+  )
+), tl AS (
+  SELECT doc_id, unnest([{'pos': i - 1, 'term': ls[i]} for i in range(1, len(ls) + 1)]) AS e
+  FROM toks
+), t AS (
+  SELECT doc_id, e.pos AS pos, e.term AS term FROM tl WHERE e.term <> ''
+), postings AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+         string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
+  FROM t GROUP BY term, doc_id
+), dfs AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY term
+)
+SELECT p.term, p.doc_id, p.tf, d.df, p.positions
+FROM postings p JOIN dfs d USING (term)
+WHERE length(p.term) >= 6
+"""
+
+
 def q111_hilbert(spark, sf_dir):
     """Hilbert-curve layout key (the stronger sibling of the q94
     Z-order: consecutive keys are always grid-adjacent, so row-group
@@ -3937,6 +3981,7 @@ Q111_SQL = geo_udfs.hilbert_sql(_Q111_SRC, ["event_id", "gx", "gy"], "gx", "gy",
 QUERIES: dict[str, tuple] = {
     # --- new round-6 gates ---
     "q111_hilbert": (q111_hilbert, Q111_SQL),
+    "q112_inverted_index": (q112_inverted_index, Q112_SQL),
     "q109_morans_i": (q109_morans_i, Q109_SQL),
     "q110_paragraph_dedup": (q110_paragraph_dedup, Q110_SQL),
     "q104_tile_pyramid": (q104_tile_pyramid, Q104_SQL),
@@ -3988,8 +4033,12 @@ QUERIES: dict[str, tuple] = {
     "q94_zorder": (q94_zorder, Q94_SQL),
     "q95_contains_join": (q95_contains_join, Q95_SQL),
     "q96_intersects_multires": (q96_intersects_multires, Q96_SQL),
+    # q96/q97 sit at slots 51/52 this round: 51 never-proven queries +
+    # the changed-output q33 is 52 claims on 50 slots; both are
+    # replica-green and lead the r7 rotation (DRIVER_LEDGER tracks them
+    # as unproven)
     "q97_correlated_subquery": (q97_correlated_subquery, Q97_SQL),
-    # --- driver-proven fillers to slot 50 (most load-bearing first) ---
+    # --- driver-proven fillers (rotated behind the unproven block) ---
     "q41_pip_join": (q41_pip_join, Q41_SQL),
     "q42_knn": (q42_knn, Q42_SQL),
     "q45_rect_intersects": (q45_rect_intersects, Q45_SQL),

@@ -48,15 +48,18 @@ def main() -> None:
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
     for name in names:
+        t0 = time.time()
         force(registry.QUERIES[name][0](spark, warm_dir))
+        print(f"warm {name} {time.time() - t0:.2f}s", file=sys.stderr, flush=True)
 
     times: dict[str, float] = {}
-    for _rep in range(reps):
+    for rep in range(reps):
         for name in names:
             t0 = time.time()
             force(registry.QUERIES[name][0](spark, sf_dir))
             dt = round(time.time() - t0, 3)
             times[name] = min(times.get(name, dt), dt)
+            print(f"rep{rep} {name} {dt:.2f}s", file=sys.stderr, flush=True)
 
     result = {
         "sf": sf,

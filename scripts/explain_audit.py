@@ -70,6 +70,22 @@ AUDITED = [
     "q94_zorder",
     "q95_contains_join",
     "q96_intersects_multires",
+    "q97_correlated_subquery",
+    "q98_image_decode",
+    "q99_udtf_shingles",
+    "q100_substring_containment",
+    "q101_image_downsample",
+    "q102_tfidf",
+    "q103_winnowing",
+    "q104_tile_pyramid",
+    "q105_geohash",
+    "q106_areal_interp",
+    "q107_edit_distance",
+    "q108_focal_gradient",
+    "q109_morans_i",
+    "q110_paragraph_dedup",
+    "q111_hilbert",
+    "q112_inverted_index",
 ]
 
 

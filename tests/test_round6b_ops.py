@@ -181,6 +181,10 @@ def test_edit_distance_pairs_bruteforce_parity(spark):
     # pairs that cross a length band exist in the fixture (the case
     # blocking could lose)
     assert any(len(strs[a][1]) // 3 != len(strs[b][1]) // 3 for a, b in exp)
+    # the hot-band salted plan must emit the identical pair set
+    salted = dedup.edit_distance_pairs(df, id_col="sid", str_col="s", max_dist=2, salt_bands=3)
+    got_salted = {(r["id_a"], r["id_b"]): r["dist"] for r in salted.collect()}
+    assert got_salted == exp
 
 
 # ------------------------------------------------------ focal gradient
@@ -423,3 +427,31 @@ def test_hilbert_deep_res_linear_plan(spark):
     got = {(r["gx"], r["gy"]): r["hilbert_d"] for r in geo_udfs.hilbert_key(df, "gx", "gy", res).collect()}
     for x, y in rows:
         assert got[(x, y)] == _xy2d_ref(res, x, y)
+
+
+# ------------------------------------------------------ inverted index
+
+
+def test_inverted_index_hand_fixture(spark):
+    """Postings on a hand corpus: tf counts repeats, positions are
+    0-based token offsets in order, df counts docs containing the term,
+    whitespace runs collapse, case folds."""
+    from pda_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "the cat  sat on THE mat"), (2, "a cat\tand a dog"), (3, "mat")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["term"], r["doc_id"]): r
+        for r in T.inverted_index(docs).collect()
+    }
+    r = rows[("the", 1)]
+    assert (r["tf"], r["df"], r["positions"]) == (2, 1, "0,4")
+    assert (rows[("cat", 1)]["positions"], rows[("cat", 2)]["positions"]) == ("1", "1")
+    assert rows[("cat", 1)]["df"] == 2
+    assert rows[("mat", 3)] == rows[("mat", 3)]  # exists
+    assert rows[("mat", 3)]["positions"] == "0" and rows[("mat", 3)]["df"] == 2
+    assert rows[("a", 2)]["tf"] == 2 and rows[("a", 2)]["positions"] == "0,3"
+    # no empty-string terms from the double space
+    assert all(t for t, _ in rows)
