@@ -612,9 +612,15 @@ def dedup_paragraphs_global(
     corpora make some paragraphs hot on the join key; the owner table is
     deduped so the join is skew-bounded by distinct-paragraph counts,
     and AQE's skew split handles the probe side."""
+    import re as _re
+
+    # sep is a LITERAL separator (it is also the concat_ws rejoin
+    # string); F.split takes a Java regex, so escape metacharacters —
+    # a caller passing '.' or '||' must not get per-character splits
+    # (round-6 review)
     paras = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias("pos", "para"),
     )
     owners = paras.groupBy("para").agg(
         F.min(F.struct("doc_id", "pos")).alias("_first")

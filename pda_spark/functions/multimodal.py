@@ -63,6 +63,13 @@ def _pnm_header_tokens(payload: bytes, n_tokens: int) -> tuple[list[int], int]:
             raise ValueError("truncated PNM header")
         c = payload[i : i + 1]
         if c == b"#":
+            # a comment terminates the current token (its closing
+            # newline is whitespace per the Netpbm spec) — without the
+            # flush, digits on either side of a comment merged into one
+            # token (round-6 review)
+            if cur:
+                toks.append(int(cur))
+                cur = b""
             while i < len(payload) and payload[i : i + 1] != b"\n":
                 i += 1
         elif c in (b" ", b"\t", b"\r", b"\n"):
@@ -108,6 +115,24 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
         )
     if bpp not in (8, 24):
         raise ValueError(f"BMP bpp {bpp} unsupported (8 or 24)")
+    if bpp == 8:
+        # the 8-bit path returns palette INDICES as gray values, which
+        # is only correct when the palette is the identity grayscale
+        # ramp (entry i == BGRA(i, i, i, _)); any other palette must
+        # refuse loudly rather than silently emit indices (round-6
+        # review)
+        pal = np.frombuffer(payload, dtype=np.uint8, count=data_off - 14 - hdr_size,
+                            offset=14 + hdr_size)
+        if len(pal) % 4:
+            raise ValueError("BMP palette not 4-byte aligned")
+        pal = pal.reshape(-1, 4)
+        idx = np.arange(len(pal), dtype=np.uint8)
+        if not (np.array_equal(pal[:, 0], idx) and np.array_equal(pal[:, 1], idx)
+                and np.array_equal(pal[:, 2], idx)):
+            raise ValueError(
+                "8-bit BMP palette is not the identity grayscale ramp; "
+                "color-palette BMPs need a palette-applying decode"
+            )
     bottom_up, h = h > 0, abs(h)
     nch = bpp // 8
     stride = (w * nch + 3) & ~3

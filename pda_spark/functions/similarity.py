@@ -172,6 +172,11 @@ def kmeans_fit(
     the pinned-literal oracle path) unchanged."""
     import math
 
+    # zero-norm vectors are undefined under spherical k-means (0/0
+    # poisons centroid seeds AND partial sums with NaN / ANSI div-0 —
+    # round-6 review); excluded from the fit up front, matching the
+    # documented unit-sphere contract
+    vectors = vectors.filter(_norm(vec_col) > 0)
     cents = ivf_centroids(vectors, n_centroids, id_col, vec_col)
     scale = float(1 << scale_bits)
     history: list[float] = []

@@ -57,12 +57,22 @@ def register_udtfs(spark: SparkSession) -> None:
 def shingle_rows(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", k: int = 6) -> DataFrame:
     """(doc_id, pos, shingle) via a LATERAL join against the UDTF —
-    the table-function form of the explode idiom."""
+    the table-function form of the explode idiom. The input view name is
+    unique per call (a fixed name leaked into the session catalog and
+    raced concurrent calls — round-6 review); the view is dropped once
+    the returned DataFrame is analyzed (spark.sql resolves eagerly, so
+    the result survives the drop)."""
+    import uuid
+
     spark = docs.sparkSession
     register_udtfs(spark)
+    view = f"_udtf_docs_in_{uuid.uuid4().hex[:12]}"
     docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_txt")) \
-        .createOrReplaceTempView("_udtf_docs_in")
-    return spark.sql(
-        f"SELECT d.doc_id, s.pos, s.shingle "
-        f"FROM _udtf_docs_in d, LATERAL shingle_udtf(d._txt, {int(k)}) s"
-    )
+        .createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"SELECT d.doc_id, s.pos, s.shingle "
+            f"FROM {view} d, LATERAL shingle_udtf(d._txt, {int(k)}) s"
+        )
+    finally:
+        spark.catalog.dropTempView(view)

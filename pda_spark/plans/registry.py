@@ -3352,7 +3352,11 @@ WITH c AS (
   FROM c WHERE doc_id % 13 = 0
 )
 SELECT s.snip_id, c.doc_id
-FROM s JOIN c ON strpos(c.ctext, s.stext) > 0
+-- trim replays the operator's snippet normalization: a 24-char cut can
+-- land on a boundary space, and substring_containment normalizes BOTH
+-- sides (round-6 review: at sf0.1, 120 snippets carry boundary spaces
+-- and the verbatim form diverged by one pair — 453 vs 452)
+FROM s JOIN c ON strpos(c.ctext, trim(s.stext)) > 0
 WHERE length(s.stext) = 24
 """
 

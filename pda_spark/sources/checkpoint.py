@@ -353,7 +353,11 @@ class CheckpointManager:
                 incoming.select(key), on=key, how="left_anti"
             )
             if delete_condition is not None:
-                kept = unmatched.filter(~delete_condition)
+                # SQL MERGE deletes only where the condition is TRUE;
+                # a NULL condition (e.g. the scoping column is NULL)
+                # must KEEP the row — bare ~cond filters NULLs out too
+                # (round-6 review)
+                kept = unmatched.filter(~F.coalesce(delete_condition, F.lit(False)))
                 merged = self._align_for_merge(kept, incoming, evolve_schema)
             else:
                 merged = incoming

@@ -455,3 +455,77 @@ def test_inverted_index_hand_fixture(spark):
     assert rows[("a", 2)]["tf"] == 2 and rows[("a", 2)]["positions"] == "0,3"
     # no empty-string terms from the double space
     assert all(t for t, _ in rows)
+
+
+# ------------------------------------------- round-6 review regressions
+
+
+def test_pnm_comment_terminates_token():
+    """A '#' comment immediately after a digit ends that token (the
+    comment's newline is whitespace per the Netpbm spec) — the old
+    tokenizer merged digits across the comment (round-6 review)."""
+    from pda_spark.functions import multimodal as M
+
+    px = np.arange(20, dtype=np.uint8).reshape(4, 5)
+    payload = b"P5\n5#comment\n4 255\n" + px.tobytes()
+    assert np.array_equal(M.decode_image(payload), px)
+
+
+def test_bmp_color_palette_refused():
+    """An 8-bit BMP with a non-grayscale palette must raise rather than
+    silently return palette indices as gray values (round-6 review);
+    the identity-grayscale palette our encoder writes still decodes."""
+    from pda_spark.functions import multimodal as M
+
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    ok = bytearray(M.encode_bmp(gray))
+    assert np.array_equal(M.decode_image(bytes(ok)), gray)
+    bad = bytearray(ok)
+    # palette starts at offset 54; make entry 1 a color (B!=G)
+    bad[54 + 4] = 200
+    with pytest.raises(ValueError, match="palette"):
+        M.decode_image(bytes(bad))
+
+
+def test_paragraph_dedup_literal_separator(spark):
+    """sep is a literal, not a regex: '.' must split on dots only
+    (round-6 review — F.split takes a Java regex)."""
+    docs = spark.createDataFrame(
+        [(1, "aa.bb"), (2, "bb.cc")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           dedup.dedup_paragraphs_global(docs, sep=".").collect()}
+    assert out[1]["clean_text"] == "aa.bb"
+    assert out[2]["clean_text"] == "cc" and out[2]["n_removed"] == 1
+
+
+def test_kmeans_zero_norm_vector_excluded(spark):
+    """A zero vector must not poison the fit with NaN: objective stays
+    finite and centroids are driven by the nonzero vectors (round-6
+    review)."""
+    from pda_spark.functions import similarity as S
+
+    rows = [(0, [0.0, 0.0, 0.0, 0.0])] + [
+        (i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2), 0.5])
+        for i in range(1, 13)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents, history = S.kmeans_fit(df, n_centroids=3, n_iter=2, scale_bits=20)
+    assert all(np.isfinite(h) for h in history)
+    assert all(np.isfinite(v) for c in cents for v in c)
+
+
+def test_udtf_shingle_rows_unique_views(spark):
+    """Two shingle_rows calls on DIFFERENT inputs in one session must
+    not clobber each other's input view (round-6 review: the fixed view
+    name raced and leaked)."""
+    from pda_spark.functions import udtfs as U
+
+    a = spark.createDataFrame([(1, "abcdef")], "doc_id long, text string")
+    b = spark.createDataFrame([(2, "zyxwvu")], "doc_id long, text string")
+    ra = U.shingle_rows(a, k=6)
+    rb = U.shingle_rows(b, k=6)
+    assert [r["shingle"] for r in ra.collect()] == ["abcdef"]
+    assert [r["shingle"] for r in rb.collect()] == ["zyxwvu"]
+    # no leaked catalog entries
+    assert not [v.name for v in spark.catalog.listTables() if v.name.startswith("_udtf_docs_in")]

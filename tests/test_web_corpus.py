@@ -316,6 +316,24 @@ def test_merge_sync_delete_condition_scopes_the_delete(spark, tmp_path):
     assert got == {(2, "eu", "B"), (3, "us", "c")}
 
 
+def test_merge_sync_null_condition_keeps_the_row(spark, tmp_path):
+    """MERGE deletes only where the condition is TRUE: an unmatched row
+    whose scoping column is NULL must SURVIVE (bare ~cond would filter
+    the NULL out and silently delete it — round-6 review)."""
+    from pyspark.sql import functions as SF
+
+    ckpt = CheckpointManager(spark, str(tmp_path / "nullcond"))
+    base = [(1, "eu", "a"), (2, None, "b"), (3, "eu", "c")]
+    ckpt.merge_upsert(
+        spark.createDataFrame(base, "id long, region string, v string"), "dim", key="id"
+    )
+    src = spark.createDataFrame([(3, "eu", "C")], "id long, region string, v string")
+    ckpt.merge_sync(src, "dim", key="id", delete_condition=SF.col("region") == "eu")
+    got = {(r["id"], r["region"], r["v"]) for r in ckpt.read("dim").collect()}
+    # id=1 (eu, unmatched) deleted; id=2 (NULL region, unmatched) kept
+    assert got == {(2, None, "b"), (3, "eu", "C")}
+
+
 def test_merge_schema_evolution_write_then_widen_then_read(spark, tmp_path):
     """VERDICT r5 #4 write-side ALTER-equivalent: evolve_schema=True
     merges a WIDER incoming schema (new column null-filled on old rows),
