@@ -116,3 +116,52 @@ def interval_join(
         .filter((F.col(start) <= F.col(ts)) & (F.col(ts) <= F.col(end)))
         .drop("_b")
     )
+
+
+def staypoints(
+    events: DataFrame,
+    max_gap_deg: float,
+    min_events: int = 2,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Stay-point detection (the movement-analytics segmentation every
+    trajectory stack ships): per user, ordered by (ts, tiebreak), a STAY
+    is a maximal run of consecutive events where each consecutive pair
+    is within ``max_gap_deg`` planar degrees (the chain rule — one
+    lag + one running sum, fully window-expressible; anchor-rule
+    variants need iteration). Runs shorter than ``min_events`` are
+    dropped (passing-through points).
+
+    Emits one row per stay: (user, stay_id, n_events, start/end epoch
+    MICROseconds — the q84 rule) plus integer-exact centroid SUMS in
+    centi-degrees (sum_clon/sum_clat; the caller divides by n_events —
+    the q83/q81 scalar-rows discipline keeps every aggregate an
+    order-independent integer, so any engine reproduces the rows
+    bit-for-bit when coordinates are centi-degree-exact).
+
+    The pair test compares squared distance (dx*dx + dy*dy <=
+    max_gap_deg^2): no sqrt, one IEEE-deterministic expression both
+    engines evaluate identically. Scale shape: ONE window partitioned
+    by user (lag + running break-count), one grouped aggregate — the
+    fact table shuffles once on user; no self-join, no iteration."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    dx = F.col(lon_col) - F.lag(lon_col).over(w)
+    dy = F.col(lat_col) - F.lag(lat_col).over(w)
+    is_break = F.when(
+        (dx * dx + dy * dy) <= F.lit(max_gap_deg * max_gap_deg), F.lit(0)
+    ).otherwise(F.lit(1))  # NULL lag (first row) -> otherwise branch -> 1
+    seg = events.withColumn("_brk", is_break).withColumn(
+        "_stay", F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    out = seg.groupBy(F.col(user_col).alias("user_id"), F.col("_stay").alias("stay_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("start_us"),
+        F.max(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("end_us"),
+        F.sum(F.round(F.col(lon_col) * 100).cast("long")).alias("sum_clon"),
+        F.sum(F.round(F.col(lat_col) * 100).cast("long")).alias("sum_clat"),
+    )
+    return out.filter(F.col("n_events") >= min_events)

@@ -3943,6 +3943,47 @@ WHERE length(p.term) >= 6
 """
 
 
+def q113_staypoints(spark, sf_dir):
+    """Stay-point detection over the event stream (movement-analytics
+    segmentation): chain rule — consecutive same-user events within 6
+    planar degrees extend the stay, one lag + one running break-count
+    window, one grouped aggregate. All emitted aggregates are
+    order-independent integers (epoch micros, centi-degree coordinate
+    sums); the squared-distance pair test is a single IEEE expression
+    both engines evaluate identically."""
+    from pda_spark.operators import temporal
+
+    pts = _event_points(spark, sf_dir)
+    out = temporal.staypoints(pts, max_gap_deg=6.0, min_events=2)
+    return out.select(
+        "user_id", "stay_id", "n_events", "start_us", "end_us", "sum_clon", "sum_clat"
+    )
+
+
+Q113_SQL = f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+l AS (
+  SELECT user_id, event_id, ts, lon, lat,
+         lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), b AS (
+  SELECT *, CASE WHEN ((lon - plon) * (lon - plon) + (lat - plat) * (lat - plat))
+                      <= 36.0 THEN 0 ELSE 1 END AS brk
+  FROM l
+), s AS (
+  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS stay_id
+  FROM b
+)
+SELECT user_id, stay_id, CAST(count(*) AS BIGINT) AS n_events,
+       min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+       CAST(sum(CAST(round(lon * 100) AS BIGINT)) AS BIGINT) AS sum_clon,
+       CAST(sum(CAST(round(lat * 100) AS BIGINT)) AS BIGINT) AS sum_clat
+FROM s GROUP BY user_id, stay_id HAVING count(*) >= 2
+"""
+
+
 def q111_hilbert(spark, sf_dir):
     """Hilbert-curve layout key (the stronger sibling of the q94
     Z-order: consecutive keys are always grid-adjacent, so row-group
@@ -3986,6 +4027,7 @@ QUERIES: dict[str, tuple] = {
     # --- new round-6 gates ---
     "q111_hilbert": (q111_hilbert, Q111_SQL),
     "q112_inverted_index": (q112_inverted_index, Q112_SQL),
+    "q113_staypoints": (q113_staypoints, Q113_SQL),
     "q109_morans_i": (q109_morans_i, Q109_SQL),
     "q110_paragraph_dedup": (q110_paragraph_dedup, Q110_SQL),
     "q104_tile_pyramid": (q104_tile_pyramid, Q104_SQL),
@@ -4037,10 +4079,10 @@ QUERIES: dict[str, tuple] = {
     "q94_zorder": (q94_zorder, Q94_SQL),
     "q95_contains_join": (q95_contains_join, Q95_SQL),
     "q96_intersects_multires": (q96_intersects_multires, Q96_SQL),
-    # q96/q97 sit at slots 51/52 this round: 51 never-proven queries +
-    # the changed-output q33 is 52 claims on 50 slots; both are
-    # replica-green and lead the r7 rotation (DRIVER_LEDGER tracks them
-    # as unproven)
+    # q95/q96/q97 sit at slots 51-53 this round: 52 never-proven
+    # queries + the changed-output q33 is 53 claims on 50 slots; all
+    # three are replica-green (at sf0.01 AND sf0.1) and lead the r7
+    # rotation (DRIVER_LEDGER tracks them as unproven)
     "q97_correlated_subquery": (q97_correlated_subquery, Q97_SQL),
     # --- driver-proven fillers (rotated behind the unproven block) ---
     "q41_pip_join": (q41_pip_join, Q41_SQL),

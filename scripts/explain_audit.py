@@ -86,6 +86,7 @@ AUDITED = [
     "q110_paragraph_dedup",
     "q111_hilbert",
     "q112_inverted_index",
+    "q113_staypoints",
 ]
 
 

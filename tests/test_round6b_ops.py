@@ -529,3 +529,38 @@ def test_udtf_shingle_rows_unique_views(spark):
     assert [r["shingle"] for r in rb.collect()] == ["zyxwvu"]
     # no leaked catalog entries
     assert not [v.name for v in spark.catalog.listTables() if v.name.startswith("_udtf_docs_in")]
+
+
+# ---------------------------------------------------------- staypoints
+
+
+def test_staypoints_chain_segmentation(spark):
+    """Chain rule on a hand trajectory: a close chain forms one stay, a
+    jump starts the next; singletons drop under min_events; integer
+    centroid sums are exact centi-degrees."""
+    import datetime as dt
+
+    from pda_spark.operators import temporal
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: 3-point stay, jump, 2-point stay
+        (1, 1, t0, 0.00, 0.0), (1, 2, t0 + dt.timedelta(minutes=1), 0.01, 0.0),
+        (1, 3, t0 + dt.timedelta(minutes=2), 0.02, 0.0),
+        (1, 4, t0 + dt.timedelta(minutes=3), 10.00, 10.0),
+        (1, 5, t0 + dt.timedelta(minutes=4), 10.01, 10.0),
+        # user 2: lone point -> filtered
+        (2, 6, t0, 5.0, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp_ntz, lon double, lat double"
+    )
+    out = {(r["user_id"], r["stay_id"]): r for r in
+           temporal.staypoints(df, max_gap_deg=0.5, min_events=2).collect()}
+    assert set(out) == {(1, 1), (1, 2)}
+    s1, s2 = out[(1, 1)], out[(1, 2)]
+    assert s1["n_events"] == 3 and s2["n_events"] == 2
+    assert (s1["sum_clon"], s1["sum_clat"]) == (0 + 1 + 2, 0)
+    assert (s2["sum_clon"], s2["sum_clat"]) == (1000 + 1001, 2000)
+    assert s1["end_us"] - s1["start_us"] == 120_000_000
+    assert s2["start_us"] > s1["end_us"]
