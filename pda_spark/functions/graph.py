@@ -128,3 +128,57 @@ def dedup_cluster_labels(
     )
     w = Window.partitionBy("cluster_id")
     return labeled.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded-iteration PageRank (the link-analysis rollup a web-corpus
+    curation pipeline runs over its crawl graph — frontier priority and
+    spam-mass both derive from it). Unnormalized textbook form: r_0 = 1,
+    r_{k+1}(v) = (1-d) + d * sum_{u->v} r_k(u) / outdeg(u); nodes with
+    no in-links settle at (1-d), dangling nodes keep their rank but do
+    not redistribute it (the standard simplification — at web scale the
+    dangling-mass term is a scalar correction, omitted here so every
+    iteration is pure join+aggregate).
+
+    Scale shape per iteration: ONE equi-join of the edge table with the
+    node-sized rank table on src (broadcast-able whenever ranks fit, and
+    at 10^12 edges the join is the published shuffle-on-src shape), then
+    one map-side-combinable groupBy on dst, then a left join back to the
+    node set. No driver-side collect anywhere; `iters` bounds the DAG.
+
+    Exactness note (the q116 oracle relies on it): with damping=0.5 and
+    a uniform power-of-two out-degree every intermediate is an exact
+    dyadic rational, so IEEE addition is associative for these values
+    and DuckDB replays the floats bit-for-bit in any order.
+    """
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
+    e = (
+        edges.join(deg, src)
+        .select(F.col(src).alias("_src"), F.col(dst).alias("_dst"), "_deg")
+        .localCheckpoint(eager=False)
+    )
+    r = nodes.select(F.col(id_col).alias("_id"), F.lit(1.0).alias("_r"))
+    for _ in range(iters):
+        contrib = (
+            e.join(r, e["_src"] == r["_id"])
+            .groupBy("_dst")
+            .agg(F.sum(F.col("_r") / F.col("_deg")).alias("_s"))
+        )
+        r = (
+            nodes.select(F.col(id_col).alias("_id"))
+            .join(contrib, F.col("_id") == F.col("_dst"), "left")
+            .select(
+                "_id",
+                (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce("_s", F.lit(0.0))).alias("_r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return r.select(F.col("_id").alias(id_col), F.col("_r").alias("rank"))

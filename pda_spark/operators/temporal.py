@@ -165,3 +165,40 @@ def staypoints(
         F.sum(F.round(F.col(lat_col) * 100).cast("long")).alias("sum_clat"),
     )
     return out.filter(F.col("n_events") >= min_events)
+
+
+def od_flows(
+    events: DataFrame,
+    res: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    order_tiebreak: str = "event_id",
+    min_flow: int = 1,
+) -> DataFrame:
+    """Origin-destination flow matrix (the movement-analytics rollup
+    behind every mobility dashboard; reference serves per-region counts
+    to its map layer, /root/reference/app/maps.py — this is the
+    transition-matrix generalization): per user, ordered by
+    (ts, tiebreak), each consecutive pair of events whose res-``res``
+    grid cells DIFFER contributes one trip to the (origin_cell,
+    dest_cell) flow; same-cell dwell steps are not trips. Returns
+    (o_cell, d_cell, n_trips) with n_trips >= ``min_flow``.
+
+    Scale shape: ONE window partitioned by user (a single lag), then
+    one map-side-combinable groupBy on the (o,d) pair — the fact table
+    shuffles once on user and the flow matrix is bounded by distinct
+    cell pairs (at res<=8 a few million rows regardless of input
+    scale), so the aggregate output broadcasts back into any join."""
+    from pda_spark.functions import geo_udfs
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    cell = geo_udfs.cell_of_xy_expr(F.col(lon_col), F.col(lat_col), res)
+    steps = events.withColumn("_cell", cell).withColumn("_prev", F.lag("_cell").over(w))
+    return (
+        steps.filter(F.col("_prev").isNotNull() & (F.col("_prev") != F.col("_cell")))
+        .groupBy(F.col("_prev").alias("o_cell"), F.col("_cell").alias("d_cell"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_trips"))
+        .filter(F.col("n_trips") >= min_flow)
+    )

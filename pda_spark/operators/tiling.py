@@ -393,6 +393,65 @@ def morans_i_components(
     )
 
 
+def density_clusters(
+    cell_counts: DataFrame,
+    res: int,
+    min_pts: int,
+    cell_col: str = "cell",
+    value_col: str = "n",
+) -> DataFrame:
+    """Grid-density clustering (the DBSCAN-on-a-grid hot-spot operator:
+    cells carrying >= ``min_pts`` points are DENSE, queen-adjacent dense
+    cells merge into one cluster, and the cluster label is the minimum
+    member cell id — canonical and order-independent). Returns one row
+    per dense cell: (cell, n, cluster_id); an isolated dense cell is
+    its own singleton cluster.
+
+    Spark-first shape: the density filter and the 8-neighbor adjacency
+    edges run on the already-aggregated per-cell table (the q87/q109
+    scatter-gather bit math — never the raw points), then the existing
+    large-star/small-star ``connected_components`` contracts the edge
+    forest in O(log n) rounds. At 100 TB the edge table is O(dense
+    cells * 8) and every round is one map-side-combinable min-aggregate
+    plus an equi-join — the published trillion-edge shape."""
+    from pda_spark.functions.graph import connected_components
+
+    n = 1 << res
+    ix = F.shiftright(F.col(cell_col), 29).bitwiseAND(F.lit((1 << 29) - 1))
+    iy = F.col(cell_col).bitwiseAND(F.lit((1 << 29) - 1))
+    dense = cell_counts.filter(F.col(value_col) >= min_pts).select(
+        F.col(cell_col).alias("cell"),
+        F.col(value_col).cast("long").alias("n"),
+        ix.alias("ix"),
+        iy.alias("iy"),
+    )
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
+    off = F.explode(
+        F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offs])
+    ).alias("o")
+    scattered = (
+        dense.select("cell", "ix", "iy", off)
+        .select(
+            F.col("cell").alias("src"),
+            (F.col("ix") + F.col("o.dx")).alias("rix"),
+            (F.col("iy") + F.col("o.dy")).alias("riy"),
+        )
+        .filter(
+            (F.col("rix") >= 0) & (F.col("rix") < n)
+            & (F.col("riy") >= 0) & (F.col("riy") < n)
+        )
+    )
+    edges = scattered.join(
+        dense.select(F.col("cell").alias("dst"), F.col("ix").alias("rix"), F.col("iy").alias("riy")),
+        ["rix", "riy"],
+    ).select("src", "dst")
+    cc = connected_components(edges, src="src", dst="dst")
+    out = dense.join(cc, dense["cell"] == cc["id"], "left")
+    return out.select(
+        "cell", "n", F.coalesce(F.col("component"), F.col("cell")).alias("cluster_id")
+    )
+
+
 def focal_stats(
     cell_counts: DataFrame,
     res: int,

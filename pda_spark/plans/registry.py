@@ -3984,6 +3984,147 @@ FROM s GROUP BY user_id, stay_id HAVING count(*) >= 2
 """
 
 
+def q114_density_clusters(spark, sf_dir):
+    """Grid-density clustering (DBSCAN-on-a-grid hot spots): res-6 event
+    cells with >= 15 points are dense; queen-adjacent dense cells merge
+    via the large-star/small-star connected-components rounds; label =
+    min member cell id. The oracle computes the SAME components by a
+    completely different mechanism — a recursive-CTE transitive closure
+    with a min over reachable cells — so the O(log n) star contraction
+    is cross-checked against textbook reachability."""
+    from pda_spark.operators import tiling
+
+    res = 6
+    pts = _event_points(spark, sf_dir)
+    cnt = (
+        pts.withColumn("cell", geo_udfs.cell_of_xy_expr(F.col("lon"), F.col("lat"), res))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return tiling.density_clusters(cnt, res=res, min_pts=15)
+
+
+Q114_SQL = f"""
+WITH RECURSIVE pts AS ({_EVENT_POINTS_SQL}),
+cnt AS (
+  SELECT least(greatest(floor((lon + 180.0) / 360.0 * {_N6}), 0), {_N6 - 1})::BIGINT AS ix,
+         least(greatest(floor((lat + 90.0) / 180.0 * {_N6}), 0), {_N6 - 1})::BIGINT AS iy,
+         count(*) AS n
+  FROM pts GROUP BY 1, 2
+), dense AS (
+  SELECT (6::BIGINT * 288230376151711744 + (ix << 29) + iy) AS cell,
+         CAST(n AS BIGINT) AS n, ix, iy
+  FROM cnt WHERE n >= 15
+), e AS (
+  SELECT a.cell AS ca, b.cell AS cb
+  FROM dense a JOIN dense b
+    ON abs(a.ix - b.ix) <= 1 AND abs(a.iy - b.iy) <= 1 AND a.cell <> b.cell
+), reach(cell, r) AS (
+  SELECT cell, cell FROM dense
+  UNION
+  SELECT e.ca, reach.r FROM e JOIN reach ON e.cb = reach.cell
+)
+SELECT d.cell, d.n, m.cluster_id
+FROM dense d JOIN (SELECT cell, min(r) AS cluster_id FROM reach GROUP BY cell) m
+  USING (cell)
+"""
+
+
+def q115_od_flows(spark, sf_dir):
+    """Origin-destination flow matrix (mobility-analytics rollup): per
+    user, consecutive events whose res-5 grid cells differ contribute
+    one trip to the (origin, destination) cell pair. One window
+    (single lag) + one map-side-combinable groupBy — the flow matrix
+    is bounded by distinct cell pairs regardless of input scale."""
+    from pda_spark.operators import temporal
+
+    pts = _event_points(spark, sf_dir)
+    return temporal.od_flows(pts, res=5, min_flow=1)
+
+
+_N5 = 1 << 5
+
+Q115_SQL = f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+c AS (
+  SELECT user_id, event_id, ts,
+         (5::BIGINT * 288230376151711744
+          + (least(greatest(floor((lon + 180.0) / 360.0 * {_N5}), 0), {_N5 - 1})::BIGINT << 29)
+          + least(greatest(floor((lat + 90.0) / 180.0 * {_N5}), 0), {_N5 - 1})::BIGINT) AS cell
+  FROM pts
+), l AS (
+  SELECT cell, lag(cell) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM c
+)
+SELECT prev AS o_cell, cell AS d_cell, CAST(count(*) AS BIGINT) AS n_trips
+FROM l WHERE prev IS NOT NULL AND prev <> cell
+GROUP BY 1, 2
+"""
+
+
+def q116_pagerank(spark, sf_dir):
+    """Bounded-iteration PageRank over a deterministic 4-out-degree link
+    graph derived from doc ids (stride s_j = j + 4*(h_j mod M), j=1..4:
+    strides are distinct mod 4 and < N, so every node has exactly 4
+    distinct non-self out-links). Pinned at damping=0.5 / out-degree 4 /
+    3 iterations so every intermediate is an exact dyadic rational —
+    IEEE addition is associative for these values and the unrolled-CTE
+    oracle replays the floats bit-for-bit in any order. N and M ride a
+    broadcast one-row scalar (no driver collect)."""
+    from pda_spark.functions import graph
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    d = docs.crossJoin(F.broadcast(n)).withColumn("_m", F.expr("(_n - 1) div 4"))
+    e = d.select(
+        "doc_id", "_n", "_m", F.explode(F.array(*[F.lit(j) for j in (1, 2, 3, 4)])).alias("j")
+    ).select(
+        F.col("doc_id").alias("src"),
+        F.pmod(
+            F.col("doc_id")
+            + F.col("j")
+            + F.lit(4)
+            * F.pmod(
+                F.pmod(F.col("doc_id") * 1000003 + F.col("j") * 7919, F.lit(2147483647)),
+                F.col("_m"),
+            ),
+            F.col("_n"),
+        ).alias("dst"),
+    )
+    pr = graph.pagerank(docs.select(F.col("doc_id").alias("id")), e, iters=3, damping=0.5)
+    return pr.select(F.col("id").alias("doc_id"), F.col("rank").alias("pr_rank"))
+
+
+def _pagerank_sql(iters: int = 3) -> str:
+    """Unrolled one-CTE-pair-per-iteration oracle (the q111 per-level
+    CTE idiom): c_k = in-neighbor rank sums, r_k = 0.5 + 0.125 * s
+    (engine computes 0.5 * sum(r/4) — equal exactly, every value is an
+    exact dyadic rational at damping 0.5 / out-degree 4)."""
+    parts = [
+        "WITH nn AS (SELECT count(*)::BIGINT AS n, ((count(*) - 1) // 4)::BIGINT AS m FROM documents),",
+        "e AS (",
+        "  SELECT d.doc_id AS src,",
+        "         ((d.doc_id + js.j + 4 * (((d.doc_id * 1000003 + js.j * 7919) % 2147483647) % nn.m)) % nn.n) AS dst",
+        "  FROM documents d CROSS JOIN nn CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS j) js",
+        "),",
+        "r0 AS (SELECT doc_id, 1.0::DOUBLE AS r FROM documents)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f", c{k} AS (SELECT e.dst AS doc_id, sum(p.r) AS s"
+            f" FROM e JOIN r{k - 1} p ON p.doc_id = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f", r{k} AS (SELECT d.doc_id, 0.5::DOUBLE + 0.125::DOUBLE * coalesce(c{k}.s, 0.0::DOUBLE) AS r"
+            f" FROM documents d LEFT JOIN c{k} USING (doc_id))"
+        )
+    parts.append(f"SELECT doc_id, r AS pr_rank FROM r{iters}")
+    return "\n".join(parts)
+
+
+Q116_SQL = _pagerank_sql(3)
+
+
 def q111_hilbert(spark, sf_dir):
     """Hilbert-curve layout key (the stronger sibling of the q94
     Z-order: consecutive keys are always grid-adjacent, so row-group
@@ -4028,6 +4169,9 @@ QUERIES: dict[str, tuple] = {
     "q111_hilbert": (q111_hilbert, Q111_SQL),
     "q112_inverted_index": (q112_inverted_index, Q112_SQL),
     "q113_staypoints": (q113_staypoints, Q113_SQL),
+    "q114_density_clusters": (q114_density_clusters, Q114_SQL),
+    "q115_od_flows": (q115_od_flows, Q115_SQL),
+    "q116_pagerank": (q116_pagerank, Q116_SQL),
     "q109_morans_i": (q109_morans_i, Q109_SQL),
     "q110_paragraph_dedup": (q110_paragraph_dedup, Q110_SQL),
     "q104_tile_pyramid": (q104_tile_pyramid, Q104_SQL),

@@ -564,3 +564,99 @@ def test_staypoints_chain_segmentation(spark):
     assert (s2["sum_clon"], s2["sum_clat"]) == (1000 + 1001, 2000)
     assert s1["end_us"] - s1["start_us"] == 120_000_000
     assert s2["start_us"] > s1["end_us"]
+
+
+# ----------------------------------------------------- density clusters
+
+
+def test_density_clusters_hand_grid(spark):
+    """Two diagonal-linked blobs, one isolated dense cell, sub-threshold
+    cells excluded; labels are component minima; singleton labels
+    itself."""
+    res = 4
+    cells = [
+        # blob A: (1,1),(2,2) touch diagonally (queen)
+        (_mk(res, 1, 1), 10), (_mk(res, 2, 2), 12),
+        # blob B: (8,8),(8,9)
+        (_mk(res, 8, 8), 20), (_mk(res, 8, 9), 11),
+        # isolated dense
+        (_mk(res, 13, 2), 30),
+        # sub-threshold: adjacent to blob A but NOT dense -> no bridge
+        (_mk(res, 3, 3), 4),
+    ]
+    df = spark.createDataFrame(cells, "cell long, n long")
+    out = {r["cell"]: r for r in
+           tiling.density_clusters(df, res=res, min_pts=10).collect()}
+    assert set(out) == {c for c, v in cells if v >= 10}
+    a = min(_mk(res, 1, 1), _mk(res, 2, 2))
+    b = min(_mk(res, 8, 8), _mk(res, 8, 9))
+    assert out[_mk(res, 1, 1)]["cluster_id"] == a
+    assert out[_mk(res, 2, 2)]["cluster_id"] == a
+    assert out[_mk(res, 8, 8)]["cluster_id"] == b
+    assert out[_mk(res, 8, 9)]["cluster_id"] == b
+    assert out[_mk(res, 13, 2)]["cluster_id"] == _mk(res, 13, 2)
+    # the sub-threshold cell must not merge A with anything
+    assert out[_mk(res, 1, 1)]["cluster_id"] != b
+
+
+# ------------------------------------------------------------ OD flows
+
+
+def test_od_flows_hand_trajectory(spark):
+    """Hand trajectory: dwell steps (same cell) emit nothing; each
+    cross-cell step is one trip; flows aggregate across users."""
+    import datetime as dt
+
+    from pda_spark.operators import temporal
+
+    res = 4
+    # cell centers: pick lon/lat inside distinct res-4 cells
+    def lonlat(ix, iy):
+        return (-180.0 + (ix + 0.5) * 360.0 / 16, -90.0 + (iy + 0.5) * 180.0 / 16)
+
+    A, B, Cc = lonlat(3, 3), lonlat(4, 3), lonlat(5, 5)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: A A B A  -> A->B, B->A
+    for i, (lon, lat) in enumerate([A, A, B, A]):
+        rows.append((1, i, t0 + dt.timedelta(minutes=i), lon, lat))
+    # user 2: B C  -> B->C ; user 3: A B -> A->B (second A->B trip)
+    rows.append((2, 10, t0, B[0], B[1]))
+    rows.append((2, 11, t0 + dt.timedelta(minutes=1), Cc[0], Cc[1]))
+    rows.append((3, 20, t0, A[0], A[1]))
+    rows.append((3, 21, t0 + dt.timedelta(minutes=1), B[0], B[1]))
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, lon double, lat double")
+    out = {(r["o_cell"], r["d_cell"]): r["n_trips"]
+           for r in temporal.od_flows(df, res=res).collect()}
+    ca, cb, cc = _mk(res, 3, 3), _mk(res, 4, 3), _mk(res, 5, 5)
+    assert out == {(ca, cb): 2, (cb, ca): 1, (cb, cc): 1}
+
+
+# ------------------------------------------------------------ pagerank
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Variable-degree hand graph vs an independent numpy dense-matrix
+    power iteration at textbook damping 0.85; dangling node (4) keeps
+    rank but redistributes nothing; no-in-link node settles toward
+    (1-d)."""
+    from pda_spark.functions import graph
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]  # 4 dangling, 3 no-in
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    iters, d = 4, 0.85
+    out = {r["id"]: r["rank"] for r in graph.pagerank(nodes, e, iters=iters, damping=d).collect()}
+
+    import numpy as np
+
+    deg = {0: 2, 1: 1, 2: 1, 3: 1}
+    r = np.ones(5)
+    for _ in range(iters):
+        nxt = np.full(5, 1 - d)
+        for u, v in edges:
+            nxt[v] += d * r[u] / deg[u]
+        r = nxt
+    for i in range(5):
+        assert abs(out[i] - r[i]) < 1e-12, (i, out[i], r[i])
+    assert abs(out[3] - (1 - d)) < 1e-12  # no in-links: fixed at (1-d)
