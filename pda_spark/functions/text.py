@@ -599,3 +599,62 @@ def inverted_index(
     )
     df_tab = postings.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     return postings.join(df_tab, "term").select("term", "doc_id", "tf", "df", "positions")
+
+
+def term_cooccurrence(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_df_num: int = 1,
+    max_df_den: int = 1,
+    min_pair_num: int = 1,
+    min_pair_den: int = 1,
+) -> DataFrame:
+    """Term co-occurrence matrix (the count side of PMI / word-vector
+    features): one row per unordered term pair (term_a < term_b) that
+    appears together in a document, with n_ab (co-document frequency)
+    and each term's df — every emitted column an order-independent
+    integer; callers compute PMI = log(n_ab * N / (df_a * df_b))
+    downstream (the q72 one-division rule).
+
+    Thresholds are integer ratios so they stay SF-robust and exact:
+    keep terms with df >= min_df AND df * max_df_den <= max_df_num * N
+    (the stopword cap — at corpus scale an every-doc term would pair
+    with the whole vocabulary, so the df ceiling is the scale story,
+    exactly the df-cap rule the L2 Jaccard join uses); keep pairs with
+    n_ab * min_pair_den >= min_pair_num * N.
+
+    Scale shape: per-doc DISTINCT term sets (one shuffle on doc),
+    df-filtered, then a per-doc self-join — O(k^2) per doc where k is
+    the capped per-doc vocabulary — and one map-side-combinable pair
+    groupBy. Output is bounded by (kept vocabulary)^2 / 2."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).distinct()
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    kept = (
+        dfreq.crossJoin(F.broadcast(n))
+        .filter(
+            (F.col("df") >= F.lit(min_df))
+            & (F.col("df") * F.lit(max_df_den) <= F.lit(max_df_num) * F.col("n_docs"))
+        )
+        .select("tok", "df")
+    )
+    t = toks.join(kept, "tok")
+    pairs = (
+        t.select("doc_id", F.col("tok").alias("term_a"))
+        .join(t.select("doc_id", F.col("tok").alias("term_b")), "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    out = (
+        pairs.crossJoin(F.broadcast(n))
+        .filter(F.col("n_ab") * F.lit(min_pair_den) >= F.lit(min_pair_num) * F.col("n_docs"))
+        .join(kept.select(F.col("tok").alias("term_a"), F.col("df").alias("df_a")), "term_a")
+        .join(kept.select(F.col("tok").alias("term_b"), F.col("df").alias("df_b")), "term_b")
+    )
+    return out.select("term_a", "term_b", "n_ab", "df_a", "df_b")

@@ -202,3 +202,39 @@ def od_flows(
         .agg(F.count(F.lit(1)).cast("long").alias("n_trips"))
         .filter(F.col("n_trips") >= min_flow)
     )
+
+
+def mann_kendall_trend(
+    series: DataFrame,
+    key_col: str = "key",
+    t_col: str = "t",
+    x_col: str = "x",
+) -> DataFrame:
+    """Mann-Kendall trend statistic per key (the emerging-hot-spot /
+    space-time-cube primitive): S = sum over ordered time pairs (i < j)
+    of sign(x_j - x_i). S > 0 is an increasing trend, S < 0 decreasing;
+    |S| near n(n-1)/2 is monotone. Returns (key, n_t, s_stat) — all
+    integer-exact, so any engine reproduces the rows bit-for-bit.
+
+    Scale shape: the pair generation is a per-key self-join (shuffle
+    both sides on key), O(T^2) rows per key where T is the series
+    length — bounded by the analysis window (e.g. 30 daily bins), NOT
+    by the input row count: callers aggregate raw events to (key, t)
+    bins first, so a 100 TB event table enters this operator only as
+    cells x bins."""
+    a = series.select(
+        F.col(key_col).alias("_k"), F.col(t_col).alias("_t1"), F.col(x_col).alias("_x1")
+    )
+    b = series.select(
+        F.col(key_col).alias("_k"), F.col(t_col).alias("_t2"), F.col(x_col).alias("_x2")
+    )
+    s = (
+        a.join(b, "_k")
+        .filter(F.col("_t1") < F.col("_t2"))
+        .groupBy("_k")
+        .agg(F.sum(F.signum(F.col("_x2") - F.col("_x1")).cast("long")).alias("s_stat"))
+    )
+    n = series.groupBy(F.col(key_col).alias("_k")).agg(F.count(F.lit(1)).cast("long").alias("n_t"))
+    return n.join(s, "_k", "left").select(
+        F.col("_k").alias(key_col), "n_t", F.coalesce("s_stat", F.lit(0)).alias("s_stat")
+    )

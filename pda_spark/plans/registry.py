@@ -4125,6 +4125,94 @@ def _pagerank_sql(iters: int = 3) -> str:
 Q116_SQL = _pagerank_sql(3)
 
 
+def q117_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend per res-6 cell over daily event counts (the
+    emerging-hot-spot space-time statistic): raw events aggregate to a
+    dense (cell, day) grid first (distinct cells x distinct days — both
+    bounded dims, so the crossJoin is a labelled bounded grid, zeros
+    are real observations), then the O(T^2) per-cell pair self-join
+    sums sign(x_j - x_i). All integer-exact."""
+    from pda_spark.operators import temporal
+
+    res = 6
+    pts = _event_points(spark, sf_dir)
+    c = pts.select(
+        geo_udfs.cell_of_xy_expr(F.col("lon"), F.col("lat"), res).alias("cell"),
+        F.to_date("ts").alias("d"),
+    )
+    cnt = c.groupBy("cell", "d").agg(F.count(F.lit(1)).alias("n"))
+    grid = cnt.select("cell").distinct().crossJoin(c.select("d").distinct())
+    series = grid.join(cnt, ["cell", "d"], "left").select(
+        "cell", "d", F.coalesce("n", F.lit(0)).alias("x")
+    )
+    return temporal.mann_kendall_trend(series, key_col="cell", t_col="d", x_col="x")
+
+
+Q117_SQL = f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+c AS (
+  SELECT (6::BIGINT * 288230376151711744 + (ix << 29) + iy) AS cell, d FROM (
+    SELECT least(greatest(floor((lon + 180.0) / 360.0 * {_N6}), 0), {_N6 - 1})::BIGINT AS ix,
+           least(greatest(floor((lat + 90.0) / 180.0 * {_N6}), 0), {_N6 - 1})::BIGINT AS iy,
+           ts::DATE AS d
+    FROM pts)
+), cnt AS (
+  SELECT cell, d, count(*) AS n FROM c GROUP BY 1, 2
+), series AS (
+  SELECT g.cell, g.d, coalesce(cnt.n, 0)::BIGINT AS x
+  FROM (SELECT cell, d FROM (SELECT DISTINCT cell FROM cnt) CROSS JOIN (SELECT DISTINCT d FROM c)) g
+  LEFT JOIN cnt USING (cell, d)
+), s AS (
+  SELECT a.cell,
+         CAST(sum(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+  FROM series a JOIN series b ON a.cell = b.cell AND a.d < b.d
+  GROUP BY a.cell
+)
+SELECT n.cell, n.n_t, coalesce(s.s_stat, 0) AS s_stat
+FROM (SELECT cell, CAST(count(*) AS BIGINT) AS n_t FROM series GROUP BY cell) n
+LEFT JOIN s USING (cell)
+"""
+
+
+def q118_cooccurrence(spark, sf_dir):
+    """Term co-occurrence matrix with integer-ratio df/pair thresholds
+    (PMI count side): per-doc distinct term sets, df floor 5 with no
+    ceiling (this corpus has a 31-term vocabulary — the df-cap
+    parameter is exercised by pytest), pairs kept when they co-occur in
+    >= 60% of docs (n_ab * 5 >= 3 * N — SF-robust, exact, and the
+    filter provably bites: 427 of 465 raw pairs survive at sf0.01)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.term_cooccurrence(
+        docs, min_df=5, max_df_num=1, max_df_den=1, min_pair_num=3, min_pair_den=5
+    )
+
+
+Q118_SQL = r"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+    FROM documents)
+), dfreq AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY tok
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), kept AS (
+  SELECT tok, df FROM dfreq CROSS JOIN n WHERE df >= 5 AND df * 1 <= 1 * n_docs
+), t AS (
+  SELECT toks.doc_id, toks.tok FROM toks JOIN kept USING (tok)
+), p AS (
+  SELECT a.tok AS term_a, b.tok AS term_b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2
+)
+SELECT term_a, term_b, n_ab, ka.df AS df_a, kb.df AS df_b
+FROM p CROSS JOIN n
+JOIN kept ka ON ka.tok = p.term_a
+JOIN kept kb ON kb.tok = p.term_b
+WHERE n_ab * 5 >= 3 * n_docs
+"""
+
+
 def q111_hilbert(spark, sf_dir):
     """Hilbert-curve layout key (the stronger sibling of the q94
     Z-order: consecutive keys are always grid-adjacent, so row-group
@@ -4172,6 +4260,8 @@ QUERIES: dict[str, tuple] = {
     "q114_density_clusters": (q114_density_clusters, Q114_SQL),
     "q115_od_flows": (q115_od_flows, Q115_SQL),
     "q116_pagerank": (q116_pagerank, Q116_SQL),
+    "q117_mann_kendall": (q117_mann_kendall, Q117_SQL),
+    "q118_cooccurrence": (q118_cooccurrence, Q118_SQL),
     "q109_morans_i": (q109_morans_i, Q109_SQL),
     "q110_paragraph_dedup": (q110_paragraph_dedup, Q110_SQL),
     "q104_tile_pyramid": (q104_tile_pyramid, Q104_SQL),

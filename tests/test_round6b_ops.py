@@ -660,3 +660,87 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     for i in range(5):
         assert abs(out[i] - r[i]) < 1e-12, (i, out[i], r[i])
     assert abs(out[3] - (1 - d)) < 1e-12  # no in-links: fixed at (1-d)
+
+
+# ------------------------------------------------------------ mann-kendall
+
+
+def test_mann_kendall_vs_bruteforce(spark):
+    """Hand series per key vs an independent O(T^2) Python loop:
+    monotone-up hits the n(n-1)/2 ceiling, monotone-down its negative,
+    constant is 0, and a mixed series with ties matches the brute sum
+    of sign(x_j - x_i)."""
+    from pda_spark.operators import temporal
+
+    series = {
+        "up": [1, 2, 3, 5, 9],          # S = 10 = 5*4/2
+        "down": [9, 7, 4, 2],           # S = -6
+        "flat": [4, 4, 4, 4, 4, 4],     # S = 0
+        "mixed": [3, 1, 4, 1, 5, 9, 2, 6],
+    }
+    rows = [(k, t, x) for k, xs in series.items() for t, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "key string, t int, x int")
+    out = {r["key"]: (r["n_t"], r["s_stat"])
+           for r in temporal.mann_kendall_trend(df).collect()}
+
+    def brute(xs):
+        return sum(
+            (xs[j] > xs[i]) - (xs[j] < xs[i])
+            for i in range(len(xs)) for j in range(i + 1, len(xs))
+        )
+
+    for k, xs in series.items():
+        assert out[k] == (len(xs), brute(xs)), (k, out[k], brute(xs))
+    assert out["up"][1] == 10 and out["down"][1] == -6 and out["flat"][1] == 0
+
+
+def test_mann_kendall_singleton_key(spark):
+    """A key with one observation has no pairs: the left join must keep
+    it with s_stat coalesced to 0, not drop it."""
+    from pda_spark.operators import temporal
+
+    df = spark.createDataFrame([("solo", 0, 7)], "key string, t int, x int")
+    assert temporal.mann_kendall_trend(df).collect()[0].asDict() == {
+        "key": "solo", "n_t": 1, "s_stat": 0}
+
+
+# ------------------------------------------------------------ co-occurrence
+
+
+def test_term_cooccurrence_vs_bruteforce(spark):
+    """Hand corpus vs an itertools re-derivation; the df ceiling drops
+    the every-doc stopword ('the' has df=4, failing the 3/4 ceiling
+    df*4 <= 3*N), and a repeated token within one doc counts once
+    (distinct per-doc sets)."""
+    from itertools import combinations
+
+    from pda_spark.functions import text as T
+
+    docs = [
+        (1, "the cat sat sat on the mat"),
+        (2, "the cat ate the fish"),
+        (3, "the dog sat on the log"),
+        (4, "the dog ate a bone"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {(r["term_a"], r["term_b"]): (r["n_ab"], r["df_a"], r["df_b"])
+           for r in T.term_cooccurrence(
+               df, min_df=2, max_df_num=3, max_df_den=4,
+               min_pair_num=1, min_pair_den=4).collect()}
+
+    sets = {i: set(t.split()) for i, t in docs}
+    n = len(docs)
+    dfreq = {}
+    for s in sets.values():
+        for tok in s:
+            dfreq[tok] = dfreq.get(tok, 0) + 1
+    kept = {t for t, d in dfreq.items() if d >= 2 and d * 4 <= 3 * n}
+    assert "the" not in kept and "cat" in kept  # ceiling bites, floor keeps
+    pairs = {}
+    for s in sets.values():
+        for a, b in combinations(sorted(s & kept), 2):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    expect = {p: (c, dfreq[p[0]], dfreq[p[1]])
+              for p, c in pairs.items() if c * 4 >= 1 * n}
+    assert out == expect and len(out) > 0
+    assert all(a < b for a, b in out)  # unordered pairs emitted once
