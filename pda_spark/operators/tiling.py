@@ -393,6 +393,104 @@ def morans_i_components(
     )
 
 
+def getis_ord_components(
+    cell_counts: DataFrame,
+    res: int,
+    cell_col: str = "cell",
+    value_col: str = "n",
+) -> DataFrame:
+    """Local Getis-Ord Gi* hot-spot statistic per occupied cell — the
+    LOCAL sibling of ``morans_i_components`` (global autocorrelation)
+    and the spatial leg of emerging-hot-spot analysis (q117's
+    Mann-Kendall is the temporal leg). Binary queen weights INCLUDING
+    self (the * in Gi*), over the OCCUPIED cells only (the sparse
+    convention this module uses throughout).
+
+    Per cell i, with m = #occupied cells, sx = sum(x), sx2 = sum(x^2):
+
+        w_nbrs     = #occupied cells in i's 3x3 window (incl. i)
+        wx_sum     = sum of x over that window
+        num_scaled = m*wx_sum - sx*w_nbrs          [= m^2*(wx - x_bar*W)]
+        gi_z       = num_scaled / sqrt(A * B / (m-1))
+                     where A = m*sx2 - sx^2, B = m*w_nbrs - w_nbrs^2
+
+    (the textbook z-score: both numerator and the radicand are the
+    textbook forms scaled by m^2, which cancels). Every component is an
+    order-independent INTEGER, and the assembled float is the fixed op
+    sequence double(num) / sqrt(double(A) * double(B) / double(m-1)) —
+    each cast exact below 2^53, each op IEEE-correctly-rounded, so any
+    engine replays the identical double (the q109/q81 discipline).
+    gi_z is NULL when B = 0 (window covers every occupied cell) or
+    m < 2 — the statistic is undefined, not zero.
+
+    Scale shape: identical to morans_i_components — each occupied cell
+    scatters to its 9 window positions (pure bit math on the packed
+    id), one equi-join gathers onto occupied cells, one grouped sum;
+    runs on the per-cell aggregate, never the raw points. Integer
+    headroom contract: m*sx2 < 2^63 and per-cast legs < 2^53; at
+    larger scale emit components and assemble outside."""
+    n = 1 << res
+    ix = F.shiftright(F.col(cell_col), 29).bitwiseAND(F.lit((1 << 29) - 1))
+    iy = F.col(cell_col).bitwiseAND(F.lit((1 << 29) - 1))
+    base = cell_counts.select(
+        F.col(cell_col).alias("cell"),
+        ix.alias("ix"),
+        iy.alias("iy"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("_m"),
+        F.sum("_x").alias("_sx"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sx2"),
+    )
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    off = F.explode(
+        F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offs])
+    ).alias("o")
+    scattered = (
+        base.select("ix", "iy", "_x", off)
+        .select(
+            (F.col("ix") + F.col("o.dx")).alias("rix"),
+            (F.col("iy") + F.col("o.dy")).alias("riy"),
+            F.col("_x").alias("_xd"),
+        )
+        .filter(
+            (F.col("rix") >= 0) & (F.col("rix") < n)
+            & (F.col("riy") >= 0) & (F.col("riy") < n)
+        )
+    )
+    win = (
+        scattered.join(
+            base.select(
+                "cell", F.col("ix").alias("rix"), F.col("iy").alias("riy"), "_x"
+            ),
+            ["rix", "riy"],
+        )
+        .groupBy("cell", "_x")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("w_nbrs"),
+            F.sum("_xd").alias("wx_sum"),
+        )
+    )
+    out = win.crossJoin(F.broadcast(tot))
+    num = F.col("_m") * F.col("wx_sum") - F.col("_sx") * F.col("w_nbrs")
+    a = F.col("_m") * F.col("_sx2") - F.col("_sx") * F.col("_sx")
+    b = F.col("_m") * F.col("w_nbrs") - F.col("w_nbrs") * F.col("w_nbrs")
+    z = F.when(
+        (F.col("_m") >= F.lit(2)) & (b > F.lit(0)),
+        num.cast("double")
+        / F.sqrt(a.cast("double") * b.cast("double") / (F.col("_m") - F.lit(1)).cast("double")),
+    )
+    return out.select(
+        "cell",
+        F.col("_x").alias("x"),
+        "w_nbrs",
+        "wx_sum",
+        num.cast("long").alias("num_scaled"),
+        z.alias("gi_z"),
+    )
+
+
 def density_clusters(
     cell_counts: DataFrame,
     res: int,

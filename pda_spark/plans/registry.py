@@ -4213,6 +4213,59 @@ WHERE n_ab * 5 >= 3 * n_docs
 """
 
 
+def q119_getis_ord(spark, sf_dir):
+    """Local Getis-Ord Gi* hot-spot z-score per occupied res-7 event
+    cell (binary queen weights including self). All per-cell components
+    are order-independent integer sums and the assembled z replays a
+    fixed IEEE op sequence, so both engines emit identical doubles. The
+    oracle gathers each window with an inequality self-join (|dix|<=1
+    AND |diy|<=1, self included) against Spark's scatter-gather
+    equi-join — the window membership itself is cross-checked by a
+    different algorithm (the q109 pattern)."""
+    from pda_spark.operators import tiling
+
+    res = 7
+    pts = _event_points(spark, sf_dir)
+    cnt = (
+        pts.withColumn("cell", geo_udfs.cell_of_xy_expr(F.col("lon"), F.col("lat"), res))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return tiling.getis_ord_components(cnt, res=res)
+
+
+Q119_SQL = f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+cnt AS (
+  SELECT least(greatest(floor((lon + 180.0) / 360.0 * {_N7}), 0), {_N7 - 1})::BIGINT AS ix,
+         least(greatest(floor((lat + 90.0) / 180.0 * {_N7}), 0), {_N7 - 1})::BIGINT AS iy,
+         CAST(count(*) AS BIGINT) AS x
+  FROM pts GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sx2
+  FROM cnt
+), win AS (
+  SELECT a.ix, a.iy, a.x,
+         CAST(count(*) AS BIGINT) AS w_nbrs,
+         CAST(sum(b.x) AS BIGINT) AS wx_sum
+  FROM cnt a JOIN cnt b
+    ON abs(a.ix - b.ix) <= 1 AND abs(a.iy - b.iy) <= 1
+  GROUP BY 1, 2, 3
+)
+SELECT (7::BIGINT * 288230376151711744 + (ix << 29) + iy) AS cell,
+       x, w_nbrs, wx_sum,
+       m * wx_sum - sx * w_nbrs AS num_scaled,
+       CASE WHEN m >= 2 AND m * w_nbrs - w_nbrs * w_nbrs > 0 THEN
+         CAST(m * wx_sum - sx * w_nbrs AS DOUBLE)
+         / sqrt(CAST(m * sx2 - sx * sx AS DOUBLE)
+                * CAST(m * w_nbrs - w_nbrs * w_nbrs AS DOUBLE)
+                / CAST(m - 1 AS DOUBLE))
+       END AS gi_z
+FROM win CROSS JOIN tot
+"""
+
+
 def q111_hilbert(spark, sf_dir):
     """Hilbert-curve layout key (the stronger sibling of the q94
     Z-order: consecutive keys are always grid-adjacent, so row-group
@@ -4262,6 +4315,7 @@ QUERIES: dict[str, tuple] = {
     "q116_pagerank": (q116_pagerank, Q116_SQL),
     "q117_mann_kendall": (q117_mann_kendall, Q117_SQL),
     "q118_cooccurrence": (q118_cooccurrence, Q118_SQL),
+    "q119_getis_ord": (q119_getis_ord, Q119_SQL),
     "q109_morans_i": (q109_morans_i, Q109_SQL),
     "q110_paragraph_dedup": (q110_paragraph_dedup, Q110_SQL),
     "q104_tile_pyramid": (q104_tile_pyramid, Q104_SQL),

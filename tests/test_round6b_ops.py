@@ -744,3 +744,59 @@ def test_term_cooccurrence_vs_bruteforce(spark):
               for p, c in pairs.items() if c * 4 >= 1 * n}
     assert out == expect and len(out) > 0
     assert all(a < b for a, b in out)  # unordered pairs emitted once
+
+
+# ------------------------------------------------------------ getis-ord
+
+
+def test_getis_ord_vs_textbook(spark):
+    """Hand grid vs the unscaled textbook Gi* z-score computed in numpy
+    ((wx - x_bar*W) / (S*sqrt((n*W - W^2)/(n-1))), S the population sd)
+    — the operator's m^2-scaled integer components must cancel back to
+    the same float; window membership (incl. self, grid edges) checked
+    via the w_nbrs/wx_sum integers."""
+    import math
+
+    from pda_spark.operators import tiling
+
+    res = 4
+    # L-shaped occupied set with a hot corner; (0,0) sits on the grid edge
+    cells = {(0, 0): 9, (0, 1): 7, (1, 0): 5, (3, 3): 1, (3, 4): 2, (8, 8): 4}
+    rows = [(_mk(res, ix, iy), v) for (ix, iy), v in cells.items()]
+    df = spark.createDataFrame(rows, "cell long, n long")
+    out = {r["cell"]: r for r in tiling.getis_ord_components(df, res=res).collect()}
+    assert len(out) == len(cells)
+
+    m = len(cells)
+    sx = sum(cells.values())
+    sx2 = sum(v * v for v in cells.values())
+    xbar = sx / m
+    s_sd = math.sqrt(sx2 / m - xbar * xbar)
+    for (ix, iy), v in cells.items():
+        nb = [(jx, jy) for (jx, jy) in cells if abs(jx - ix) <= 1 and abs(jy - iy) <= 1]
+        w = len(nb)
+        wx = sum(cells[p] for p in nb)
+        r = out[_mk(res, ix, iy)]
+        assert (r["x"], r["w_nbrs"], r["wx_sum"]) == (v, w, wx)
+        assert r["num_scaled"] == m * wx - sx * w
+        expect = (wx - xbar * w) / (s_sd * math.sqrt((m * w - w * w) / (m - 1)))
+        assert abs(r["gi_z"] - expect) < 1e-12, ((ix, iy), r["gi_z"], expect)
+    # the isolated singleton (8,8) is its own whole window: W=1, wx=x
+    r88 = out[_mk(res, 8, 8)]
+    assert (r88["w_nbrs"], r88["wx_sum"]) == (1, 4)
+
+
+def test_getis_ord_degenerate_window_null(spark):
+    """Two adjacent occupied cells: each window covers ALL occupied
+    cells, so B = m*W - W^2 = 0 and gi_z must be NULL (undefined), with
+    the integer components still emitted."""
+    from pda_spark.operators import tiling
+
+    res = 4
+    df = spark.createDataFrame(
+        [(_mk(res, 5, 5), 3), (_mk(res, 5, 6), 8)], "cell long, n long"
+    )
+    rows = tiling.getis_ord_components(df, res=res).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["gi_z"] is None and r["w_nbrs"] == 2 and r["wx_sum"] == 11
