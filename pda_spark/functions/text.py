@@ -658,3 +658,104 @@ def term_cooccurrence(
         .join(kept.select(F.col("tok").alias("term_b"), F.col("df").alias("df_b")), "term_b")
     )
     return out.select("term_a", "term_b", "n_ab", "df_a", "df_b")
+
+
+def lm_coverage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    min_df_num: int = 0,
+    min_df_den: int = 1,
+    train_pct: int = 80,
+) -> DataFrame:
+    """N-gram language-model coverage stats per held-out document — the
+    count-based perplexity proxy a training pipeline uses to filter
+    low-quality / out-of-distribution text without a neural LM: a
+    unigram vocabulary and a distinct-bigram table are built from the
+    hash-split train partition (same md5-fold split as ``hash_split`` —
+    leakage-safe, stable under repartitioning), then every held-out doc
+    reports. Vocabulary admission is df >= min_df AND df * min_df_den
+    >= min_df_num * n_train — the ratio leg is SF-robust (the q118
+    integer-ratio discipline), so the same query drops the same
+    relative-rarity tokens at every scale.
+
+        n_tok        total tokens
+        n_oov        tokens outside the train vocabulary
+        n_bigrams    adjacent-token bigrams
+        n_bg_unseen  bigrams never seen in train
+
+    All four are order-independent integer counts (the q72 discipline:
+    the consumer computes OOV-rate / coverage with its own divisions).
+
+    Scale shape: vocab and bigram tables are plain aggregates of the
+    train partition; the per-doc legs are explode -> equi-join on the
+    token / (w1, w2) key -> one map-side-combinable grouped sum. No
+    broadcast hint: a 100 TB corpus's bigram table is itself large, so
+    the join strategy is left to AQE (broadcast at test SF, shuffle
+    join at scale). Bigrams come from a transform over slice — the
+    two-param lambda is (element, index) with a 0-based index, so
+    ``toks[i + 1]`` is the successor (the q96 lambda gotcha, used
+    deliberately here)."""
+    from pda_spark.functions.dedup import hex_to_long
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
+        (
+            F.pmod(hex_to_long(F.md5(F.col(id_col).cast("string"))), F.lit(100))
+            < F.lit(train_pct)
+        ).alias("is_train"),
+    )
+    bg = F.expr(
+        "transform(slice(toks, 1, size(toks) - 1), (w, i) -> struct(w AS w1, toks[i + 1] AS w2))"
+    )
+    tr = base.filter(F.col("is_train"))
+    ho = base.filter(~F.col("is_train"))
+    n_train = tr.agg(F.count(F.lit(1)).cast("long").alias("_ntr"))
+    vocab = (
+        tr.select("doc_id", F.explode("toks").alias("tok"))
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_train))
+        .filter(
+            (F.col("df") >= F.lit(min_df))
+            & (F.col("df") * F.lit(min_df_den) >= F.lit(min_df_num) * F.col("_ntr"))
+        )
+        .select("tok", F.lit(1).alias("_inv"))
+    )
+    tr_bg = (
+        tr.select(F.explode(bg).alias("b"))
+        .select("b.w1", "b.w2")
+        .distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    uni = (
+        ho.select("doc_id", F.explode("toks").alias("tok"))
+        .join(vocab, "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0)).cast("long").alias("n_oov"),
+        )
+    )
+    bgs = (
+        ho.select("doc_id", F.explode(bg).alias("b"))
+        .select("doc_id", "b.w1", "b.w2")
+        .join(tr_bg, ["w1", "w2"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_bg_unseen"),
+        )
+    )
+    return uni.join(bgs, "doc_id", "left").select(
+        "doc_id",
+        "n_tok",
+        "n_oov",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("n_bg_unseen", F.lit(0)).cast("long").alias("n_bg_unseen"),
+    )

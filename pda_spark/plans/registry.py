@@ -4213,6 +4213,62 @@ WHERE n_ab * 5 >= 3 * n_docs
 """
 
 
+def q120_lm_coverage(spark, sf_dir):
+    """Unigram-OOV + bigram-coverage stats per held-out doc against the
+    md5-hash train split (the count-based perplexity proxy; q53's split,
+    q72's integer-counts-only discipline). Vocabulary admits tokens
+    with df >= 10% of train docs (integer ratio, SF-robust): the
+    corpus's one rare token ('dup', ~5% df at every SF) drops out, so
+    the OOV counter is provably exercised alongside n_bg_unseen."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.lm_coverage(docs, min_df=1, min_df_num=1, min_df_den=10, train_pct=80)
+
+
+Q120_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '\s+') AS toks,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100 < 80
+           AS is_train
+  FROM documents
+), tr_tok AS (
+  SELECT DISTINCT doc_id, unnest(toks) AS tok FROM d WHERE is_train
+), ntr AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_train FROM d WHERE is_train
+), vocab AS (
+  SELECT tok, 1 AS inv FROM tr_tok CROSS JOIN ntr
+  GROUP BY tok, n_train
+  HAVING count(*) >= 1 AND count(*) * 10 >= 1 * n_train
+), tr_bg AS (
+  SELECT DISTINCT toks[i] AS w1, toks[i + 1] AS w2, 1 AS seen
+  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM d WHERE is_train)
+), ho_tok AS (
+  SELECT doc_id, unnest(toks) AS tok FROM d WHERE NOT is_train
+), uni AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(sum(CASE WHEN v.inv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+  FROM ho_tok LEFT JOIN vocab v USING (tok)
+  GROUP BY doc_id
+), ho_bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM d WHERE NOT is_train)
+), bg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(CASE WHEN t.seen IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bg_unseen
+  FROM ho_bg LEFT JOIN tr_bg t USING (w1, w2)
+  GROUP BY doc_id
+)
+SELECT uni.doc_id, n_tok, n_oov,
+       coalesce(n_bigrams, 0) AS n_bigrams,
+       coalesce(n_bg_unseen, 0) AS n_bg_unseen
+FROM uni LEFT JOIN bg USING (doc_id)
+"""
+
+
 def q119_getis_ord(spark, sf_dir):
     """Local Getis-Ord Gi* hot-spot z-score per occupied res-7 event
     cell (binary queen weights including self). All per-cell components
@@ -4316,6 +4372,7 @@ QUERIES: dict[str, tuple] = {
     "q117_mann_kendall": (q117_mann_kendall, Q117_SQL),
     "q118_cooccurrence": (q118_cooccurrence, Q118_SQL),
     "q119_getis_ord": (q119_getis_ord, Q119_SQL),
+    "q120_lm_coverage": (q120_lm_coverage, Q120_SQL),
     "q109_morans_i": (q109_morans_i, Q109_SQL),
     "q110_paragraph_dedup": (q110_paragraph_dedup, Q110_SQL),
     "q104_tile_pyramid": (q104_tile_pyramid, Q104_SQL),

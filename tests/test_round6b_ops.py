@@ -800,3 +800,61 @@ def test_getis_ord_degenerate_window_null(spark):
     assert len(rows) == 2
     for r in rows:
         assert r["gi_z"] is None and r["w_nbrs"] == 2 and r["wx_sum"] == 11
+
+
+# ------------------------------------------------------------ lm coverage
+
+
+def test_lm_coverage_vs_bruteforce(spark):
+    """Hand corpus vs a pure-Python re-derivation that re-implements the
+    md5 split, the ratio-thresholded vocabulary, the train bigram set,
+    and the per-held-out-doc counters independently; asserts both
+    splits are non-empty and at least one OOV and one unseen bigram
+    occur."""
+    import hashlib
+    from pda_spark.functions import text as T
+
+    corpus = {
+        1: "the cat sat on the mat",
+        2: "the dog sat on a log",
+        3: "a cat and a dog",
+        4: "the rare quokka sat quietly",
+        5: "dog eats the cat food",
+        6: "cat naps on the mat",
+        7: "a dog and the cat",
+        8: "mat cat dog the a on",
+        9: "the the the cat cat",
+        10: "on a mat sat a dog",
+        11: "zebra jumps over the cat",
+        12: "the dog on the mat",
+    }
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_tok"], r["n_oov"], r["n_bigrams"], r["n_bg_unseen"])
+           for r in T.lm_coverage(df, min_df=1, min_df_num=1, min_df_den=4).collect()}
+
+    def is_train(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16) % 100 < 80
+
+    train = {i for i in corpus if is_train(i)}
+    held = set(corpus) - train
+    assert train and held and set(out) == held
+    toks = {i: corpus[i].split() for i in corpus}
+    dfreq = {}
+    for i in train:
+        for t in set(toks[i]):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    vocab = {t for t, d in dfreq.items() if d * 4 >= len(train)}
+    tr_bg = {(a, b) for i in train for a, b in zip(toks[i], toks[i][1:])}
+    expect = {}
+    for i in held:
+        ts = toks[i]
+        bgs = list(zip(ts, ts[1:]))
+        expect[i] = (
+            len(ts),
+            sum(1 for t in ts if t not in vocab),
+            len(bgs),
+            sum(1 for b in bgs if b not in tr_bg),
+        )
+    assert out == expect
+    assert any(v[1] > 0 for v in out.values())  # OOV exercised
+    assert any(v[3] > 0 for v in out.values())  # unseen bigram exercised
