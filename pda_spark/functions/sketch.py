@@ -1,0 +1,93 @@
+"""Distributed data sketches, expressed relationally so they stay
+mergeable, deterministic, and oracle-replayable.
+
+Spark's own approx_count_distinct / percentile_approx are
+implementation-defined (no cross-engine twin can replay them), so the
+sketches here are built from first principles on portable primitives:
+the md5 hex fold (``dedup.hex_to_long``) for hashing and bin()-length
+bit math both engines share. Reference: the HyperLogLog construction of
+Flajolet et al. 2007 (register = top p hash bits, rho = leading-zero
+rank of the rest); the relational formulation — sketch AS a table,
+merge AS max-groupBy — is the standard large-scale shape (e.g.
+BigQuery/DataSketches HLL union semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pda_spark.functions.dedup import hex_to_long
+
+_HASH_BITS = 48  # md5 hex fold width (12 hex chars, dedup.hex_to_long)
+
+
+def hll_registers(df: DataFrame, col: str, p: int = 8) -> DataFrame:
+    """HyperLogLog register table for the distinct count of ``col``:
+    one row per OCCUPIED register, (register, max_rho). The register is
+    the top ``p`` bits of the 48-bit md5 fold; rho is the position of
+    the highest set bit of the remaining b = 48-p bits counted from the
+    top (1..b, or b+1 when they are all zero) — computed as
+    b - length(bin(v)) + 1, pure integer, identical in both engines.
+
+    This IS the sketch, in relational form: the groupBy-max is
+    map-side combinable, two sketches union by unioning the tables and
+    re-running the same max — the property that makes HLL the 100 TB
+    distinct-count tool (one pass, 2^p state, no shuffle of raw
+    values). The estimator is left to the consumer (alpha_m * m^2 /
+    (sum 2^-rho + empty registers)) — emitting integer registers
+    instead of the float estimate keeps the operator order-independent
+    and bit-exact (the q72/q109 discipline).
+    """
+    if not 2 <= p <= 16:
+        raise ValueError(f"p must be in [2, 16], got {p}")
+    b = _HASH_BITS - p
+    h = hex_to_long(F.md5(F.col(col).cast("string")))
+    v = h.bitwiseAND(F.lit((1 << b) - 1))
+    rho = (
+        F.when(v == F.lit(0), F.lit(b + 1))
+        .otherwise(F.lit(b + 1) - F.length(F.bin(v)))
+        .cast("long")
+    )
+    return (
+        df.select(
+            F.shiftright(h, b).alias("register"),
+            rho.alias("rho"),
+        )
+        .groupBy("register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
+    """Assemble the HLL cardinality estimate from a register table —
+    one row (m_registers, n_occupied, s_scaled, estimate). s_scaled =
+    sum over occupied registers of 2^(B+1-rho) with B = 48-p (an
+    integer: rho <= B+1), so sum(2^-rho) = s_scaled / 2^(B+1) exactly;
+    empty registers contribute 2^0 each after scaling. The single float
+    expression (alpha_m * m^2 * 2^(B+1)) / (s_scaled + empties*2^(B+1))
+    is one division over exact integers — replayable anywhere. Uses the
+    standard alpha_m = 0.7213/(1+1.079/m) (m >= 128); no small-range
+    linear-counting correction (docstring contract — callers at tiny n
+    should read n_occupied directly)."""
+    m = 1 << p
+    b1 = _HASH_BITS - p + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.agg(
+        F.count(F.lit(1)).cast("long").alias("n_occupied"),
+        # shiftleft with a column shift amount needs the SQL form (the
+        # python wrapper's numBits is int-only)
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {b1} - max_rho)"))
+        .cast("long")
+        .alias("s_scaled"),
+    )
+    denom = (
+        F.col("s_scaled") + (F.lit(m) - F.col("n_occupied")) * F.lit(1 << b1)
+    ).cast("double")
+    est = F.lit(alpha * m * m * float(1 << b1)) / denom
+    return agg.select(
+        F.lit(m).cast("long").alias("m_registers"),
+        "n_occupied",
+        "s_scaled",
+        est.alias("estimate"),
+    )

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from pda_spark.functions import dedup, geo_udfs, graph, similarity, text
+from pda_spark.functions import dedup, geo_udfs, graph, similarity, sketch, text
 from pda_spark.geo import wkb as W
 from pda_spark.operators import spatial_join
 
@@ -4213,6 +4213,67 @@ WHERE n_ab * 5 >= 3 * n_docs
 """
 
 
+_HLL_P = 8
+_HLL_B = 48 - _HLL_P                      # remaining hash bits
+_HLL_MASK = (1 << _HLL_B) - 1
+_HLL_M = 1 << _HLL_P
+# the combined estimator constant alpha_m * m^2 * 2^(B+1), computed ONCE
+# here with a fixed op order and repr-embedded into the SQL twin so both
+# engines parse the identical double literal
+_HLL_NUM = 0.7213 / (1.0 + 1.079 / _HLL_M) * _HLL_M * _HLL_M * float(1 << (_HLL_B + 1))
+
+
+def q121_hll_registers(spark, sf_dir):
+    """HyperLogLog register table (p=8) for distinct l_orderkey — the
+    mergeable distinct-count sketch as a relational op: register = top
+    8 bits of the 48-bit md5 fold, max_rho = leading-zero rank of the
+    remaining 40 bits via bin()-length bit math. Every cell is an
+    integer max — order-independent, engine-portable, and map-side
+    combinable (the property that makes this the 100 TB distinct-count
+    tool: one pass, 256 rows of state)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return sketch.hll_registers(li, "l_orderkey", p=_HLL_P)
+
+
+Q121_SQL = f"""
+WITH h AS (
+  SELECT ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM lineitem
+)
+SELECT h >> {_HLL_B} AS register,
+       CAST(max(CASE WHEN (h & {_HLL_MASK}) = 0 THEN {_HLL_B + 1}
+                     ELSE {_HLL_B + 1} - length(bin(h & {_HLL_MASK})) END) AS BIGINT)
+         AS max_rho
+FROM h GROUP BY 1
+"""
+
+
+def q122_hll_estimate(spark, sf_dir):
+    """HLL cardinality estimate assembled from the q121 register table:
+    s_scaled = sum 2^(B+1-rho) keeps the harmonic sum an exact integer;
+    the single float op is repr-shared-constant / exact-integer-cast
+    division, so both engines emit the identical double (the q119
+    fixed-op-sequence discipline)."""
+    li = _t(spark, sf_dir, "lineitem")
+    regs = sketch.hll_registers(li, "l_orderkey", p=_HLL_P)
+    return sketch.hll_estimate(regs, p=_HLL_P)
+
+
+Q122_SQL = f"""
+WITH regs AS ({Q121_SQL}),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_occupied,
+         CAST(sum(1::BIGINT << ({_HLL_B + 1} - max_rho)) AS BIGINT) AS s_scaled
+  FROM regs
+)
+SELECT {_HLL_M}::BIGINT AS m_registers, n_occupied, s_scaled,
+       {_HLL_NUM!r}
+         / CAST(s_scaled + ({_HLL_M} - n_occupied) * {1 << (_HLL_B + 1)} AS DOUBLE)
+         AS estimate
+FROM agg
+"""
+
+
 def q120_lm_coverage(spark, sf_dir):
     """Unigram-OOV + bigram-coverage stats per held-out doc against the
     md5-hash train split (the count-based perplexity proxy; q53's split,
@@ -4373,6 +4434,8 @@ QUERIES: dict[str, tuple] = {
     "q118_cooccurrence": (q118_cooccurrence, Q118_SQL),
     "q119_getis_ord": (q119_getis_ord, Q119_SQL),
     "q120_lm_coverage": (q120_lm_coverage, Q120_SQL),
+    "q121_hll_registers": (q121_hll_registers, Q121_SQL),
+    "q122_hll_estimate": (q122_hll_estimate, Q122_SQL),
     "q109_morans_i": (q109_morans_i, Q109_SQL),
     "q110_paragraph_dedup": (q110_paragraph_dedup, Q110_SQL),
     "q104_tile_pyramid": (q104_tile_pyramid, Q104_SQL),

@@ -858,3 +858,55 @@ def test_lm_coverage_vs_bruteforce(spark):
     assert out == expect
     assert any(v[1] > 0 for v in out.values())  # OOV exercised
     assert any(v[3] > 0 for v in out.values())  # unseen bigram exercised
+
+
+# ------------------------------------------------------------ hll sketch
+
+
+def test_hll_registers_vs_python(spark):
+    """Register/rho assignment vs an independent hashlib re-derivation
+    (top-8-bit register, leading-zero rank of the remaining 40 bits),
+    and the estimate lands within 5 standard errors (1.04/sqrt(m)) of
+    the true cardinality."""
+    import hashlib
+
+    from pda_spark.functions import sketch
+
+    n = 5000
+    ids = [f"item-{i}" for i in range(n)]
+    df = spark.createDataFrame([(s,) for s in ids], "k string")
+    regs = {r["register"]: r["max_rho"]
+            for r in sketch.hll_registers(df, "k", p=8).collect()}
+
+    expect = {}
+    for s in ids:
+        h = int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+        reg, v = h >> 40, h & ((1 << 40) - 1)
+        rho = 41 if v == 0 else 41 - v.bit_length()
+        expect[reg] = max(expect.get(reg, 0), rho)
+    assert regs == expect
+
+    est = sketch.hll_estimate(sketch.hll_registers(df, "k", p=8), p=8).collect()[0]
+    rel = abs(est["estimate"] - n) / n
+    assert rel < 5 * 1.04 / (256 ** 0.5), (est["estimate"], rel)
+    assert est["n_occupied"] == len(expect)
+
+
+def test_hll_merge_is_union(spark):
+    """The defining HLL property: max-merging two register tables gives
+    exactly the register table of the concatenated input — duplication
+    across the halves is free."""
+    from pyspark.sql import functions as F
+
+    from pda_spark.functions import sketch
+
+    a = spark.createDataFrame([(f"x-{i}",) for i in range(0, 700)], "k string")
+    b = spark.createDataFrame([(f"x-{i}",) for i in range(300, 1000)], "k string")
+    merged = (
+        sketch.hll_registers(a, "k").unionAll(sketch.hll_registers(b, "k"))
+        .groupBy("register").agg(F.max("max_rho").alias("max_rho"))
+    )
+    whole = sketch.hll_registers(a.unionAll(b), "k")
+    got = {r["register"]: r["max_rho"] for r in merged.collect()}
+    want = {r["register"]: r["max_rho"] for r in whole.collect()}
+    assert got == want
