@@ -238,3 +238,65 @@ def mann_kendall_trend(
     return n.join(s, "_k", "left").select(
         F.col("_k").alias(key_col), "n_t", F.coalesce("s_stat", F.lit(0)).alias("s_stat")
     )
+
+
+def hausdorff_join(
+    points: DataFrame,
+    pairs: DataFrame,
+    key_col: str = "key",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Symmetric (discrete) Hausdorff distance between keyed point sets
+    — the classic trajectory/shape similarity measure: H(A,B) =
+    max(h(A->B), h(B->A)) with h(A->B) = max over a of min over b of
+    d(a,b). ``pairs`` is the candidate-pair table (key_a, key_b) — the
+    caller blocks (shared-cell join, od_flows co-travel, top-k
+    shortlist) and this kernel scores; at 100 TB the blocking IS the
+    scalability decision, so it stays explicit rather than hidden.
+
+    Emits (key_a, key_b, hausdorff_sq) with the SQUARED planar
+    distance: d2 = dx*dx + dy*dy is a fixed IEEE op sequence and the
+    min/max lattice over identical doubles is order-independent, so
+    any engine replays the value bit-for-bit (no sqrt, no sum — the
+    q119 discipline applied to an extremum aggregate).
+
+    Shape: one point-pair equi-join on the pair key (cost = sum over
+    pairs of |A|*|B| — bounded by the blocking), then two grouped
+    min/max cascades sharing the joined table; all JVM, map-side
+    combinable at every level. Point identity is the coordinate pair
+    itself: duplicate positions collapse, which leaves every min/max
+    unchanged (the Hausdorff distance is a set statistic)."""
+    pa = points.select(
+        F.col(key_col).alias("key_a"),
+        F.col(x_col).alias("_xa"),
+        F.col(y_col).alias("_ya"),
+    )
+    pb = points.select(
+        F.col(key_col).alias("key_b"),
+        F.col(x_col).alias("_xb"),
+        F.col(y_col).alias("_yb"),
+    )
+    d2 = (F.col("_xa") - F.col("_xb")) * (F.col("_xa") - F.col("_xb")) + (
+        F.col("_ya") - F.col("_yb")
+    ) * (F.col("_ya") - F.col("_yb"))
+    cross = (
+        pairs.join(pa, "key_a")
+        .join(pb, "key_b")
+        .select("key_a", "key_b", "_xa", "_ya", "_xb", "_yb", d2.alias("_d2"))
+    )
+    h_ab = (
+        cross.groupBy("key_a", "key_b", "_xa", "_ya")
+        .agg(F.min("_d2").alias("_m"))
+        .groupBy("key_a", "key_b")
+        .agg(F.max("_m").alias("_hab"))
+    )
+    h_ba = (
+        cross.groupBy("key_a", "key_b", "_xb", "_yb")
+        .agg(F.min("_d2").alias("_m"))
+        .groupBy("key_a", "key_b")
+        .agg(F.max("_m").alias("_hba"))
+    )
+    return h_ab.join(h_ba, ["key_a", "key_b"]).select(
+        "key_a", "key_b", F.greatest("_hab", "_hba").alias("hausdorff_sq")
+    )

@@ -4274,6 +4274,54 @@ FROM agg
 """
 
 
+def q123_hausdorff(spark, sf_dir):
+    """Symmetric discrete Hausdorff distance between user trajectories
+    (users with id % 30 == 0; all ordered pairs within the subset as
+    the explicit candidate set — the operator's blocking stays with the
+    caller). hausdorff_sq is a min/max lattice over per-pair fixed
+    IEEE squared distances, so no sum ordering exists to diverge and
+    both engines emit identical doubles."""
+    from pda_spark.operators import temporal
+
+    pts = _event_points(spark, sf_dir).filter(F.pmod(F.col("user_id"), F.lit(30)) == 0)
+    traj = pts.select(
+        F.col("user_id").alias("k"), F.col("lon").alias("x"), F.col("lat").alias("y")
+    )
+    keys = traj.select("k").distinct()
+    pairs = keys.select(F.col("k").alias("key_a")).join(
+        keys.select(F.col("k").alias("key_b")), F.col("key_a") < F.col("key_b")
+    )
+    return temporal.hausdorff_join(traj, pairs, key_col="k", x_col="x", y_col="y")
+
+
+Q123_SQL = f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+p AS (
+  SELECT user_id AS k, lon AS x, lat AS y FROM pts WHERE user_id % 30 = 0
+), ks AS (
+  SELECT DISTINCT k FROM p
+), prs AS (
+  SELECT a.k AS key_a, b.k AS key_b FROM ks a JOIN ks b ON a.k < b.k
+), cr AS (
+  SELECT pr.key_a, pr.key_b, pa.x AS xa, pa.y AS ya, pb.x AS xb, pb.y AS yb,
+         (pa.x - pb.x) * (pa.x - pb.x) + (pa.y - pb.y) * (pa.y - pb.y) AS d2
+  FROM prs pr
+  JOIN p pa ON pa.k = pr.key_a
+  JOIN p pb ON pb.k = pr.key_b
+), hab AS (
+  SELECT key_a, key_b, max(m) AS hab FROM (
+    SELECT key_a, key_b, xa, ya, min(d2) AS m FROM cr GROUP BY 1, 2, 3, 4)
+  GROUP BY 1, 2
+), hba AS (
+  SELECT key_a, key_b, max(m) AS hba FROM (
+    SELECT key_a, key_b, xb, yb, min(d2) AS m FROM cr GROUP BY 1, 2, 3, 4)
+  GROUP BY 1, 2
+)
+SELECT key_a, key_b, greatest(hab, hba) AS hausdorff_sq
+FROM hab JOIN hba USING (key_a, key_b)
+"""
+
+
 def q120_lm_coverage(spark, sf_dir):
     """Unigram-OOV + bigram-coverage stats per held-out doc against the
     md5-hash train split (the count-based perplexity proxy; q53's split,
@@ -4436,6 +4484,7 @@ QUERIES: dict[str, tuple] = {
     "q120_lm_coverage": (q120_lm_coverage, Q120_SQL),
     "q121_hll_registers": (q121_hll_registers, Q121_SQL),
     "q122_hll_estimate": (q122_hll_estimate, Q122_SQL),
+    "q123_hausdorff": (q123_hausdorff, Q123_SQL),
     "q109_morans_i": (q109_morans_i, Q109_SQL),
     "q110_paragraph_dedup": (q110_paragraph_dedup, Q110_SQL),
     "q104_tile_pyramid": (q104_tile_pyramid, Q104_SQL),

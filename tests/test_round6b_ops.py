@@ -910,3 +910,40 @@ def test_hll_merge_is_union(spark):
     got = {r["register"]: r["max_rho"] for r in merged.collect()}
     want = {r["register"]: r["max_rho"] for r in whole.collect()}
     assert got == want
+
+
+# ------------------------------------------------------------ hausdorff
+
+
+def test_hausdorff_vs_scipy_style_bruteforce(spark):
+    """Hand trajectories vs an independent O(n*m) Python double loop
+    (the scipy.directed_hausdorff definition); asymmetric fixture makes
+    h(A->B) != h(B->A) so the symmetric max is actually exercised, and
+    a duplicated point shows set semantics."""
+    from pda_spark.operators import temporal
+
+    trajs = {
+        1: [(0.0, 0.0), (1.0, 0.0), (2.0, 0.0), (2.0, 0.0)],  # dup point
+        2: [(0.0, 1.0), (1.0, 1.0)],
+        3: [(10.0, 10.0), (11.0, 12.0), (9.5, 10.5)],
+    }
+    rows = [(k, x, y) for k, ps in trajs.items() for x, y in ps]
+    pts = spark.createDataFrame(rows, "k long, x double, y double")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "key_a long, key_b long"
+    )
+    out = {(r["key_a"], r["key_b"]): r["hausdorff_sq"]
+           for r in temporal.hausdorff_join(pts, pairs, key_col="k").collect()}
+
+    def d2(p, q):
+        return (p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2
+
+    def hdir(a, b):
+        return max(min(d2(p, q) for q in b) for p in a)
+
+    for ka, kb in [(1, 2), (1, 3), (2, 3)]:
+        expect = max(hdir(trajs[ka], trajs[kb]), hdir(trajs[kb], trajs[ka]))
+        assert out[(ka, kb)] == expect, ((ka, kb), out[(ka, kb)], expect)
+    # directions genuinely differ for (1,2): (2,0) is 2+1 away from B,
+    # while every B point is 1 away from A
+    assert hdir(trajs[1], trajs[2]) != hdir(trajs[2], trajs[1])
