@@ -611,3 +611,89 @@ def focal_stats(
         win.cast("long").alias("win_cells"),
         (F.col("focal_sum").cast("double") / win.cast("double")).alias("focal_mean"),
     )
+
+
+def dbscan(
+    points: DataFrame,
+    eps: float,
+    min_pts: int,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Point-level DBSCAN (Ester et al. 1996) — the exact-eps sibling of
+    ``density_clusters`` (which clusters pre-aggregated grid cells):
+    a point is CORE when >= min_pts points (self included) lie within
+    eps; core points within eps of each other share a cluster
+    (transitively); a non-core point within eps of a core is a BORDER
+    member of the minimum core cluster touching it (the deterministic
+    tie-break — textbook DBSCAN leaves border assignment order-defined,
+    which no distributed engine should reproduce); everything else is
+    NOISE (cluster_id NULL). Cluster id = minimum member point id.
+    Returns (id, is_core, cluster_id).
+
+    Spark-first shape: neighbor candidates come from an eps-sized grid
+    (gx = floor(x/eps)) — each point scatters to its 3x3 cells (pure
+    arithmetic, 9x rows) and one equi-join against the unscattered
+    table yields every pair at distance <= eps exactly once, because
+    |gx_a - gx_b| <= 1 whenever d <= eps. The exact d2 <= eps^2 filter
+    runs on the join output; per-point degree is one map-side
+    combinable count; core-core edges feed the large-star/small-star
+    ``connected_components`` (O(log n) rounds). No KD-tree, no driver
+    state — every step is a shuffle on grid or id keys, which is the
+    published trillion-row DBSCAN-on-MapReduce shape."""
+    from pda_spark.functions.graph import connected_components
+
+    eps2 = eps * eps
+    base = points.select(
+        F.col(id_col).alias("_pid"),
+        F.col(x_col).alias("_x"),
+        F.col(y_col).alias("_y"),
+        F.floor(F.col(x_col) / F.lit(eps)).alias("gx"),
+        F.floor(F.col(y_col) / F.lit(eps)).alias("gy"),
+    )
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    off = F.explode(
+        F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offs])
+    ).alias("o")
+    scattered = base.select("_pid", "_x", "_y", "gx", "gy", off).select(
+        F.col("_pid").alias("_a"),
+        F.col("_x").alias("_xa"),
+        F.col("_y").alias("_ya"),
+        (F.col("gx") + F.col("o.dx")).alias("gx"),
+        (F.col("gy") + F.col("o.dy")).alias("gy"),
+    )
+    d2 = (F.col("_xa") - F.col("_x")) * (F.col("_xa") - F.col("_x")) + (
+        F.col("_ya") - F.col("_y")
+    ) * (F.col("_ya") - F.col("_y"))
+    nb = (
+        scattered.join(base, ["gx", "gy"])
+        .filter(d2 <= F.lit(eps2))
+        .select(F.col("_a"), F.col("_pid").alias("_b"))
+    )
+    deg = nb.groupBy("_a").agg(F.count(F.lit(1)).alias("_deg"))
+    core = deg.filter(F.col("_deg") >= F.lit(min_pts)).select(F.col("_a").alias("_c"))
+    core_edges = (
+        nb.join(core.select(F.col("_c").alias("_a")), "_a")
+        .join(core.select(F.col("_c").alias("_b")), "_b")
+        .filter(F.col("_a") != F.col("_b"))
+    )
+    cc = connected_components(core_edges, src="_a", dst="_b")
+    core_lab = core.join(cc, core["_c"] == cc["id"], "left").select(
+        F.col("_c"), F.coalesce(F.col("component"), F.col("_c")).alias("_cl")
+    )
+    border_lab = (
+        nb.join(core_lab.select(F.col("_c").alias("_b"), "_cl"), "_b")
+        .groupBy("_a")
+        .agg(F.min("_cl").alias("_bl"))
+    )
+    out = (
+        base.select("_pid")
+        .join(core_lab.select(F.col("_c").alias("_pid"), F.col("_cl")), "_pid", "left")
+        .join(border_lab.select(F.col("_a").alias("_pid"), "_bl"), "_pid", "left")
+    )
+    return out.select(
+        F.col("_pid").alias(id_col),
+        F.col("_cl").isNotNull().alias("is_core"),
+        F.coalesce("_cl", "_bl").alias("cluster_id"),
+    )

@@ -4322,6 +4322,90 @@ FROM hab JOIN hba USING (key_a, key_b)
 """
 
 
+def q124_dbscan(spark, sf_dir):
+    """Point-level DBSCAN (eps=0.3, min_pts=10) over a derived point
+    set with real cluster structure: each user contributes a tight blob
+    (side 0.2 — a full eps-clique, diameter 0.283 < eps) around a
+    user-determined integer center >= 1.0 from its neighbors, and every
+    50th event is a scatter point — so cores, borders AND noise all
+    occur at every SF. All coordinate arithmetic is the same fixed
+    float op sequence in both engines (the _event_points discipline);
+    the oracle re-derives the full algorithm with a recursive-CTE
+    reachability closure against Spark's large-star/small-star CC."""
+    from pda_spark.operators import tiling
+
+    ev = _t(spark, sf_dir, "events")
+    is_scatter = F.pmod(F.col("event_id"), F.lit(50)) == 0
+    bx = (
+        F.pmod(F.col("user_id"), F.lit(40))
+        + F.pmod(F.col("event_id") * 31, F.lit(21)) / 100.0
+        - 0.1
+    )
+    by = (
+        F.pmod(F.expr("user_id div 40"), F.lit(25))
+        + F.pmod(F.col("event_id") * 57, F.lit(21)) / 100.0
+        - 0.1
+    )
+    sx = F.pmod(F.col("event_id") * 97 + F.col("user_id") * 13, F.lit(4000)) / 100.0
+    sy = F.pmod(F.col("event_id") * 41 + F.col("user_id") * 7, F.lit(2500)) / 100.0
+    pts = ev.filter(F.pmod(F.col("user_id"), F.lit(3)) == 0).select(
+        F.col("event_id").alias("id"),
+        F.when(is_scatter, sx).otherwise(bx).alias("x"),
+        F.when(is_scatter, sy).otherwise(by).alias("y"),
+    )
+    return tiling.dbscan(pts, eps=0.3, min_pts=10)
+
+
+Q124_SQL = """
+WITH RECURSIVE base AS (
+  SELECT event_id AS id,
+         CASE WHEN event_id % 50 = 0
+           THEN (event_id * 97 + user_id * 13) % 4000 / 100.0
+           ELSE (user_id % 40) + (event_id * 31) % 21 / 100.0 - 0.1 END AS x,
+         CASE WHEN event_id % 50 = 0
+           THEN (event_id * 41 + user_id * 7) % 2500 / 100.0
+           ELSE (user_id // 40) % 25 + (event_id * 57) % 21 / 100.0 - 0.1 END AS y
+  FROM events WHERE user_id % 3 = 0
+), g AS (
+  SELECT id, x, y,
+         floor(x / 0.3)::BIGINT AS gx, floor(y / 0.3)::BIGINT AS gy
+  FROM base
+), nb AS (
+  SELECT a.id AS ia, b.id AS ib
+  FROM (SELECT id, x, y, gx + dx AS gx, gy + dy AS gy
+        FROM g,
+             unnest(generate_series(-1, 1)) AS t1(dx),
+             unnest(generate_series(-1, 1)) AS t2(dy)) a
+  JOIN g b ON a.gx = b.gx AND a.gy = b.gy
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 0.3 * 0.3
+), deg AS (
+  SELECT ia AS id, count(*) AS deg FROM nb GROUP BY 1
+), core AS (
+  SELECT id FROM deg WHERE deg >= 10
+), ce AS (
+  SELECT ia, ib FROM nb
+  JOIN core ca ON ca.id = nb.ia
+  JOIN core cb ON cb.id = nb.ib
+  WHERE ia <> ib
+), reach(id, r) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT ce.ia, reach.r FROM ce JOIN reach ON ce.ib = reach.id
+), core_lab AS (
+  SELECT id, min(r) AS cl FROM reach GROUP BY id
+), border_lab AS (
+  SELECT nb.ia AS id, min(core_lab.cl) AS bl
+  FROM nb JOIN core_lab ON core_lab.id = nb.ib
+  GROUP BY 1
+)
+SELECT b.id, core_lab.id IS NOT NULL AS is_core,
+       coalesce(core_lab.cl, border_lab.bl) AS cluster_id
+FROM base b
+LEFT JOIN core_lab ON core_lab.id = b.id
+LEFT JOIN border_lab ON border_lab.id = b.id
+"""
+
+
 def q120_lm_coverage(spark, sf_dir):
     """Unigram-OOV + bigram-coverage stats per held-out doc against the
     md5-hash train split (the count-based perplexity proxy; q53's split,
@@ -4485,6 +4569,7 @@ QUERIES: dict[str, tuple] = {
     "q121_hll_registers": (q121_hll_registers, Q121_SQL),
     "q122_hll_estimate": (q122_hll_estimate, Q122_SQL),
     "q123_hausdorff": (q123_hausdorff, Q123_SQL),
+    "q124_dbscan": (q124_dbscan, Q124_SQL),
     "q109_morans_i": (q109_morans_i, Q109_SQL),
     "q110_paragraph_dedup": (q110_paragraph_dedup, Q110_SQL),
     "q104_tile_pyramid": (q104_tile_pyramid, Q104_SQL),

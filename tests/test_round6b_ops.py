@@ -947,3 +947,60 @@ def test_hausdorff_vs_scipy_style_bruteforce(spark):
     # directions genuinely differ for (1,2): (2,0) is 2+1 away from B,
     # while every B point is 1 away from A
     assert hdir(trajs[1], trajs[2]) != hdir(trajs[2], trajs[1])
+
+
+# ------------------------------------------------------------ dbscan
+
+
+def test_dbscan_vs_bruteforce(spark):
+    """Hand point set vs an independent textbook DBSCAN (python sets +
+    BFS closure): two chained clusters, a border point attached to the
+    smaller-labelled cluster, and isolated noise. eps-grid blocking must
+    reproduce the exact-distance result."""
+    from pda_spark.operators import tiling
+
+    pts = {
+        # cluster A: 5-point eps-chain (eps=1.1, min_pts=3)
+        1: (0.0, 0.0), 2: (1.0, 0.0), 3: (2.0, 0.0), 4: (1.0, 1.0), 5: (0.0, 1.0),
+        # cluster B
+        6: (10.0, 10.0), 7: (11.0, 10.0), 8: (10.0, 11.0), 9: (11.0, 11.0),
+        # border of A: within eps of core 3 only, degree 2 < min_pts
+        10: (3.0, 0.0),
+        # noise
+        11: (50.0, 50.0),
+    }
+    eps, min_pts = 1.1, 3
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in pts.items()], "id long, x double, y double"
+    )
+    out = {r["id"]: (r["is_core"], r["cluster_id"])
+           for r in tiling.dbscan(df, eps=eps, min_pts=min_pts).collect()}
+
+    def d2(a, b):
+        return (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
+
+    nb = {i: {j for j in pts if d2(pts[i], pts[j]) <= eps * eps} for i in pts}
+    cores = {i for i in pts if len(nb[i]) >= min_pts}
+    lab = {}
+    for c in sorted(cores):
+        if c in lab:
+            continue
+        comp, stack = set(), [c]
+        while stack:
+            u = stack.pop()
+            if u in comp:
+                continue
+            comp.add(u)
+            stack.extend(v for v in nb[u] if v in cores and v not in comp)
+        for u in comp:
+            lab[u] = min(comp)
+    expect = {}
+    for i in pts:
+        if i in cores:
+            expect[i] = (True, lab[i])
+        else:
+            near_cores = [lab[j] for j in nb[i] if j in cores]
+            expect[i] = (False, min(near_cores) if near_cores else None)
+    assert out == expect
+    assert expect[10] == (False, 1) and expect[11] == (False, None)  # border+noise
+    assert expect[1][1] != expect[6][1]  # two distinct clusters
