@@ -91,3 +91,53 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
         "s_scaled",
         est.alias("estimate"),
     )
+
+
+def cms_build(df: DataFrame, col: str, d: int = 4, w: int = 64) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) as a relational
+    op: d independent hash rows x w counters, built as the table
+    (hrow, bucket, cnt) — at most d*w rows regardless of input size.
+    Hash i is the md5 fold of 'i:<value>' (the seed folded into the
+    hashed string keeps every engine's md5 identical), bucket = hash
+    mod w. Like ``hll_registers`` this IS the sketch in relational
+    form: counters are one map-side-combinable grouped count, two
+    sketches merge by unioning and re-summing, and the estimate
+    (``cms_query``) never touches raw data again. All integers —
+    order-independent and engine-exact."""
+    if d < 1 or w < 2:
+        raise ValueError(f"need d >= 1, w >= 2, got d={d} w={w}")
+    rows = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("hrow")
+    tagged = df.select(F.col(col).cast("string").alias("_v")).select("_v", rows)
+    bucket = F.pmod(
+        hex_to_long(F.md5(F.concat(F.col("hrow").cast("string"), F.lit(":"), F.col("_v")))),
+        F.lit(w),
+    )
+    return (
+        tagged.select("hrow", bucket.alias("bucket"))
+        .groupBy("hrow", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_query(cms: DataFrame, items: DataFrame, col: str, d: int = 4, w: int = 64) -> DataFrame:
+    """Point-frequency estimates from a ``cms_build`` table: for each
+    item, est = min over the d rows of the counter its hash lands in
+    (0 when a row's counter is absent — the sketch table only stores
+    touched buckets). The classic CMS guarantee holds: est >= true
+    count, with overshoot bounded by collisions. One explode + one
+    equi-join against the (tiny) sketch + one grouped min; the raw
+    stream is never re-read — the point of a sketch at 100 TB."""
+    rows = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("hrow")
+    tagged = items.select(F.col(col).alias("item")).select(
+        "item", F.col("item").cast("string").alias("_v"), rows
+    )
+    bucket = F.pmod(
+        hex_to_long(F.md5(F.concat(F.col("hrow").cast("string"), F.lit(":"), F.col("_v")))),
+        F.lit(w),
+    )
+    probes = tagged.select("item", "hrow", bucket.alias("bucket"))
+    return (
+        probes.join(F.broadcast(cms), ["hrow", "bucket"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
+    )

@@ -4274,6 +4274,53 @@ FROM agg
 """
 
 
+def q125_cms_build(spark, sf_dir):
+    """Count-min sketch table (d=4, w=64) over the l_suppkey stream —
+    the frequency sibling of the q121 HLL: d*w integer counters from
+    one map-side-combinable grouped count, mergeable by union+re-sum.
+    Hash seeds fold into the hashed string so both engines' md5 agree
+    byte-for-byte."""
+    li = _t(spark, sf_dir, "lineitem")
+    return sketch.cms_build(li, "l_suppkey", d=4, w=64)
+
+
+Q125_SQL = """
+WITH t AS (
+  SELECT CAST(l_suppkey AS VARCHAR) AS v FROM lineitem
+), x AS (
+  SELECT r, ('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || v), 1, 12))::BIGINT % 64
+           AS bucket
+  FROM t, unnest(generate_series(0, 3)) AS s(r)
+)
+SELECT r AS hrow, bucket, CAST(count(*) AS BIGINT) AS cnt FROM x GROUP BY 1, 2
+"""
+
+
+def q126_cms_estimates(spark, sf_dir):
+    """Point-frequency estimates for every supplier key from the q125
+    sketch: est = min over the 4 hash rows of the landed counter. The
+    CMS overestimate guarantee (est >= true count) is asserted by
+    pytest; the gate replays the exact integers."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    cms = sketch.cms_build(li, "l_suppkey", d=4, w=64)
+    return sketch.cms_query(cms, sup, "s_suppkey", d=4, w=64)
+
+
+Q126_SQL = f"""
+WITH cms AS ({Q125_SQL}),
+probes AS (
+  SELECT s_suppkey AS item, r AS hrow,
+         ('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || CAST(s_suppkey AS VARCHAR)), 1, 12))::BIGINT % 64
+           AS bucket
+  FROM supplier, unnest(generate_series(0, 3)) AS s(r)
+)
+SELECT item, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+FROM probes LEFT JOIN cms USING (hrow, bucket)
+GROUP BY item
+"""
+
+
 def q123_hausdorff(spark, sf_dir):
     """Symmetric discrete Hausdorff distance between user trajectories
     (users with id % 30 == 0; all ordered pairs within the subset as
@@ -4570,6 +4617,8 @@ QUERIES: dict[str, tuple] = {
     "q122_hll_estimate": (q122_hll_estimate, Q122_SQL),
     "q123_hausdorff": (q123_hausdorff, Q123_SQL),
     "q124_dbscan": (q124_dbscan, Q124_SQL),
+    "q125_cms_build": (q125_cms_build, Q125_SQL),
+    "q126_cms_estimates": (q126_cms_estimates, Q126_SQL),
     "q109_morans_i": (q109_morans_i, Q109_SQL),
     "q110_paragraph_dedup": (q110_paragraph_dedup, Q110_SQL),
     "q104_tile_pyramid": (q104_tile_pyramid, Q104_SQL),

@@ -1004,3 +1004,43 @@ def test_dbscan_vs_bruteforce(spark):
     assert out == expect
     assert expect[10] == (False, 1) and expect[11] == (False, None)  # border+noise
     assert expect[1][1] != expect[6][1]  # two distinct clusters
+
+
+# ------------------------------------------------------------ count-min
+
+
+def test_cms_overestimate_and_merge(spark):
+    """The two defining CMS properties against exact truth: every
+    estimate >= the true count (never under), and union+re-sum of two
+    half-stream sketches equals the whole-stream sketch. Also checks
+    the never-seen item path (est can only come from collisions)."""
+    from pyspark.sql import functions as F
+
+    from pda_spark.functions import sketch
+
+    stream = [f"k{i % 17}" for i in range(400)] + ["hot"] * 100
+    df = spark.createDataFrame([(s,) for s in stream], "v string")
+    cms = sketch.cms_build(df, "v", d=4, w=32)
+    items = spark.createDataFrame(
+        [(k,) for k in {*stream, "never-seen"}], "v string"
+    )
+    est = {r["item"]: r["est"]
+           for r in sketch.cms_query(cms, items, "v", d=4, w=32).collect()}
+    true = {}
+    for s in stream:
+        true[s] = true.get(s, 0) + 1
+    for k, t in true.items():
+        assert est[k] >= t, (k, est[k], t)
+    assert est["hot"] >= 100
+    assert est["never-seen"] >= 0  # pure-collision path exercised
+
+    a = spark.createDataFrame([(s,) for s in stream[:250]], "v string")
+    b = spark.createDataFrame([(s,) for s in stream[250:]], "v string")
+    merged = (
+        sketch.cms_build(a, "v", d=4, w=32)
+        .unionAll(sketch.cms_build(b, "v", d=4, w=32))
+        .groupBy("hrow", "bucket").agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    got = {(r["hrow"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    want = {(r["hrow"], r["bucket"]): r["cnt"] for r in cms.collect()}
+    assert got == want
