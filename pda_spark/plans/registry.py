@@ -4274,6 +4274,44 @@ FROM agg
 """
 
 
+def q127_triangles(spark, sf_dir):
+    """Per-node triangle counts over the co-purchase graph (parts are
+    adjacent when some order contains both). Spark runs the
+    degree-ordered orientation (wedges only at the low-rank apex — the
+    skew-safe shape); the oracle counts the same triangles with the
+    id-ordered a<b<c 3-way self-join — two genuinely different
+    algorithms, identical per-node integers."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .distinct()
+    )
+    return graph.triangle_counts(edges)
+
+
+Q127_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT id, CAST(count(*) AS BIGINT) AS n_tri
+FROM (SELECT a AS id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+GROUP BY id
+"""
+
+
 def q125_cms_build(spark, sf_dir):
     """Count-min sketch table (d=4, w=64) over the l_suppkey stream —
     the frequency sibling of the q121 HLL: d*w integer counters from
@@ -4619,6 +4657,7 @@ QUERIES: dict[str, tuple] = {
     "q124_dbscan": (q124_dbscan, Q124_SQL),
     "q125_cms_build": (q125_cms_build, Q125_SQL),
     "q126_cms_estimates": (q126_cms_estimates, Q126_SQL),
+    "q127_triangles": (q127_triangles, Q127_SQL),
     "q109_morans_i": (q109_morans_i, Q109_SQL),
     "q110_paragraph_dedup": (q110_paragraph_dedup, Q110_SQL),
     "q104_tile_pyramid": (q104_tile_pyramid, Q104_SQL),

@@ -1044,3 +1044,33 @@ def test_cms_overestimate_and_merge(spark):
     got = {(r["hrow"], r["bucket"]): r["cnt"] for r in merged.collect()}
     want = {(r["hrow"], r["bucket"]): r["cnt"] for r in cms.collect()}
     assert got == want
+
+
+# ------------------------------------------------------------ triangles
+
+
+def test_triangle_counts_vs_bruteforce(spark):
+    """Hand graph (two triangles sharing an edge + a pendant + a
+    4-cycle with no triangle) vs itertools combinations; also feeds the
+    operator directed/duplicated edges to check canonicalization."""
+    from itertools import combinations
+
+    from pda_spark.functions import graph
+
+    und = [(1, 2), (2, 3), (1, 3), (3, 4), (2, 4),   # triangles 123, 234
+           (4, 5),                                    # pendant
+           (6, 7), (7, 8), (8, 9), (9, 6)]            # square, no tri
+    # present each edge messy: reversed + duplicated
+    rows = und + [(b, a) for a, b in und] + und[:3]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    out = {r["id"]: r["n_tri"] for r in graph.triangle_counts(df).collect()}
+
+    nodes = {n for e in und for n in e}
+    eset = {frozenset(e) for e in und}
+    expect = {}
+    for a, b, c in combinations(sorted(nodes), 3):
+        if {frozenset((a, b)), frozenset((b, c)), frozenset((a, c))} <= eset:
+            for n in (a, b, c):
+                expect[n] = expect.get(n, 0) + 1
+    assert out == expect
+    assert sum(out.values()) % 3 == 0 and sum(out.values()) // 3 == 2
