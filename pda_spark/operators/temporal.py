@@ -300,3 +300,100 @@ def hausdorff_join(
     return h_ab.join(h_ba, ["key_a", "key_b"]).select(
         "key_a", "key_b", F.greatest("_hab", "_hba").alias("hausdorff_sq")
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    window_us: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """Earliest-cascade event funnel (the product-analytics windowFunnel):
+    the population is every user with a step-1 event; t1 = their
+    earliest step-1 timestamp, and t_k = the earliest step-k event
+    strictly after t_{k-1} and within ``window_us`` of t1. Returns
+    (user, t1..tN, funnel_level = completed prefix length).
+
+    Earliest-cascade is the DETERMINISTIC funnel definition: each level
+    is a min over a filtered set, so the result is order-independent
+    and engine-exact. (The maximal variant — "does ANY step-1 event
+    admit a completion" — needs per-user sequence scans; this cascade
+    is the standard one-pass-per-level relational form.) Note
+    timestamps are integer microseconds (unix_micros / epoch_us — the
+    q84 portability rule).
+
+    Scale shape: one grouped min per level over a type-filtered join
+    against the (one-row-per-user) cascade so far — each level is an
+    equi-join on the user key plus a map-side-combinable min; level
+    count is the only multiplier, never the event volume."""
+    if len(steps) < 2:
+        raise ValueError("funnel needs >= 2 steps")
+    base = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_ty"),
+        F.col(ts_col).cast("long").alias("_us"),
+    )
+    cur = (
+        base.filter(F.col("_ty") == steps[0])
+        .groupBy("_u")
+        .agg(F.min("_us").alias("t1"))
+    )
+    for k, step in enumerate(steps[1:], start=2):
+        prev = f"t{k - 1}"
+        nxt = (
+            base.filter(F.col("_ty") == step)
+            .join(cur.select("_u", "t1", F.col(prev).alias("_tp")), "_u")
+            .filter(
+                (F.col("_us") > F.col("_tp"))
+                & (F.col("_us") <= F.col("t1") + F.lit(window_us))
+            )
+            .groupBy("_u")
+            .agg(F.min("_us").alias(f"t{k}"))
+        )
+        cur = cur.join(nxt, "_u", "left")
+    level = F.lit(1)
+    for k in range(2, len(steps) + 1):
+        level = level + F.when(F.col(f"t{k}").isNotNull(), 1).otherwise(0)
+    return cur.select(
+        F.col("_u").alias(user_col),
+        *[f"t{k}" for k in range(1, len(steps) + 1)],
+        level.cast("long").alias("funnel_level"),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    period_us: int = 7 * 86400 * 1_000_000,
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the period (epoch
+    week by default) of their FIRST event; each later active period
+    counts them once at its offset. Returns (cohort_period, offset,
+    n_users) — the table behind every retention curve/heatmap. Periods
+    are integer epoch-microsecond floors (us div period), calendar-free
+    and engine-exact.
+
+    Shape: one per-user min (cohort), one distinct (user, period)
+    activity table, one broadcast-able join back, one grouped count —
+    every step keyed on user or (cohort, offset), all map-side
+    combinable; nothing scans events twice."""
+    # Spark `div` truncates toward zero while DuckDB `//` floors — they
+    # agree only for NONNEGATIVE epochs (post-1970 data; documented
+    # contract, same as q93's packing arithmetic)
+    base = events.select(
+        F.col(user_col).alias("_u"),
+        F.expr(f"CAST({ts_col} AS BIGINT) div {int(period_us)}").alias("_p"),
+    )
+    cohort = base.groupBy("_u").agg(F.min("_p").alias("_c"))
+    active = base.distinct()
+    return (
+        active.join(cohort, "_u")
+        .groupBy(
+            F.col("_c").alias("cohort_period"),
+            (F.col("_p") - F.col("_c")).alias("offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

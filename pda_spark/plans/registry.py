@@ -4274,6 +4274,81 @@ FROM agg
 """
 
 
+def q128_funnel(spark, sf_dir):
+    """Earliest-cascade funnel view -> click -> purchase with a 7-day
+    completion window from t1. All timestamps are integer epoch
+    microseconds (unix_micros / epoch_us, the q84 rule); every level is
+    a min over a filtered set, so the cascade is order-independent and
+    engine-exact. Partial funnels (NULL t2/t3) are kept — the level
+    histogram is the product metric."""
+    from pda_spark.operators import temporal
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return temporal.funnel(
+        ev, steps=["view", "click", "purchase"], window_us=7 * 86400 * 1_000_000
+    )
+
+
+Q128_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+), s1 AS (
+  SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(us) AS t2
+  FROM e JOIN s1 USING (user_id)
+  WHERE event_type = 'click' AND us > t1 AND us <= t1 + {7 * 86400 * 1_000_000}
+  GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min(us) AS t3
+  FROM e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+  WHERE event_type = 'purchase' AND us > t2 AND us <= t1 + {7 * 86400 * 1_000_000}
+  GROUP BY 1
+)
+SELECT s1.user_id, t1, t2, t3,
+       CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS funnel_level
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
+def q129_cohort_retention(spark, sf_dir):
+    """Daily cohort retention matrix over PURCHASE events: cohort =
+    epoch-day of the user's first purchase (first purchases spread over
+    several days, so multiple cohorts exist at every SF — the weekly
+    all-events variant collapsed to one cohort), offsets count distinct
+    active days — pure integer floor-division periods (nonnegative-
+    epoch contract), three integer columns."""
+    from pda_spark.operators import temporal
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+    )
+    return temporal.cohort_retention(ev, period_us=86400 * 1_000_000)
+
+
+Q129_SQL = f"""
+WITH base AS (
+  SELECT user_id AS u, epoch_us(ts) // {86400 * 1_000_000} AS p
+  FROM events WHERE event_type = 'purchase'
+), cohort AS (
+  SELECT u, min(p) AS c FROM base GROUP BY 1
+), active AS (
+  SELECT DISTINCT u, p FROM base
+)
+SELECT c AS cohort_period, p - c AS offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM active JOIN cohort USING (u)
+GROUP BY 1, 2
+"""
+
+
 def q127_triangles(spark, sf_dir):
     """Per-node triangle counts over the co-purchase graph (parts are
     adjacent when some order contains both). Spark runs the
@@ -4658,6 +4733,8 @@ QUERIES: dict[str, tuple] = {
     "q125_cms_build": (q125_cms_build, Q125_SQL),
     "q126_cms_estimates": (q126_cms_estimates, Q126_SQL),
     "q127_triangles": (q127_triangles, Q127_SQL),
+    "q128_funnel": (q128_funnel, Q128_SQL),
+    "q129_cohort_retention": (q129_cohort_retention, Q129_SQL),
     "q109_morans_i": (q109_morans_i, Q109_SQL),
     "q110_paragraph_dedup": (q110_paragraph_dedup, Q110_SQL),
     "q104_tile_pyramid": (q104_tile_pyramid, Q104_SQL),

@@ -1074,3 +1074,76 @@ def test_triangle_counts_vs_bruteforce(spark):
                 expect[n] = expect.get(n, 0) + 1
     assert out == expect
     assert sum(out.values()) % 3 == 0 and sum(out.values()) // 3 == 2
+
+
+# ------------------------------------------------------------ funnel
+
+
+def test_funnel_vs_bruteforce(spark):
+    """Hand event streams vs a Python earliest-cascade re-derivation:
+    full completion, window-expired step, wrong-order events (purchase
+    before click doesn't count), strictly-after semantics at equal
+    timestamps, and a user with no step-1 event excluded."""
+    from pda_spark.operators import temporal
+
+    W = 100
+    ev = [
+        # u1 completes: view@10, click@20, purchase@30
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # u2: click inside window, purchase outside (10+100 < 200)
+        (2, "view", 10), (2, "click", 50), (2, "purchase", 200),
+        # u3: purchase BEFORE click -> level 2 only
+        (3, "view", 10), (3, "purchase", 15), (3, "click", 40),
+        # u4: click at exactly t1 -> NOT strictly after -> level 1
+        (4, "view", 10), (4, "click", 10),
+        # u5: no view at all -> excluded
+        (5, "click", 5), (5, "purchase", 6),
+        # u6: earliest-cascade pins t1=5 even though the later view@50
+        # would admit completion -> this is the documented semantics
+        (6, "view", 5), (6, "view", 50), (6, "click", 60), (6, "purchase", 300),
+    ]
+    df = spark.createDataFrame(ev, "user_id long, event_type string, ts_us long")
+    out = {r["user_id"]: (r["t1"], r["t2"], r["t3"], r["funnel_level"])
+           for r in temporal.funnel(df, ["view", "click", "purchase"], W).collect()}
+
+    def cascade(rows):
+        t1 = min((t for ty, t in rows if ty == "view"), default=None)
+        if t1 is None:
+            return None
+        t2 = min((t for ty, t in rows if ty == "click" and t > t1 and t <= t1 + W),
+                 default=None)
+        t3 = None
+        if t2 is not None:
+            t3 = min((t for ty, t in rows if ty == "purchase" and t > t2 and t <= t1 + W),
+                     default=None)
+        lvl = 1 + (t2 is not None) + (t3 is not None)
+        return (t1, t2, t3, lvl)
+
+    expect = {}
+    for u in {r[0] for r in ev}:
+        c = cascade([(ty, t) for uu, ty, t in ev if uu == u])
+        if c is not None:
+            expect[u] = c
+    assert out == expect
+    assert out[1][3] == 3 and out[2][3] == 2 and out[3][3] == 2
+    assert out[4][3] == 1 and 5 not in out
+    assert out[6] == (5, 60, None, 2)  # cascade pins the EARLIEST t1
+
+
+# ------------------------------------------------------------ retention
+
+
+def test_cohort_retention_vs_bruteforce(spark):
+    """Hand activity vs a dict re-derivation; two cohorts, gaps in the
+    offset axis, dedup of multiple same-period events."""
+    from pda_spark.operators import temporal
+
+    P = 10
+    ev = [(1, 1), (1, 2), (1, 12), (1, 35),          # cohort 0: active 0,1,3
+          (2, 5), (2, 7),                            # cohort 0: active 0 only
+          (3, 21), (3, 39), (3, 41)]                 # cohort 2: active 0,1,2
+    df = spark.createDataFrame(ev, "user_id long, ts_us long")
+    out = {(r["cohort_period"], r["offset"]): r["n_users"]
+           for r in temporal.cohort_retention(df, period_us=P).collect()}
+    expect = {(0, 0): 2, (0, 1): 1, (0, 3): 1, (2, 0): 1, (2, 1): 1, (2, 2): 1}
+    assert out == expect
