@@ -4274,6 +4274,42 @@ FROM agg
 """
 
 
+def q130_skyline(spark, sf_dir):
+    """3-criteria skyline over parts: cheapest price (min) vs largest
+    size (max) vs most-ordered quantity (max). Spark runs the two-phase
+    local-frontier algorithm; the oracle is the textbook NOT EXISTS
+    dominance query — the Pareto SET is unique, so any correct
+    algorithm matches it exactly. qty is an integer sum (order-
+    independent); price/size pass through unchanged from the scan."""
+    from pda_spark.operators import pareto
+
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    agg = (
+        p.join(li, p["p_partkey"] == li["l_partkey"], "left")
+        .groupBy("p_partkey", "p_retailprice", "p_size")
+        .agg(F.coalesce(F.sum("l_quantity"), F.lit(0)).cast("long").alias("qty"))
+    )
+    return pareto.skyline(agg, minimize=["p_retailprice"], maximize=["p_size", "qty"])
+
+
+Q130_SQL = """
+WITH agg AS (
+  SELECT p.p_partkey, p.p_retailprice, p.p_size,
+         CAST(coalesce(sum(l.l_quantity), 0) AS BIGINT) AS qty
+  FROM part p LEFT JOIN lineitem l ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2, 3
+)
+SELECT * FROM agg a
+WHERE NOT EXISTS (
+  SELECT 1 FROM agg b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND b.qty >= a.qty
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size
+         OR b.qty > a.qty))
+"""
+
+
 def q128_funnel(spark, sf_dir):
     """Earliest-cascade funnel view -> click -> purchase with a 7-day
     completion window from t1. All timestamps are integer epoch
@@ -4735,6 +4771,7 @@ QUERIES: dict[str, tuple] = {
     "q127_triangles": (q127_triangles, Q127_SQL),
     "q128_funnel": (q128_funnel, Q128_SQL),
     "q129_cohort_retention": (q129_cohort_retention, Q129_SQL),
+    "q130_skyline": (q130_skyline, Q130_SQL),
     "q109_morans_i": (q109_morans_i, Q109_SQL),
     "q110_paragraph_dedup": (q110_paragraph_dedup, Q110_SQL),
     "q104_tile_pyramid": (q104_tile_pyramid, Q104_SQL),

@@ -1147,3 +1147,31 @@ def test_cohort_retention_vs_bruteforce(spark):
            for r in temporal.cohort_retention(df, period_us=P).collect()}
     expect = {(0, 0): 2, (0, 1): 1, (0, 3): 1, (2, 0): 1, (2, 1): 1, (2, 2): 1}
     assert out == expect
+
+
+# ------------------------------------------------------------ skyline
+
+
+def test_skyline_vs_bruteforce(spark):
+    """Random-ish hand grid vs a double-loop dominance check; includes
+    an exact-duplicate frontier point (both must survive — equal rows
+    never dominate each other) and a mixed min/max criterion set.
+    Partition-independence: the same set comes back at 1 and 8
+    partitions (phase-1 local filtering is lossless)."""
+    from pda_spark.operators import pareto
+
+    rows = [(i, (i * 37) % 11, (i * 53) % 13, (i * 29) % 7) for i in range(60)]
+    rows += [(100, 0, 12, 6), (101, 0, 12, 6)]  # duplicate frontier pts
+    df = spark.createDataFrame(rows, "id long, cost int, perf int, cap int")
+
+    def dominated(a, b):  # b dominates a?
+        return (b[1] <= a[1] and b[2] >= a[2] and b[3] >= a[3]
+                and (b[1] < a[1] or b[2] > a[2] or b[3] > a[3]))
+
+    expect = {r[0] for r in rows if not any(dominated(r, o) for o in rows)}
+    for parts in (1, 8):
+        got = {r["id"] for r in pareto.skyline(
+            df.repartition(parts), minimize=["cost"], maximize=["perf", "cap"]
+        ).collect()}
+        assert got == expect, (parts, got ^ expect)
+    assert {100, 101} <= expect  # duplicates both on the frontier
