@@ -19,7 +19,7 @@ fill joins against a generated dimension of |range|/grain rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # pandas-style grain codes (reference uses M/W/D/H/T) -> date_trunc field
@@ -67,4 +67,67 @@ def heat_timeseries(
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.coalesce("sum_lat_c", F.lit(0)).alias("sum_lat_c"),
         F.coalesce("sum_lon_c", F.lit(0)).alias("sum_lon_c"),
+    )
+
+
+def cusum_changepoint(
+    series: DataFrame,
+    key_col: str = "key",
+    t_col: str = "t",
+    x_col: str = "x",
+) -> DataFrame:
+    """CUSUM change-point statistic per key (Page 1954 / the
+    mean-shift detector behind monitoring dashboards): with the series
+    x_1..x_n in t-order, S = total, cum_k = running sum, the scaled
+    deviation dev_k = n*cum_k - k*S (= n^2 * (mean-so-far deviation),
+    INTEGER by construction — the q109 d_i trick applied to cumulative
+    sums). The change point is the t with maximal |dev_k|, smallest t
+    on ties (deterministic argmax via one max(struct)). Returns
+    (key, n_t, total, max_absdev, cp_t).
+
+    Shape: one window (cumsum + row_number) partitioned by key, one
+    grouped max — the series shuffles once; integer-exact everywhere,
+    so any engine replays it. t must be an integer (epoch day/period).
+
+    Scale note: like q117's Mann-Kendall, this runs on per-(key, t)
+    AGGREGATES (bounded bins), never raw events; headroom contract
+    n * |cum| < 2^63."""
+    base = series.select(
+        F.col(key_col).alias("key"),
+        F.col(t_col).cast("long").alias("t"),
+        F.col(x_col).cast("long").alias("x"),
+    )
+    # windows over the RENAMED columns (the caller's names are gone)
+    w = Window.partitionBy("key").orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy("key")
+    cum = base.select(
+        "key",
+        "t",
+        F.sum("x").over(w).alias("_cum"),
+        F.row_number().over(Window.partitionBy("key").orderBy("t")).alias("_k"),
+    )
+    dev = cum.select(
+        "key",
+        "t",
+        F.count(F.lit(1)).over(wall).alias("_n"),
+        F.last("_cum").over(
+            Window.partitionBy("key").orderBy("t").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_tot"),
+        "_cum",
+        "_k",
+    )
+    absdev = F.abs(F.col("_n") * F.col("_cum") - F.col("_k") * F.col("_tot"))
+    picked = dev.groupBy("key").agg(
+        F.max("_n").cast("long").alias("n_t"),
+        F.max("_tot").cast("long").alias("total"),
+        F.max(F.struct(absdev.alias("a"), (-F.col("t")).alias("nt"))).alias("_best"),
+    )
+    return picked.select(
+        "key",
+        "n_t",
+        "total",
+        F.col("_best.a").cast("long").alias("max_absdev"),
+        (-F.col("_best.nt")).cast("long").alias("cp_t"),
     )

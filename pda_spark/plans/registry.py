@@ -4274,6 +4274,66 @@ FROM agg
 """
 
 
+def q131_cusum(spark, sf_dir):
+    """CUSUM change point per res-6 cell over the dense daily count
+    grid (the q117 grid, t as integer epoch days): scaled deviation
+    n*cum_k - k*S stays integral, argmax tie-breaks to the smallest
+    day via one max(struct(absdev, -t)) — everything integer, the
+    oracle re-derives with a join-back argmax instead."""
+    from pda_spark.operators import timeseries
+
+    res = 6
+    pts = _event_points(spark, sf_dir)
+    c = pts.select(
+        geo_udfs.cell_of_xy_expr(F.col("lon"), F.col("lat"), res).alias("cell"),
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").alias("d"),
+    )
+    cnt = c.groupBy("cell", "d").agg(F.count(F.lit(1)).alias("n"))
+    grid = cnt.select("cell").distinct().crossJoin(c.select("d").distinct())
+    series = grid.join(cnt, ["cell", "d"], "left").select(
+        "cell", "d", F.coalesce("n", F.lit(0)).alias("x")
+    )
+    return timeseries.cusum_changepoint(series, key_col="cell", t_col="d", x_col="x")
+
+
+Q131_SQL = f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+c AS (
+  SELECT (6::BIGINT * 288230376151711744 + (ix << 29) + iy) AS cell, d FROM (
+    SELECT least(greatest(floor((lon + 180.0) / 360.0 * {_N6}), 0), {_N6 - 1})::BIGINT AS ix,
+           least(greatest(floor((lat + 90.0) / 180.0 * {_N6}), 0), {_N6 - 1})::BIGINT AS iy,
+           epoch_us(ts) // 86400000000 AS d
+    FROM pts)
+), cnt AS (
+  SELECT cell, d, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1, 2
+), series AS (
+  SELECT g.cell, g.d, coalesce(cnt.n, 0)::BIGINT AS x
+  FROM (SELECT cell, d FROM (SELECT DISTINCT cell FROM cnt)
+        CROSS JOIN (SELECT DISTINCT d FROM c)) g
+  LEFT JOIN cnt USING (cell, d)
+), cum AS (
+  SELECT cell AS key, d AS t,
+         CAST(sum(x) OVER (PARTITION BY cell ORDER BY d
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(row_number() OVER (PARTITION BY cell ORDER BY d) AS BIGINT) AS k
+  FROM series
+), tot AS (
+  SELECT cell AS key, CAST(count(*) AS BIGINT) AS n_t,
+         CAST(sum(x) AS BIGINT) AS total
+  FROM series GROUP BY 1
+), dev AS (
+  SELECT cum.key, cum.t, tot.n_t, tot.total,
+         abs(tot.n_t * cum.cum - cum.k * tot.total) AS absdev
+  FROM cum JOIN tot USING (key)
+), mx AS (
+  SELECT key, max(absdev) AS max_absdev FROM dev GROUP BY key
+)
+SELECT d.key, d.n_t, d.total, mx.max_absdev, CAST(min(d.t) AS BIGINT) AS cp_t
+FROM dev d JOIN mx ON d.key = mx.key AND d.absdev = mx.max_absdev
+GROUP BY 1, 2, 3, 4
+"""
+
+
 def q130_skyline(spark, sf_dir):
     """3-criteria skyline over parts: cheapest price (min) vs largest
     size (max) vs most-ordered quantity (max). Spark runs the two-phase
@@ -4772,6 +4832,7 @@ QUERIES: dict[str, tuple] = {
     "q128_funnel": (q128_funnel, Q128_SQL),
     "q129_cohort_retention": (q129_cohort_retention, Q129_SQL),
     "q130_skyline": (q130_skyline, Q130_SQL),
+    "q131_cusum": (q131_cusum, Q131_SQL),
     "q109_morans_i": (q109_morans_i, Q109_SQL),
     "q110_paragraph_dedup": (q110_paragraph_dedup, Q110_SQL),
     "q104_tile_pyramid": (q104_tile_pyramid, Q104_SQL),

@@ -1175,3 +1175,38 @@ def test_skyline_vs_bruteforce(spark):
         ).collect()}
         assert got == expect, (parts, got ^ expect)
     assert {100, 101} <= expect  # duplicates both on the frontier
+
+
+# ------------------------------------------------------------ cusum
+
+
+def test_cusum_vs_bruteforce(spark):
+    """Hand series vs a Python re-derivation of dev_k = n*cum_k - k*S:
+    a clean level shift locates the change point at the shift boundary;
+    a tie (symmetric series) breaks to the SMALLEST t; a flat series
+    has max_absdev 0."""
+    from pda_spark.operators import timeseries
+
+    series = {
+        "shift": [2, 2, 2, 2, 8, 8, 8, 8],       # cp at the last low point
+        "tie": [1, 0, 0, 1],                      # dev symmetric -> min t
+        "flat": [5, 5, 5],
+    }
+    rows = [(k, t, x) for k, xs in series.items() for t, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "key string, t int, x int")
+    out = {r["key"]: (r["n_t"], r["total"], r["max_absdev"], r["cp_t"])
+           for r in timeseries.cusum_changepoint(df).collect()}
+
+    for k, xs in series.items():
+        n, s = len(xs), sum(xs)
+        devs = []
+        cum = 0
+        for i, x in enumerate(xs, start=1):
+            cum += x
+            devs.append(abs(n * cum - i * s))
+        mx = max(devs)
+        cp = devs.index(mx)  # first occurrence == smallest t
+        assert out[k] == (n, s, mx, cp), (k, out[k], (n, s, mx, cp))
+    assert out["shift"][3] == 3      # boundary before the level shift
+    assert out["flat"][2] == 0
+    assert out["tie"][3] == 0        # tie broken to earliest t
