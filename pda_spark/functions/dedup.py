@@ -648,3 +648,4 @@ def dedup_paragraphs_global(
         F.sum((~is_kept).cast("long")).cast("long").alias("n_removed"),
     )
     return out.select("doc_id", "clean_text", "n_kept", "n_removed")
+

@@ -4274,6 +4274,47 @@ FROM agg
 """
 
 
+def q132_profile(spark, sf_dir):
+    """Per-column profile of orders (n_rows / n_null / n_distinct):
+    distinct counts go through an injective-per-engine string cast, so
+    only the COUNTS cross engines, never the formatted values. Sorted
+    output by column name is irrelevant — the driver compares
+    order-insensitively."""
+    from pda_spark.functions import profiling
+
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    return profiling.profile_table(o, columns=cols)
+
+
+Q132_SQL = """
+SELECT 'o_orderkey' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT CAST(o_orderkey AS VARCHAR)) AS BIGINT) AS n_distinct
+FROM orders
+UNION ALL
+SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT CAST(o_custkey AS VARCHAR)) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT CAST(o_orderstatus AS VARCHAR)) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT CAST(o_totalprice AS VARCHAR)) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT CAST(o_orderdate AS VARCHAR)) AS BIGINT)
+FROM orders
+"""
+
+
 def q131_cusum(spark, sf_dir):
     """CUSUM change point per res-6 cell over the dense daily count
     grid (the q117 grid, t as integer epoch days): scaled deviation
@@ -4833,6 +4874,7 @@ QUERIES: dict[str, tuple] = {
     "q129_cohort_retention": (q129_cohort_retention, Q129_SQL),
     "q130_skyline": (q130_skyline, Q130_SQL),
     "q131_cusum": (q131_cusum, Q131_SQL),
+    "q132_profile": (q132_profile, Q132_SQL),
     "q109_morans_i": (q109_morans_i, Q109_SQL),
     "q110_paragraph_dedup": (q110_paragraph_dedup, Q110_SQL),
     "q104_tile_pyramid": (q104_tile_pyramid, Q104_SQL),

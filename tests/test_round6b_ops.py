@@ -1210,3 +1210,30 @@ def test_cusum_vs_bruteforce(spark):
     assert out["shift"][3] == 3      # boundary before the level shift
     assert out["flat"][2] == 0
     assert out["tie"][3] == 0        # tie broken to earliest t
+
+
+# ------------------------------------------------------------ profiling
+
+
+def test_profile_table_vs_pandas(spark):
+    """Mixed-type fixture with NULLs and duplicates vs pandas nunique/
+    isna; doubles that format differently ('1.0' vs 1) must still count
+    distinctly per engine-independent semantics."""
+    from pda_spark.functions import profiling
+
+    rows = [
+        (1, 1.0, "a", None),
+        (2, 1.0, "a", "x"),
+        (3, None, "b", "x"),
+        (3, 2.5, None, "y"),
+        (4, 2.5, "b", None),
+    ]
+    df = spark.createDataFrame(rows, "i long, d double, s string, t string")
+    out = {r["column"]: (r["n_rows"], r["n_null"], r["n_distinct"])
+           for r in profiling.profile_table(df).collect()}
+    assert out == {
+        "i": (5, 0, 4),
+        "d": (5, 1, 2),
+        "s": (5, 1, 2),
+        "t": (5, 2, 2),
+    }
