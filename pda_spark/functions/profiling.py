@@ -19,21 +19,47 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     normalizing representations. NULLs stay NULL through the cast and
     are excluded by count(DISTINCT) in both engines.
 
-    Shape: the table melts to (column, value) — n_cols x rows, one
-    projection, no join — and one grouped aggregate; distinct counts
-    shuffle on (column, value), so a wide hot column spreads over the
-    value space rather than one task. At 100 TB swap count_distinct
-    for the q121 HLL registers per column (documented alternative, not
-    a code path — the gate needs the exact integer)."""
+    Shape: the table melts to (column, value) via ONE projection — an
+    explode over an array of (lit(column), cast value) structs, so the
+    source is scanned exactly once regardless of column count (a
+    unionAll-per-column melt would re-scan the table n_cols times) —
+    then one grouped aggregate; distinct counts shuffle on
+    (column, value), so a wide hot column spreads over the value space
+    rather than one task. A broadcast join back to the literal column
+    list guarantees one output row per requested column even for an
+    EMPTY table (n_rows=0 — "this partition is empty" is exactly the
+    report a quality check must not stay silent about). At 100 TB swap
+    count_distinct for the q121 HLL registers per column (documented
+    alternative, not a code path — the gate needs the exact integer).
+    """
     cols = columns or df.columns
-    melted = None
-    for c in cols:
-        part = df.select(
-            F.lit(c).alias("column"), F.col(c).cast("string").alias("_v")
-        )
-        melted = part if melted is None else melted.unionAll(part)
-    return melted.groupBy("column").agg(
+    if not cols:
+        raise ValueError("profile_table needs at least one column")
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("_v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("_p")
+    ).select("_p.column", "_p._v")
+    agg = melted.groupBy("column").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum(F.when(F.col("_v").isNull(), 1).otherwise(0)).cast("long").alias("n_null"),
         F.count_distinct(F.col("_v")).cast("long").alias("n_distinct"),
+    )
+    spine = df.sparkSession.createDataFrame([(c,) for c in cols], "column string")
+    # right-outer with the aggregate as the (broadcast) build side: the
+    # spine is the preserved side, so an outer-join build hint on it
+    # would be ignored; agg is at most n_cols rows — always tiny.
+    return F.broadcast(agg).join(spine, "column", "right").select(
+        "column",
+        F.coalesce("n_rows", F.lit(0)).cast("long").alias("n_rows"),
+        F.coalesce("n_null", F.lit(0)).cast("long").alias("n_null"),
+        F.coalesce("n_distinct", F.lit(0)).cast("long").alias("n_distinct"),
     )

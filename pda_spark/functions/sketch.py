@@ -42,6 +42,11 @@ def hll_registers(df: DataFrame, col: str, p: int = 8) -> DataFrame:
     if not 2 <= p <= 16:
         raise ValueError(f"p must be in [2, 16], got {p}")
     b = _HASH_BITS - p
+    # distinct-count semantics are over non-NULL values: md5(NULL) is
+    # NULL and would emit a (NULL, NULL) register row that hll_estimate
+    # counts in n_occupied but skips in the sum — silently biasing the
+    # estimate. COUNT(DISTINCT) ignores NULLs; so do we.
+    df = df.filter(F.col(col).isNotNull())
     h = hex_to_long(F.md5(F.col(col).cast("string")))
     v = h.bitwiseAND(F.lit((1 << b) - 1))
     rho = (
@@ -77,7 +82,12 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_occupied"),
         # shiftleft with a column shift amount needs the SQL form (the
         # python wrapper's numBits is int-only)
-        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {b1} - max_rho)"))
+        # coalesce: an EMPTY register table (sketch of zero rows) sums
+        # to NULL; 0 keeps the estimate defined (all-empty denominator).
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {b1} - max_rho)")),
+            F.lit(0),
+        )
         .cast("long")
         .alias("s_scaled"),
     )
@@ -107,7 +117,15 @@ def cms_build(df: DataFrame, col: str, d: int = 4, w: int = 64) -> DataFrame:
     if d < 1 or w < 2:
         raise ValueError(f"need d >= 1, w >= 2, got d={d} w={w}")
     rows = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("hrow")
-    tagged = df.select(F.col(col).cast("string").alias("_v")).select("_v", rows)
+    # NULLs hash to bucket NULL — rows cms_query's equi-join can never
+    # match (and they break the d*w row bound). Frequency sketches count
+    # non-NULL occurrences; a NULL probe in cms_query correctly yields
+    # est=0 through the left join's coalesce.
+    tagged = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.col(col).cast("string").alias("_v"))
+        .select("_v", rows)
+    )
     bucket = F.pmod(
         hex_to_long(F.md5(F.concat(F.col("hrow").cast("string"), F.lit(":"), F.col("_v")))),
         F.lit(w),

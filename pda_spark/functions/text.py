@@ -608,7 +608,7 @@ def term_cooccurrence(
     min_df: int = 1,
     max_df_num: int = 1,
     max_df_den: int = 1,
-    min_pair_num: int = 1,
+    min_pair_num: int = 0,
     min_pair_den: int = 1,
 ) -> DataFrame:
     """Term co-occurrence matrix (the count side of PMI / word-vector
@@ -623,7 +623,9 @@ def term_cooccurrence(
     (the stopword cap — at corpus scale an every-doc term would pair
     with the whole vocabulary, so the df ceiling is the scale story,
     exactly the df-cap rule the L2 Jaccard join uses); keep pairs with
-    n_ab * min_pair_den >= min_pair_num * N.
+    n_ab * min_pair_den >= min_pair_num * N. Every threshold defaults
+    to its NO-OP value (min_df=1, max_df 1/1, min_pair 0/1) — callers
+    opt into each cut explicitly.
 
     Scale shape: per-doc DISTINCT term sets (one shuffle on doc),
     df-filtered, then a per-doc self-join — O(k^2) per doc where k is

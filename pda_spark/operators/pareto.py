@@ -62,4 +62,8 @@ def skyline(df: DataFrame, minimize: list[str], maximize: list[str]) -> DataFram
             yield _skyline_kernel(pd.concat(chunks, ignore_index=True), minimize, maximize)
 
     local = df.mapInPandas(per_partition, df.schema)
-    return local.coalesce(1).mapInPandas(per_partition, df.schema)
+    # repartition(1), NOT coalesce(1): coalesce is a narrow dependency
+    # that would fuse scan -> phase-1 kernel -> single task, serializing
+    # phase 1 entirely. The shuffle boundary here moves only the tiny
+    # local frontiers while phase 1 runs one kernel per input partition.
+    return local.repartition(1).mapInPandas(per_partition, df.schema)

@@ -4852,45 +4852,8 @@ Q111_SQL = geo_udfs.hilbert_sql(_Q111_SRC, ["event_id", "gx", "gy"], "gx", "gy",
 # then enough long-proven load-bearing queries to fill slot 50, then the
 # long-proven remainder.  Cumulative proof ledger: DRIVER_LEDGER.json.
 QUERIES: dict[str, tuple] = {
-    # --- new round-6 gates ---
-    "q111_hilbert": (q111_hilbert, Q111_SQL),
-    "q112_inverted_index": (q112_inverted_index, Q112_SQL),
-    "q113_staypoints": (q113_staypoints, Q113_SQL),
-    "q114_density_clusters": (q114_density_clusters, Q114_SQL),
-    "q115_od_flows": (q115_od_flows, Q115_SQL),
-    "q116_pagerank": (q116_pagerank, Q116_SQL),
-    "q117_mann_kendall": (q117_mann_kendall, Q117_SQL),
-    "q118_cooccurrence": (q118_cooccurrence, Q118_SQL),
-    "q119_getis_ord": (q119_getis_ord, Q119_SQL),
-    "q120_lm_coverage": (q120_lm_coverage, Q120_SQL),
-    "q121_hll_registers": (q121_hll_registers, Q121_SQL),
-    "q122_hll_estimate": (q122_hll_estimate, Q122_SQL),
-    "q123_hausdorff": (q123_hausdorff, Q123_SQL),
-    "q124_dbscan": (q124_dbscan, Q124_SQL),
-    "q125_cms_build": (q125_cms_build, Q125_SQL),
-    "q126_cms_estimates": (q126_cms_estimates, Q126_SQL),
-    "q127_triangles": (q127_triangles, Q127_SQL),
-    "q128_funnel": (q128_funnel, Q128_SQL),
-    "q129_cohort_retention": (q129_cohort_retention, Q129_SQL),
-    "q130_skyline": (q130_skyline, Q130_SQL),
-    "q131_cusum": (q131_cusum, Q131_SQL),
-    "q132_profile": (q132_profile, Q132_SQL),
-    "q109_morans_i": (q109_morans_i, Q109_SQL),
-    "q110_paragraph_dedup": (q110_paragraph_dedup, Q110_SQL),
-    "q104_tile_pyramid": (q104_tile_pyramid, Q104_SQL),
-    "q105_geohash": (q105_geohash, Q105_SQL),
-    "q106_areal_interp": (q106_areal_interp, Q106_SQL),
-    "q107_edit_distance": (q107_edit_distance, Q107_SQL),
-    "q108_focal_gradient": (q108_focal_gradient, Q108_SQL),
-    "q98_image_decode": (q98_image_decode, Q98_SQL),
-    "q99_udtf_shingles": (q99_udtf_shingles, Q99_SQL),
-    "q100_substring_containment": (q100_substring_containment, Q100_SQL),
-    "q101_image_downsample": (q101_image_downsample, Q101_SQL),
-    "q102_tfidf": (q102_tfidf, Q102_SQL),
-    "q103_winnowing": (q103_winnowing, Q103_SQL),
-    # changed this round (re-pinned IVF centroids) -> keep driver-gated
-    "q33_ivf_ann": (q33_ivf_ann, _ivf_sql()),
-    # --- never driver-proven (r03/r04/r05 artifacts cut at slot 50) ---
+    # --- DRIVER ROTATION (r06): the artifact records only the first 50 keys.
+    # Slots 1-36: q62-q97 (VERDICT r05 explicit ask - unproven for 3 rounds).
     "q62_salted_intersects": (q62_salted_intersects, Q45_SQL),
     "q63_video_frames": (q63_video_frames, Q63_SQL),
     "q64_pip_wkb": (q64_pip_wkb, Q41_SQL),
@@ -4926,12 +4889,48 @@ QUERIES: dict[str, tuple] = {
     "q94_zorder": (q94_zorder, Q94_SQL),
     "q95_contains_join": (q95_contains_join, Q95_SQL),
     "q96_intersects_multires": (q96_intersects_multires, Q96_SQL),
-    # q95/q96/q97 sit at slots 51-53 this round: 52 never-proven
-    # queries + the changed-output q33 is 53 claims on 50 slots; all
-    # three are replica-green (at sf0.01 AND sf0.1) and lead the r7
-    # rotation (DRIVER_LEDGER tracks them as unproven)
     "q97_correlated_subquery": (q97_correlated_subquery, Q97_SQL),
-    # --- driver-proven fillers (rotated behind the unproven block) ---
+    # Slot 37: q33 re-proven (round-6 k-means re-pin changed its output).
+    "q33_ivf_ann": (q33_ivf_ann, _ivf_sql()),
+    # Slots 38-50: round-6 VERDICT-item gates q98-q110.
+    "q98_image_decode": (q98_image_decode, Q98_SQL),
+    "q99_udtf_shingles": (q99_udtf_shingles, Q99_SQL),
+    "q100_substring_containment": (q100_substring_containment, Q100_SQL),
+    "q101_image_downsample": (q101_image_downsample, Q101_SQL),
+    "q102_tfidf": (q102_tfidf, Q102_SQL),
+    "q103_winnowing": (q103_winnowing, Q103_SQL),
+    "q104_tile_pyramid": (q104_tile_pyramid, Q104_SQL),
+    "q105_geohash": (q105_geohash, Q105_SQL),
+    "q106_areal_interp": (q106_areal_interp, Q106_SQL),
+    "q107_edit_distance": (q107_edit_distance, Q107_SQL),
+    "q108_focal_gradient": (q108_focal_gradient, Q108_SQL),
+    "q109_morans_i": (q109_morans_i, Q109_SQL),
+    "q110_paragraph_dedup": (q110_paragraph_dedup, Q110_SQL),
+    # --- positions 51+: q111-q132 are round-6 additions with no driver row
+    # yet; they LEAD the r07 rotation (22 queries, fits in one artifact).
+    "q111_hilbert": (q111_hilbert, Q111_SQL),
+    "q112_inverted_index": (q112_inverted_index, Q112_SQL),
+    "q113_staypoints": (q113_staypoints, Q113_SQL),
+    "q114_density_clusters": (q114_density_clusters, Q114_SQL),
+    "q115_od_flows": (q115_od_flows, Q115_SQL),
+    "q116_pagerank": (q116_pagerank, Q116_SQL),
+    "q117_mann_kendall": (q117_mann_kendall, Q117_SQL),
+    "q118_cooccurrence": (q118_cooccurrence, Q118_SQL),
+    "q119_getis_ord": (q119_getis_ord, Q119_SQL),
+    "q120_lm_coverage": (q120_lm_coverage, Q120_SQL),
+    "q121_hll_registers": (q121_hll_registers, Q121_SQL),
+    "q122_hll_estimate": (q122_hll_estimate, Q122_SQL),
+    "q123_hausdorff": (q123_hausdorff, Q123_SQL),
+    "q124_dbscan": (q124_dbscan, Q124_SQL),
+    "q125_cms_build": (q125_cms_build, Q125_SQL),
+    "q126_cms_estimates": (q126_cms_estimates, Q126_SQL),
+    "q127_triangles": (q127_triangles, Q127_SQL),
+    "q128_funnel": (q128_funnel, Q128_SQL),
+    "q129_cohort_retention": (q129_cohort_retention, Q129_SQL),
+    "q130_skyline": (q130_skyline, Q130_SQL),
+    "q131_cusum": (q131_cusum, Q131_SQL),
+    "q132_profile": (q132_profile, Q132_SQL),
+    # --- long driver-proven queries (green rows in DRIVER_LEDGER.json) ---
     "q41_pip_join": (q41_pip_join, Q41_SQL),
     "q42_knn": (q42_knn, Q42_SQL),
     "q45_rect_intersects": (q45_rect_intersects, Q45_SQL),
@@ -4945,7 +4944,6 @@ QUERIES: dict[str, tuple] = {
     "q05_topk_window": (q05_topk_window, Q05_SQL),
     "q26_minhash": (q26_minhash, _minhash_sql()),
     "q30_cosine_topk": (q30_cosine_topk, Q30_SQL),
-    # --- long-proven remainder (rotated past the driver's 50-query cap) ---
     "q02_filter_orders": (q02_filter_orders, Q02_SQL),
     "q03_join_agg": (q03_join_agg, Q03_SQL),
     "q04_semi_join": (q04_semi_join, Q04_SQL),
