@@ -649,3 +649,80 @@ def dedup_paragraphs_global(
     )
     return out.select("doc_id", "clean_text", "n_kept", "n_removed")
 
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 16,
+    max_hamming: int = 2,
+    n_bands: int | None = None,
+) -> DataFrame:
+    """All document pairs whose SimHash fingerprints differ in at most
+    ``max_hamming`` bits — the Hamming-radius near-dup join (Manku/
+    Jain/Sarma WWW'07, the Google web-dedup construction), found WITHOUT
+    the O(n^2) pair scan via pigeonhole banding: split the n_bits
+    fingerprint into n_bands (default max_hamming+1) contiguous bands —
+    two fingerprints within Hamming distance max_hamming MUST agree
+    exactly on at least one band (pigeonhole: max_hamming flipped bits
+    cannot touch all max_hamming+1 bands), so an equi-join on
+    (band_idx, band_value) finds every true pair; exact
+    ``bit_count(xor)`` verifies candidates.
+
+    Scale notes (the q107 discipline): the verify filter is a single
+    JVM bit_count per candidate and runs BEFORE the pair-dedup
+    shuffle, so band collisions cost bit math, never a wide shuffle.
+    Band width must grow with corpus size (bits/band ~ log2(n) keeps
+    expected bucket size O(1)); at web scale use 64-bit fingerprints
+    with 4 bands of 16 bits, not this gate's 16-bit demo split. A
+    near-dup CLUSTER (many identical fingerprints) makes one hot band
+    bucket — the bounded verify keeps that a volume problem, and
+    banding on (band_idx, value) already spreads it n_bands ways.
+
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b, each pair once.
+    """
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if not 1 <= n_bands <= n_bits:
+        raise ValueError(f"need 1 <= n_bands <= n_bits, got {n_bands}")
+    if n_bands < max_hamming + 1:
+        raise ValueError(
+            f"pigeonhole needs n_bands >= max_hamming+1 ({max_hamming + 1}), got {n_bands}"
+        )
+    sig = simhash(docs, id_col, text_col, n_bits)
+
+    # contiguous band split; widths differ by at most 1
+    base, extra = divmod(n_bits, n_bands)
+    bands, off = [], 0
+    for i in range(n_bands):
+        width = base + (1 if i < extra else 0)
+        bands.append((i, off, (1 << width) - 1))
+        off += width
+
+    band_col = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright(F.col("simhash"), o).bitwiseAND(F.lit(mask)).alias("val"),
+                )
+                for i, o, mask in bands
+            ]
+        )
+    ).alias("_b")
+    keyed = sig.select("doc_id", "simhash", band_col).select(
+        "doc_id", "simhash", "_b.band", "_b.val"
+    )
+    left = keyed.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "val"
+    )
+    right = keyed.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "val"
+    )
+    cand = left.join(right, ["band", "val"]).filter(F.col("doc_a") < F.col("doc_b"))
+    verified = cand.withColumn(
+        "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
+    ).filter(F.col("hamming") <= F.lit(max_hamming))
+    # a pair can meet in several agreeing bands -> one row per pair
+    return verified.select("doc_a", "doc_b", "hamming").distinct()

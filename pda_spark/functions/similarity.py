@@ -370,3 +370,40 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+def hard_negatives(
+    vectors: DataFrame,
+    anchors: DataFrame,
+    k: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    anchor_vec_col: str = "a_embedding",
+    anchor_id_col: str = "a_id",
+    anchor_label_col: str = "a_label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / metric training: for each
+    anchor, the top-k most-cosine-similar vectors whose LABEL DIFFERS
+    from the anchor's — the highest-loss negatives a triplet/InfoNCE
+    pipeline feeds back into training (the standard corpus-curation op
+    beside dedup and decontamination).
+
+    Exact brute-force twin of ``cosine_topk`` (broadcast anchors x full
+    scan, norms hoisted per-vector, JVM-side dot products, rounded-6
+    cosine then deterministic id tiebreak — the q30/q32 discipline); at
+    corpus scale compose ``ivf_topk`` with the same label-mismatch
+    filter (probe k' > k then filter, the labelled scale path).
+    Self-pairs are excluded by the label filter alone (an anchor's own
+    row shares its label)."""
+    cand = vectors.withColumn("_nv", _norm(vec_col)).crossJoin(
+        F.broadcast(anchors.withColumn("_na", _norm(anchor_vec_col)))
+    )
+    cand = cand.filter(F.col(label_col) != F.col(anchor_label_col))
+    cand = with_cosine(cand, vec_col, anchor_vec_col, norm_a="_nv", norm_b="_na")
+    w = Window.partitionBy(anchor_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(anchor_id_col, id_col, label_col, "cosine", "rank")
+    )

@@ -159,3 +159,63 @@ def cms_query(cms: DataFrame, items: DataFrame, col: str, d: int = 4, w: int = 6
         .groupBy("item")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
     )
+
+
+def bloom_build(df: DataFrame, col: str, k: int = 4, m: int = 1024) -> DataFrame:
+    """Bloom filter as a relational op — the membership sibling of
+    ``hll_registers`` (cardinality) and ``cms_build`` (frequency),
+    completing the sketch family: one row per SET bit position, built
+    from k independent md5-fold hashes per value (hash i = fold of
+    'i:<value>' mod m, the exact ``cms_build`` seeding construction).
+
+    Like the other two, the sketch IS the table: at most m rows
+    regardless of input size, built by one explode + one DISTINCT
+    (map-side combinable); two filters union by unioning the tables
+    and re-distincting — the mergeability that makes a Bloom filter
+    the 100 TB pre-join pruning tool (ship the bit table, not the
+    keys). NULLs are excluded (membership is over non-NULL values;
+    a NULL probe correctly reports absent)."""
+    if k < 1 or m < 2:
+        raise ValueError(f"need k >= 1, m >= 2, got k={k} m={m}")
+    hashes = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("hidx")
+    tagged = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.col(col).cast("string").alias("_v"))
+        .select("_v", hashes)
+    )
+    pos = F.pmod(
+        hex_to_long(F.md5(F.concat(F.col("hidx").cast("string"), F.lit(":"), F.col("_v")))),
+        F.lit(m),
+    )
+    return tagged.select(pos.alias("pos")).distinct()
+
+
+def bloom_probe(
+    bloom: DataFrame, items: DataFrame, col: str, k: int = 4, m: int = 1024
+) -> DataFrame:
+    """Membership probes against a ``bloom_build`` bit table: an item is
+    maybe-present iff ALL k of its bit positions are set (the classic
+    no-false-negative / bounded-false-positive contract). One explode +
+    one broadcast left join against the (tiny, <= m rows) bit table +
+    one grouped count — matched == k means every bit hit. A NULL item
+    hashes to NULL positions, joins nothing, and reports 0 (absent) —
+    consistent with the build-side NULL exclusion."""
+    hashes = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("hidx")
+    tagged = items.select(F.col(col).alias("item")).select(
+        "item", F.col("item").cast("string").alias("_v"), hashes
+    )
+    pos = F.pmod(
+        hex_to_long(F.md5(F.concat(F.col("hidx").cast("string"), F.lit(":"), F.col("_v")))),
+        F.lit(m),
+    )
+    probes = tagged.select("item", pos.alias("pos"))
+    return (
+        probes.join(F.broadcast(bloom.withColumn("_set", F.lit(1))), ["pos"], "left")
+        .groupBy("item")
+        .agg(
+            F.when(F.count("_set") == F.lit(k), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("maybe_present")
+        )
+    )

@@ -890,3 +890,87 @@ def knn_join(
                 "exact=False for best-effort answers"
             )
     return result.drop(*helper_cols)
+
+
+def snap_to_segments(
+    points: DataFrame,
+    segments: DataFrame,
+    radius: float,
+    res: int = 6,
+    point_id_col: str = "point_id",
+    lonlat_cols: tuple[str, str] = ("lon", "lat"),
+    seg_id_cols: tuple[str, ...] = ("seg_id",),
+    seg_cols: tuple[str, str, str, str] = ("x0", "y0", "x1", "y1"),
+    broadcast_segments: bool = True,
+) -> DataFrame:
+    """Map matching (nearest-segment snap): assign each point to the
+    CLOSEST line segment within ``radius`` (planar degrees, the q69
+    metric) — the snap-GPS-to-road/river primitive (reference workload:
+    observations onto network geometries; PostGIS idiom
+    ST_ClosestPoint/ST_LineLocatePoint under a ST_DWithin guard).
+
+    Shape: segments fan out to the cells of their radius-expanded bbox
+    (pure Catalyst sequence fan-out, the within_distance_join pattern),
+    points map to ONE cell, and the equi-join + point-to-segment
+    distance + per-point argmin are all whole-stage codegen — zero
+    Python stages, so an oracle replays the IEEE754 chain exactly.
+    Each (point, segment) candidate pair meets exactly once (a point
+    has one cell; a cover lists a cell once), and the argmin is a
+    map-side-combinable min over a (d2, seg ids...) struct —
+    lexicographic struct comparison IS the deterministic tiebreak
+    (equal distances resolve to the smallest segment key in both
+    engines). Points with no segment in range drop out (inner
+    semantics; outer = left join back, the q65/q66 idiom).
+
+    Point-to-segment math (one branch, replayable): t = clamp(dot/len2,
+    0, 1) is the clamped projection parameter; d2 the squared distance
+    to the clamped foot point. Degenerate zero-length segments take
+    t = 0 (pure point distance).
+
+    Returns (point_id, *seg_id_cols, snap_t, snap_d2) with snap_t /
+    snap_d2 as raw doubles — gates round at the emit boundary.
+    """
+    from pda_spark.functions import geo_udfs
+
+    lon_c, lat_c = lonlat_cols
+    x0, y0, x1, y1 = seg_cols
+    r = float(radius)
+    cov = geo_udfs.cover_cells_bbox_expr(
+        F.least(F.col(x0), F.col(x1)) - r,
+        F.least(F.col(y0), F.col(y1)) - r,
+        F.greatest(F.col(x0), F.col(x1)) + r,
+        F.greatest(F.col(y0), F.col(y1)) + r,
+        res,
+    )
+    segs = segments.withColumn("_cell", F.explode(cov))
+    pts = points.withColumn(
+        "_cell", geo_udfs.cell_of_xy_expr(F.col(lon_c), F.col(lat_c), res)
+    )
+    rhs = F.broadcast(segs) if broadcast_segments else segs
+    cand = pts.join(rhs, on="_cell", how="inner")
+
+    ex = F.col(x1) - F.col(x0)
+    ey = F.col(y1) - F.col(y0)
+    len2 = ex * ex + ey * ey
+    dot = (F.col(lon_c) - F.col(x0)) * ex + (F.col(lat_c) - F.col(y0)) * ey
+    t = F.when(len2 > F.lit(0.0), F.least(F.greatest(dot / len2, F.lit(0.0)), F.lit(1.0))).otherwise(
+        F.lit(0.0)
+    )
+    qx = F.col(x0) + t * ex
+    qy = F.col(y0) + t * ey
+    dx = F.col(lon_c) - qx
+    dy = F.col(lat_c) - qy
+    d2 = dx * dx + dy * dy
+    scored = cand.select(
+        F.col(point_id_col),
+        F.struct(
+            d2.alias("d2"), *[F.col(c) for c in seg_id_cols], t.alias("t")
+        ).alias("_best"),
+    ).filter(F.col("_best.d2") <= F.lit(r * r))
+    won = scored.groupBy(point_id_col).agg(F.min("_best").alias("_w"))
+    return won.select(
+        point_id_col,
+        *[F.col(f"_w.{c}").alias(c) for c in seg_id_cols],
+        F.col("_w.t").alias("snap_t"),
+        F.col("_w.d2").alias("snap_d2"),
+    )

@@ -697,3 +697,110 @@ def dbscan(
         F.col("_cl").isNotNull().alias("is_core"),
         F.coalesce("_cl", "_bl").alias("cluster_id"),
     )
+
+
+def d8_flow_direction(
+    cell_counts: DataFrame,
+    res: int,
+    cell_col: str = "cell",
+    value_col: str = "n",
+) -> DataFrame:
+    """D8 steepest-descent flow direction (the hydrology flow-routing
+    primitive — O'Callaghan & Mark 1984, the ESRI/GDAL ``FlowDir``
+    raster op) over the sparse cell grid: each occupied cell points at
+    the neighbor with the steepest positive drop, drop weighted by
+    1/distance (diagonal neighbors are sqrt(2) away). Emits the ESRI
+    direction code (E=1, SE=2, S=4, SW=8, W=16, NW=32, N=64, NE=128;
+    0 = sink/flat — no occupied neighbor strictly lower).
+
+    Sparse convention (documented): UNOCCUPIED neighbors are nodata and
+    are never flow targets — D8 runs over the observed cell set (the
+    other GIS convention, absent=0, would route every boundary cell
+    off-grid; callers wanting it densify first).
+
+    Integer-exact steepness compare, no sqrt: for positive drops,
+    slope_cardinal > slope_diagonal  <=>  2*dc^2 > dd^2 (square the
+    1/sqrt(2) weight away), so the argmax key is drop^2 * (2 for
+    cardinal, 1 for diagonal) — and 2a^2 = b^2 has no nonzero integer
+    solution, so keys from DIFFERENT weight classes never tie; equal
+    keys within a class are genuinely equal slopes and resolve to the
+    smallest direction code (deterministic in any engine).
+
+    Shape: the focal_stats scatter-gather — donors fan out to their 8
+    neighbors (plus a zero-key SELF sentinel that keeps sinks alive)
+    with the direction code the RECIPIENT would use (pure Catalyst bit
+    math), one equi-join back to the recipient's own value, one grouped
+    max over a (key, -code) struct (map-side combinable, lexicographic
+    struct order IS the tiebreak). Exactly two references to the input
+    table, no backfill join. Never touches raw points; no Python
+    stages."""
+    n = 1 << res
+    # (dx, dy) donor offset -> code the recipient at (ix+dx, iy+dy)
+    # uses to point back at the donor; iy+1 is north (lat-increasing).
+    # The (0, 0, 0) SELF arm is the sink sentinel: every occupied cell
+    # receives at least its own zero-key candidate, so sinks survive
+    # the argmax without a third reference back to the cell table (a
+    # left-join backfill would re-derive the upstream aggregation a
+    # third time on a lazy input).
+    arms = [
+        (0, 0, 0),     # self (sentinel, key 0)
+        (1, 0, 1),     # donor to the EAST of recipient
+        (1, -1, 2),    # SE
+        (0, -1, 4),    # S
+        (-1, -1, 8),   # SW
+        (-1, 0, 16),   # W
+        (-1, 1, 32),   # NW
+        (0, 1, 64),    # N
+        (1, 1, 128),   # NE
+    ]
+    off = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(dx).alias("dx"), F.lit(dy).alias("dy"), F.lit(code).alias("code")
+                )
+                for dx, dy, code in arms
+            ]
+        )
+    ).alias("o")
+    ix = F.shiftright(F.col(cell_col), 29).bitwiseAND(F.lit((1 << 29) - 1))
+    iy = F.col(cell_col).bitwiseAND(F.lit((1 << 29) - 1))
+    own = cell_counts.select(
+        ix.alias("ix"), iy.alias("iy"), F.col(value_col).cast("long").alias("_v")
+    )
+    scattered = own.select("ix", "iy", "_v", off).select(
+        (F.col("ix") - F.col("o.dx")).alias("rix"),
+        (F.col("iy") - F.col("o.dy")).alias("riy"),
+        F.col("o.code").alias("code"),
+        # diagonal iff both offsets nonzero
+        F.when((F.col("o.dx") != 0) & (F.col("o.dy") != 0), F.lit(1))
+        .otherwise(F.lit(2))
+        .alias("w"),
+        F.col("_v").alias("dv"),
+    ).filter(
+        (F.col("rix") >= 0) & (F.col("rix") < n)
+        & (F.col("riy") >= 0) & (F.col("riy") < n)
+    )
+    cand = own.join(
+        scattered, (own.ix == scattered.rix) & (own.iy == scattered.riy), "inner"
+    ).select("ix", "iy", "_v", "code", "w", "dv")
+    drop = F.col("_v") - F.col("dv")
+    # keep positive drops plus the self sentinel (code 0, drop 0 -> key
+    # 0, the argmax floor); everything else can never win
+    pos = cand.filter((drop > 0) | (F.col("code") == 0)).select(
+        "ix",
+        "iy",
+        "_v",
+        F.struct(
+            (drop * drop * F.col("w")).alias("key"), (-F.col("code")).alias("negcode")
+        ).alias("_k"),
+    )
+    best = pos.groupBy("ix", "iy").agg(
+        F.max("_k").alias("_b"), F.max("_v").alias("_n")
+    )
+    return best.select(
+        F.col("ix").cast("long").alias("ix"),
+        F.col("iy").cast("long").alias("iy"),
+        F.col("_n").alias(value_col),
+        (-F.col("_b.negcode")).cast("long").alias("flow_dir"),
+    )

@@ -4845,6 +4845,255 @@ Q111_SQL = geo_udfs.hilbert_sql(_Q111_SRC, ["event_id", "gx", "gy"], "gx", "gy",
 
 # ============================================================ registry
 
+
+# ------------------------------------------------------------- r6c gates
+
+_BLOOM_K, _BLOOM_M = 3, 512
+
+
+def _bloom_vals(spark, sf_dir):
+    """100-key build set (p_partkey < 300, divisible by 3) — small
+    enough that the 512-bit filter stays ~40% occupied (meaningful
+    false-positive behavior instead of saturation)."""
+    p = _t(spark, sf_dir, "part")
+    return p.filter((F.col("p_partkey") < 300) & (F.pmod(F.col("p_partkey"), F.lit(3)) == 0))
+
+
+def q133_bloom_bits(spark, sf_dir):
+    """Bloom filter bit table (k=3, m=512) — the MEMBERSHIP sketch
+    completing the relational sketch family beside HLL q121
+    (cardinality) and CMS q125 (frequency): at most m rows, merged by
+    union+DISTINCT, built in one explode + one DISTINCT with the CMS
+    'i:<value>' md5-fold seeding, so the oracle replays every set bit
+    exactly (sketch.bloom_build)."""
+    return sketch.bloom_build(_bloom_vals(spark, sf_dir), "p_partkey", k=_BLOOM_K, m=_BLOOM_M)
+
+
+_BLOOM_VALS_SQL = "SELECT p_partkey FROM part WHERE p_partkey < 300 AND p_partkey % 3 = 0"
+_BLOOM_HASHES = "(VALUES (0), (1), (2)) AS h(hidx)"
+
+Q133_SQL = f"""
+SELECT DISTINCT
+  ('0x' || substring(md5(hidx::VARCHAR || ':' || p_partkey::VARCHAR), 1, 12))::BIGINT
+    % {_BLOOM_M} AS pos
+FROM ({_BLOOM_VALS_SQL}) CROSS JOIN {_BLOOM_HASHES}
+"""
+
+
+def q134_bloom_probe(spark, sf_dir):
+    """Membership probes (300 items: the 100 built keys + 200 absent)
+    against the q133 bit table — maybe_present iff ALL k positions are
+    set. No false negatives by construction; the handful of false
+    POSITIVES are replayed bit-for-bit by the oracle (same bit table,
+    same hashes), so even the sketch's error is gate-checked."""
+    bloom = sketch.bloom_build(_bloom_vals(spark, sf_dir), "p_partkey", k=_BLOOM_K, m=_BLOOM_M)
+    items = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 300)
+        .select(F.col("p_partkey").cast("long").alias("probe_key"))
+    )
+    return sketch.bloom_probe(bloom, items, "probe_key", k=_BLOOM_K, m=_BLOOM_M).select(
+        F.col("item").cast("long").alias("item"), "maybe_present"
+    )
+
+
+Q134_SQL = f"""
+WITH bits AS (
+  SELECT DISTINCT
+    ('0x' || substring(md5(hidx::VARCHAR || ':' || p_partkey::VARCHAR), 1, 12))::BIGINT
+      % {_BLOOM_M} AS pos
+  FROM ({_BLOOM_VALS_SQL}) CROSS JOIN {_BLOOM_HASHES}
+), probes AS (
+  SELECT p_partkey::BIGINT AS item,
+         ('0x' || substring(md5(hidx::VARCHAR || ':' || p_partkey::VARCHAR), 1, 12))::BIGINT
+           % {_BLOOM_M} AS pos
+  FROM part CROSS JOIN {_BLOOM_HASHES}
+  WHERE p_partkey < 300
+)
+SELECT p.item,
+       CAST(CASE WHEN count(b.pos) = {_BLOOM_K} THEN 1 ELSE 0 END AS BIGINT) AS maybe_present
+FROM probes p LEFT JOIN bits b ON p.pos = b.pos
+GROUP BY p.item
+"""
+
+
+def q135_simhash_pairs(spark, sf_dir):
+    """Hamming-radius near-dup join (Manku et al. WWW'07): all document
+    pairs whose 16-bit SimHash fingerprints differ in <= 3 bits, found
+    by pigeonhole banding (4 bands — 3 flipped bits can't touch all 4,
+    so near pairs agree exactly on >= 1 band) + exact bit_count(xor)
+    verify BEFORE the pair-dedup shuffle (the q107 discipline). The
+    oracle is the O(n^2) brute-force pair scan — a genuinely different
+    algorithm, so the banding's completeness is what's being checked."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < _JACCARD_LIMIT)
+    return dedup.simhash_neardup_pairs(
+        docs, "doc_id", n_bits=_SIMHASH_BITS, max_hamming=3, n_bands=4
+    )
+
+
+Q135_SQL = f"""
+WITH sigs AS ({_simhash_sql()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def q136_snap_points(spark, sf_dir):
+    """Map matching: snap every event point to its NEAREST river
+    segment within 0.5 deg (planar) — cell-blocked candidate join +
+    clamped-projection point-to-segment distance + per-point struct-min
+    argmin, all whole-stage codegen (spatial_join.snap_to_segments).
+    The oracle brute-forces points x all 100 segments and picks the
+    row_number()=1 row under the identical (d2, river_id, seg) order —
+    checking both the cell cover's completeness (no nearest segment
+    lost to blocking) and the IEEE754 distance chain."""
+    rivers = _rivers(spark, sf_dir)
+    ax, ay, w, h = F.col("ax"), F.col("ay"), F.col("w"), F.col("h")
+    arm = lambda s, x0, y0, x1, y1: F.struct(  # noqa: E731
+        F.lit(s).alias("seg"), x0.alias("x0"), y0.alias("y0"), x1.alias("x1"), y1.alias("y1")
+    )
+    segs = rivers.select(
+        "river_id",
+        F.explode(
+            F.array(
+                arm(0, ax, ay, ax + w, ay),
+                arm(1, ax + w, ay, ax + w, ay + h),
+                arm(2, ax + w, ay + h, ax + F.lit(2) * w, ay + h),
+                arm(3, ax + F.lit(2) * w, ay + h, ax + F.lit(3) * w, ay + F.lit(2) * h),
+            )
+        ).alias("s"),
+    ).select("river_id", "s.seg", "s.x0", "s.y0", "s.x1", "s.y1")
+    pts = _event_points(spark, sf_dir).select("event_id", "lon", "lat")
+    out = spatial_join.snap_to_segments(
+        pts,
+        segs,
+        radius=0.5,
+        res=6,
+        point_id_col="event_id",
+        seg_id_cols=("river_id", "seg"),
+        seg_cols=("x0", "y0", "x1", "y1"),
+    )
+    return out.select(
+        "event_id",
+        "river_id",
+        "seg",
+        F.round("snap_t", 6).alias("snap_t"),
+        F.round("snap_d2", 6).alias("snap_d2"),
+    )
+
+
+Q136_SQL = f"""
+WITH r AS ({_RIVERS_SQL}), segs AS (
+  SELECT river_id, 0 AS seg, ax AS x0, ay AS y0, ax + w AS x1, ay AS y1 FROM r
+  UNION ALL SELECT river_id, 1, ax + w, ay, ax + w, ay + h FROM r
+  UNION ALL SELECT river_id, 2, ax + w, ay + h, ax + 2 * w, ay + h FROM r
+  UNION ALL SELECT river_id, 3, ax + 2 * w, ay + h, ax + 3 * w, ay + 2 * h FROM r
+), pts AS ({_EVENT_POINTS_SQL}),
+proj AS (
+  SELECT event_id, river_id, seg, lon, lat, x0, y0, x1, y1,
+         CASE WHEN (x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0) > 0.0
+              THEN least(greatest(
+                     ((lon - x0) * (x1 - x0) + (lat - y0) * (y1 - y0))
+                       / ((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0)), 0.0), 1.0)
+              ELSE 0.0 END AS t
+  FROM pts CROSS JOIN segs
+), dist AS (
+  SELECT event_id, river_id, seg, t,
+         (lon - (x0 + t * (x1 - x0))) * (lon - (x0 + t * (x1 - x0)))
+         + (lat - (y0 + t * (y1 - y0))) * (lat - (y0 + t * (y1 - y0))) AS d2
+  FROM proj
+)
+SELECT event_id, river_id, seg, round(t, 6) AS snap_t, round(d2, 6) AS snap_d2
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY d2, river_id, seg) AS rn
+  FROM dist WHERE d2 <= 0.25
+) WHERE rn = 1
+"""
+
+
+def q137_d8_flow(spark, sf_dir):
+    """D8 steepest-descent flow direction over the res-6 event-count
+    grid (tiling.d8_flow_direction — O'Callaghan & Mark 1984): each
+    occupied cell points at its steepest strictly-lower OCCUPIED
+    neighbor, diagonal drops weighted 1/sqrt(2) via the integer-exact
+    2*dc^2-vs-dd^2 compare; ESRI codes, 0 = sink. The oracle re-derives
+    with the same VALUES-table scatter but an independent join shape."""
+    from pda_spark.operators import tiling
+
+    res = 6
+    pts = _event_points(spark, sf_dir)
+    cnt = (
+        pts.withColumn("cell", geo_udfs.cell_of_xy_expr(F.col("lon"), F.col("lat"), res))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return tiling.d8_flow_direction(cnt, res)
+
+
+Q137_SQL = f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+cnt AS (
+  SELECT least(greatest(floor((lon + 180.0) / 360.0 * {_N6}), 0), {_N6 - 1})::BIGINT AS ix,
+         least(greatest(floor((lat + 90.0) / 180.0 * {_N6}), 0), {_N6 - 1})::BIGINT AS iy,
+         count(*) AS n
+  FROM pts GROUP BY 1, 2
+), sc AS (
+  SELECT ix - dx AS rix, iy - dy AS riy, code, w, n AS dv
+  FROM cnt
+  CROSS JOIN (VALUES (1, 0, 1, 2), (1, -1, 2, 1), (0, -1, 4, 2), (-1, -1, 8, 1),
+                     (-1, 0, 16, 2), (-1, 1, 32, 1), (0, 1, 64, 2), (1, 1, 128, 1))
+       AS o(dx, dy, code, w)
+  WHERE ix - dx BETWEEN 0 AND {_N6 - 1} AND iy - dy BETWEEN 0 AND {_N6 - 1}
+), best AS (
+  SELECT c.ix, c.iy,
+         max(struct_pack(key := (c.n - s.dv) * (c.n - s.dv) * s.w, negcode := -s.code)) AS b
+  FROM cnt c JOIN sc s ON c.ix = s.rix AND c.iy = s.riy
+  WHERE c.n - s.dv > 0
+  GROUP BY c.ix, c.iy
+)
+SELECT c.ix::BIGINT AS ix, c.iy::BIGINT AS iy, c.n::BIGINT AS n,
+       CAST(coalesce(-struct_extract(b.b, 'negcode'), 0) AS BIGINT) AS flow_dir
+FROM cnt c LEFT JOIN best b ON c.ix = b.ix AND c.iy = b.iy
+"""
+
+
+def q138_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (contrastive-training curation op): for
+    each of 8 anchors, the top-2 most-cosine-similar vectors with a
+    DIFFERENT label — the q30 exact-cosine discipline (hoisted norms,
+    rounded-6 score, id tiebreak) plus the label-mismatch filter
+    (similarity.hard_negatives)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_embedding"),
+        F.col("label").alias("a_label"),
+    )
+    return similarity.hard_negatives(emb, anchors, k=2)
+
+
+Q138_SQL = """
+WITH anchors AS (
+  SELECT vec_id AS a_id, embedding AS a_embedding, label AS a_label
+  FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT a.a_id, e.vec_id, e.label,
+         round(list_dot_product(e.embedding::DOUBLE[], a.a_embedding::DOUBLE[])
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(a.a_embedding::DOUBLE[], a.a_embedding::DOUBLE[]))),
+               6) AS cosine
+  FROM embeddings e CROSS JOIN anchors a
+  WHERE e.label <> a.a_label
+)
+SELECT a_id, vec_id, label, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 2
+"""
+
+
 # Ordering contract (VERDICT r05 #1): the driver correctness artifact
 # records only the FIRST 50 keys of this dict.  Rotation rule, recorded in
 # CLAUDE.md: each round, queries WITHOUT a green row in any prior
@@ -4930,6 +5179,12 @@ QUERIES: dict[str, tuple] = {
     "q130_skyline": (q130_skyline, Q130_SQL),
     "q131_cusum": (q131_cusum, Q131_SQL),
     "q132_profile": (q132_profile, Q132_SQL),
+    "q133_bloom_bits": (q133_bloom_bits, Q133_SQL),
+    "q134_bloom_probe": (q134_bloom_probe, Q134_SQL),
+    "q135_simhash_pairs": (q135_simhash_pairs, Q135_SQL),
+    "q136_snap_points": (q136_snap_points, Q136_SQL),
+    "q137_d8_flow": (q137_d8_flow, Q137_SQL),
+    "q138_hard_negatives": (q138_hard_negatives, Q138_SQL),
     # --- long driver-proven queries (green rows in DRIVER_LEDGER.json) ---
     "q41_pip_join": (q41_pip_join, Q41_SQL),
     "q42_knn": (q42_knn, Q42_SQL),
