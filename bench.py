@@ -65,6 +65,11 @@ HEADLINE = [
     "q101_image_downsample", # real decode + block-mean pool (one Arrow stage)
     "q102_tfidf",            # full-vocabulary tf-idf (two keyed shuffles)
     "q103_winnowing",        # window-min fingerprint selection
+    "q104_tile_pyramid",     # multi-zoom tile rollup (bit-shift ancestors)
+    "q111_hilbert",          # Hilbert layout key (branchless xor-mask)
+    "q135_simhash_pairs",    # banded SimHash Hamming<=3 near-dup join
+    "q136_snap_points",      # nearest-segment snap (map matching, pure JVM)
+    "q137_d8_flow",          # D8 flow direction (scatter + struct argmax)
 ]
 
 

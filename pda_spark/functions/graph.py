@@ -205,10 +205,15 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     i.e. ids < 2^40 and degrees < 2^23 (document, not check — a lazy
     plan can't validate)."""
     u, v = F.col(src), F.col(dst)
+    # localCheckpoint (lazy): e is consumed by the degree count AND the
+    # rank join, o by BOTH wedge legs and the closing probe — without
+    # the checkpoint Spark re-derives the whole upstream (often an
+    # expensive distinct over a pair self-join) once per reference.
     e = (
         edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("u").alias("id"))
@@ -227,7 +232,7 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         F.when(low_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(low_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.greatest("_ru", "_rv").alias("rb"),
-    )
+    ).localCheckpoint(eager=False)
     wedges = (
         o.select("a", F.col("b").alias("x"), F.col("rb").alias("rx"))
         .join(o.select("a", F.col("b").alias("y"), F.col("rb").alias("ry")), "a")

@@ -407,3 +407,37 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select(anchor_id_col, id_col, label_col, "cosine", "rank")
     )
+
+
+def quantize_int8(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "qvec",
+    scale_col: str = "scale",
+) -> DataFrame:
+    """Scalar int8 quantization of an embedding column — the memory
+    side of similarity search at 100 TB (4x smaller vectors, integer
+    dot products): per-vector scale = max|x|, q_i = floor(x_i * 127 /
+    scale + 0.5) clamped to [-127, 127]. floor(x + 0.5) is round-half-
+    up — deterministic and identical in every engine, unlike round()'s
+    half-even ties (the CLAUDE floor-based-integers rule). A zero
+    vector quantizes to all zeros (scale 0 guard).
+
+    Composes with ``cosine_topk``/``ivf_topk`` unchanged: integer
+    components are exact in float64, so quantized dot products are
+    order-independent and engine-exact — the q140 gate ranks on them
+    directly."""
+    scale = F.expr(
+        f"aggregate({vec_col}, 0.0D, (acc, v) -> greatest(acc, abs(cast(v as double))))"
+    )
+    out = vectors.withColumn("_scale", scale)
+    q = F.expr(
+        f"""transform({vec_col}, v -> CASE WHEN _scale > 0.0D THEN
+              greatest(least(CAST(floor(cast(v as double) * 127.0D / _scale + 0.5D)
+                             AS BIGINT), 127), -127)
+            ELSE CAST(0 AS BIGINT) END)"""
+    )
+    return out.select(
+        id_col, F.col("_scale").alias(scale_col), q.alias(out_col)
+    )

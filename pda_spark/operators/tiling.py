@@ -666,10 +666,14 @@ def dbscan(
     d2 = (F.col("_xa") - F.col("_x")) * (F.col("_xa") - F.col("_x")) + (
         F.col("_ya") - F.col("_y")
     ) * (F.col("_ya") - F.col("_y"))
+    # localCheckpoint (lazy): nb — the expensive 9x-scatter eps join —
+    # feeds the degree count, the core-core edges AND border labeling;
+    # without it the whole neighbor join re-executes once per consumer.
     nb = (
         scattered.join(base, ["gx", "gy"])
         .filter(d2 <= F.lit(eps2))
         .select(F.col("_a"), F.col("_pid").alias("_b"))
+        .localCheckpoint(eager=False)
     )
     deg = nb.groupBy("_a").agg(F.count(F.lit(1)).alias("_deg"))
     core = deg.filter(F.col("_deg") >= F.lit(min_pts)).select(F.col("_a").alias("_c"))

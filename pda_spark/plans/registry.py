@@ -5094,6 +5094,148 @@ SELECT a_id, vec_id, label, cosine, rank FROM (
 """
 
 
+
+def q139_quantize_int8(spark, sf_dir):
+    """Scalar int8 quantization of the embedding table
+    (similarity.quantize_int8): per-vector scale = max|x|, components
+    floor(x*127/scale + 0.5) clamped — round-half-UP via floor so both
+    engines tie-break identically (round() half-even differs). The
+    quantized vector is emitted as a joined string (driver hasher can't
+    take arrays)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    q = similarity.quantize_int8(emb)
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.array_join(F.expr("transform(qvec, v -> CAST(v AS STRING))"), ",").alias("qvec"),
+    )
+
+
+Q139_SQL = """
+WITH scaled AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding::DOUBLE[], v -> abs(v))) AS s,
+         embedding::DOUBLE[] AS e
+  FROM embeddings WHERE vec_id < 500
+)
+SELECT vec_id, round(s, 6) AS scale,
+       array_to_string(
+         list_transform(e, v -> CASE WHEN s > 0.0 THEN
+             greatest(least(CAST(floor(v * 127.0 / s + 0.5) AS BIGINT), 127), -127)
+           ELSE 0 END), ',') AS qvec
+FROM scaled
+"""
+
+
+def q140_quantized_ann(spark, sf_dir):
+    """Exact top-k cosine over int8-QUANTIZED vectors — quantization
+    composes with the unchanged cosine_topk operator (integer
+    components are exact in float64, so the dots are order-independent
+    and engine-exact; only the final division+round is float). The
+    recall-vs-q30 comparison is the measured quantization cost; the
+    GATE checks the quantized ranking itself replays exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = similarity.quantize_int8(emb).select("vec_id", F.col("qvec").alias("embedding"))
+    anchors = q.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    return similarity.cosine_topk(q, anchors, k=5)
+
+
+Q140_SQL = """
+WITH scaled AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS s,
+         embedding::DOUBLE[] AS e
+  FROM embeddings
+), q AS (
+  SELECT vec_id,
+         list_transform(e, v -> CASE WHEN s > 0.0 THEN
+             greatest(least(CAST(floor(v * 127.0 / s + 0.5) AS BIGINT), 127), -127)
+           ELSE 0 END) AS qv
+  FROM scaled
+), anchors AS (
+  SELECT vec_id AS q_id, qv AS q_qv FROM q WHERE vec_id < 5
+), scored AS (
+  SELECT a.q_id, e.vec_id,
+         round(list_dot_product(e.qv::DOUBLE[], a.q_qv::DOUBLE[])
+               / (sqrt(list_dot_product(e.qv::DOUBLE[], e.qv::DOUBLE[]))
+                  * sqrt(list_dot_product(a.q_qv::DOUBLE[], a.q_qv::DOUBLE[]))), 6) AS cosine
+  FROM q e CROSS JOIN anchors a
+)
+SELECT q_id, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q141_speed_filter(spark, sf_dir):
+    """GPS-trajectory cleaning (impossible-speed filter): per user,
+    consecutive fixes ordered by (ts, event_id), speed = geodesic
+    metres / elapsed seconds, flagged above 350 m/s (no ground/air
+    vehicle). The distance runs through the q78/q88 numpy haversine
+    kernel (Arrow UDF — numpy and DuckDB share libm, which is WHY the
+    geodesic legs gate; a pure-Catalyst trig chain would ride JVM
+    Math and drift ULPs). Zero-dt pairs (tied timestamps) are excluded
+    up front — speed is undefined there (documented contract)."""
+    pts = _event_points(spark, sf_dir)
+    # ordering by ts_us == ordering by ts (unix_micros is strictly
+    # monotone), and ts_us is what the projection below keeps
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    t = pts.select(
+        "user_id",
+        "event_id",
+        "lon",
+        "lat",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    ).select(
+        "*",
+        F.lag("lon").over(w).alias("plon"),
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("ts_us").over(w).alias("pts_us"),
+    )
+    t = t.filter(F.col("pts_us").isNotNull() & (F.col("ts_us") > F.col("pts_us")))
+    dist = geo_udfs.distance_geodesic_lonlat()(
+        F.col("plon"), F.col("plat"), F.col("lon"), F.col("lat")
+    )
+    t = t.withColumn(
+        "speed_mps", dist / ((F.col("ts_us") - F.col("pts_us")) / F.lit(1000000.0))
+    )
+    return t.select(
+        "user_id",
+        "event_id",
+        F.round("speed_mps", 6).alias("speed_mps"),
+        F.when(F.col("speed_mps") > 350.0, 1).otherwise(0).cast("long").alias("impossible"),
+    )
+
+
+Q141_SQL = f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+lagged AS (
+  SELECT user_id, event_id, lon, lat,
+         epoch_us(ts::TIMESTAMP) AS ts_us,
+         lag(lon) OVER w AS plon,
+         lag(lat) OVER w AS plat,
+         lag(epoch_us(ts::TIMESTAMP)) OVER w AS pts_us
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), moves AS (
+  SELECT user_id, event_id,
+         (2.0 * CAST({_RQ_REPR} AS DOUBLE) * asin(sqrt(least(greatest(
+              pow(sin((radians(lat) - radians(plat)) / 2.0), 2)
+              + cos(radians(plat)) * cos(radians(lat))
+                * pow(sin((radians(lon) - radians(plon)) / 2.0), 2),
+          0.0), 1.0))))
+         / ((ts_us - pts_us) / 1000000.0) AS speed_mps
+  FROM lagged WHERE pts_us IS NOT NULL AND ts_us > pts_us
+)
+SELECT user_id, event_id, round(speed_mps, 6) AS speed_mps,
+       CAST(CASE WHEN speed_mps > 350.0 THEN 1 ELSE 0 END AS BIGINT) AS impossible
+FROM moves
+"""
+
+
 # Ordering contract (VERDICT r05 #1): the driver correctness artifact
 # records only the FIRST 50 keys of this dict.  Rotation rule, recorded in
 # CLAUDE.md: each round, queries WITHOUT a green row in any prior
@@ -5185,6 +5327,9 @@ QUERIES: dict[str, tuple] = {
     "q136_snap_points": (q136_snap_points, Q136_SQL),
     "q137_d8_flow": (q137_d8_flow, Q137_SQL),
     "q138_hard_negatives": (q138_hard_negatives, Q138_SQL),
+    "q139_quantize_int8": (q139_quantize_int8, Q139_SQL),
+    "q140_quantized_ann": (q140_quantized_ann, Q140_SQL),
+    "q141_speed_filter": (q141_speed_filter, Q141_SQL),
     # --- long driver-proven queries (green rows in DRIVER_LEDGER.json) ---
     "q41_pip_join": (q41_pip_join, Q41_SQL),
     "q42_knn": (q42_knn, Q42_SQL),
