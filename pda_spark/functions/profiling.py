@@ -63,3 +63,36 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         F.coalesce("n_null", F.lit(0)).cast("long").alias("n_null"),
         F.coalesce("n_distinct", F.lit(0)).cast("long").alias("n_distinct"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorization (percentile clipping) — the outlier-robustness
+    primitive of feature cleaning: clip ``value_col`` to its per-group
+    [lower, upper] exact percentiles. Exact ``percentile`` interpolates
+    at p*(n-1) identically to DuckDB's quantile_cont (the q67
+    bit-exactness), so the clip boundaries — and therefore every
+    clipped value — replay across engines.
+
+    Shape: one grouped percentile aggregate (tiny: one row per group)
+    joined back onto the fact table — AQE broadcasts it — then a pure
+    Catalyst least/greatest. The fact table is scanned twice (agg +
+    clip): at 100 TB feed a pre-aggregated percentile dim instead, or
+    accept the two scans (both pushdown-pruned to one column)."""
+    if not 0.0 <= lower <= upper <= 1.0:
+        raise ValueError(f"need 0 <= lower <= upper <= 1, got {lower}, {upper}")
+    gcols = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+    agg = (df.groupBy(*gcols) if gcols else df.groupBy()).agg(
+        F.percentile(v, F.lit(lower)).alias("_wlo"),
+        F.percentile(v, F.lit(upper)).alias("_whi"),
+    )
+    joined = df.join(F.broadcast(agg), gcols) if gcols else df.crossJoin(F.broadcast(agg))
+    clipped = F.least(F.greatest(v, F.col("_wlo")), F.col("_whi"))
+    return joined.withColumn(out_col or f"{value_col}_wins", clipped).drop("_wlo", "_whi")

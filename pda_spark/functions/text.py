@@ -761,3 +761,38 @@ def lm_coverage(
         F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
         F.coalesce("n_bg_unseen", F.lit(0)).cast("long").alias("n_bg_unseen"),
     )
+
+
+def chunk_text(
+    docs: DataFrame,
+    chunk_chars: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-size document chunking with overlap — the RAG/embedding
+    ingestion primitive (split every document into chunk_chars-char
+    windows advancing by chunk_chars - overlap): one row per
+    (doc, chunk_idx, chunk). Pure Catalyst — a sequence explode over
+    n_chunks = max(ceil((len - overlap) / step), 1) and one substring
+    per chunk; no Python, no shuffle (chunking is embarrassingly
+    row-local, which is the whole 100 TB story). Every document emits
+    at least one chunk (an empty doc emits its empty chunk — dropping
+    rows silently is the q132 lesson); the final chunk is the short
+    remainder."""
+    if chunk_chars < 1:
+        raise ValueError(f"chunk_chars must be >= 1, got {chunk_chars}")
+    if not 0 <= overlap < chunk_chars:
+        raise ValueError(f"need 0 <= overlap < chunk_chars, got {overlap}")
+    step = chunk_chars - overlap
+    ln = F.length(F.col(text_col))
+    n_chunks = F.greatest(
+        F.expr(f"CAST((length({text_col}) - {overlap} + {step} - 1) AS BIGINT) div {step}"),
+        F.lit(1),
+    )
+    idx = F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("chunk_idx")
+    out = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"), idx)
+    chunk = F.expr(f"substring(_t, 1 + chunk_idx * {step}, {chunk_chars})")
+    return out.select(
+        "doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx"), chunk.alias("chunk")
+    )

@@ -808,3 +808,75 @@ def d8_flow_direction(
         F.col("_n").alias(value_col),
         (-F.col("_b.negcode")).cast("long").alias("flow_dir"),
     )
+
+
+def flow_accumulation(
+    cell_counts: DataFrame,
+    res: int,
+    cell_col: str = "cell",
+    value_col: str = "n",
+    max_iter: int = 64,
+) -> DataFrame:
+    """D8 flow ACCUMULATION (the second half of the hydrology pair —
+    ESRI/GDAL ``FlowAcc``): for each occupied cell, the number of
+    occupied cells whose steepest-descent path (``d8_flow_direction``)
+    passes through it, itself included. The D8 graph is a FOREST — every
+    edge points to a strictly lower neighbor, so paths are acyclic and
+    each cell has at most one out-edge — and accumulation is the
+    subtree size above each cell.
+
+    Distributed shape: POINTER DOUBLING (the parallel list-ranking
+    idiom), not leaf-to-root value iteration — depth rounds become
+    log2(depth) rounds, and rounds are the scheduler cost that matters
+    at scale. Invariants after round k: pairs P holds (start, ancestor)
+    for every ancestor within 2^k - 1 hops (self included), and jump
+    table J maps each node to its 2^k-th ancestor where one exists; a
+    round extends P through J and squares J by self-join. J empties
+    after ceil(log2(max path depth)) rounds (the convergence check —
+    one tiny count per round, the only action). acc(c) then = count of
+    starts whose pair set contains c. Memory bound (documented
+    tradeoff): P holds sum-of-path-lengths rows — the same bound as a
+    transitive closure on a forest; the depth-round value-iteration
+    alternative keeps O(n) state but pays depth rounds. RuntimeError
+    past ``max_iter`` doubling rounds (2^40-deep paths at the default —
+    unreachable on any grid).
+
+    Returns (ix, iy, n, flow_dir, acc)."""
+    dirs = d8_flow_direction(cell_counts, res, cell_col, value_col).localCheckpoint(
+        eager=False
+    )
+    # decode the ESRI code back to the (dx, dy) step of the out-edge
+    code_to_step = {1: (1, 0), 2: (1, -1), 4: (0, -1), 8: (-1, -1),
+                    16: (-1, 0), 32: (-1, 1), 64: (0, 1), 128: (1, 1)}
+    dx = F.create_map(
+        *[x for c, (sx, _) in code_to_step.items() for x in (F.lit(c), F.lit(sx))]
+    )[F.col("flow_dir")]
+    dy = F.create_map(
+        *[x for c, (_, sy) in code_to_step.items() for x in (F.lit(c), F.lit(sy))]
+    )[F.col("flow_dir")]
+    # pack (ix, iy) into one join key (ix, iy < 2^29 by cell layout)
+    pack = lambda a, b: a * F.lit(1 << 29) + b  # noqa: E731
+    jump = dirs.filter(F.col("flow_dir") > 0).select(
+        pack(F.col("ix"), F.col("iy")).alias("c"),
+        pack(F.col("ix") + dx, F.col("iy") + dy).alias("p"),
+    ).localCheckpoint(eager=False)
+    pairs = dirs.select(
+        pack(F.col("ix"), F.col("iy")).alias("s"),
+        pack(F.col("ix"), F.col("iy")).alias("a"),
+    )
+    for _ in range(max_iter):
+        if jump.limit(1).count() == 0:
+            break
+        ext = pairs.join(jump, pairs.a == jump.c).select("s", F.col("p").alias("a"))
+        pairs = pairs.union(ext).distinct().localCheckpoint(eager=False)
+        j2 = jump.alias("l").join(
+            jump.alias("r"), F.col("l.p") == F.col("r.c")
+        ).select(F.col("l.c").alias("c"), F.col("r.p").alias("p"))
+        jump = j2.localCheckpoint(eager=False)
+    else:
+        raise RuntimeError(f"flow_accumulation did not converge in {max_iter} rounds")
+    acc = pairs.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("acc"))
+    keyed = dirs.withColumn("_k", pack(F.col("ix"), F.col("iy")))
+    return keyed.join(acc, keyed["_k"] == acc["a"]).select(
+        "ix", "iy", value_col, "flow_dir", "acc"
+    )

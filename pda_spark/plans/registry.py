@@ -5236,6 +5236,134 @@ FROM moves
 """
 
 
+
+def q142_flow_accumulation(spark, sf_dir):
+    """D8 flow ACCUMULATION over the res-6 event grid (the q137 pair):
+    bounded leaf-to-root iteration over the D8 forest (acyclic by
+    construction — every edge drops strictly). The oracle re-derives
+    with a genuinely different algorithm: a recursive-CTE transitive
+    closure counting, for each cell, every cell whose descent path
+    passes through it."""
+    from pda_spark.operators import tiling
+
+    res = 6
+    pts = _event_points(spark, sf_dir)
+    cnt = (
+        pts.withColumn("cell", geo_udfs.cell_of_xy_expr(F.col("lon"), F.col("lat"), res))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return tiling.flow_accumulation(cnt, res)
+
+
+_D8_CTES = f"""
+pts AS ({_EVENT_POINTS_SQL}),
+cnt AS (
+  SELECT least(greatest(floor((lon + 180.0) / 360.0 * {_N6}), 0), {_N6 - 1})::BIGINT AS ix,
+         least(greatest(floor((lat + 90.0) / 180.0 * {_N6}), 0), {_N6 - 1})::BIGINT AS iy,
+         count(*) AS n
+  FROM pts GROUP BY 1, 2
+), sc AS (
+  SELECT ix - dx AS rix, iy - dy AS riy, code, w, n AS dv
+  FROM cnt
+  CROSS JOIN (VALUES (1, 0, 1, 2), (1, -1, 2, 1), (0, -1, 4, 2), (-1, -1, 8, 1),
+                     (-1, 0, 16, 2), (-1, 1, 32, 1), (0, 1, 64, 2), (1, 1, 128, 1))
+       AS o(dx, dy, code, w)
+  WHERE ix - dx BETWEEN 0 AND {_N6 - 1} AND iy - dy BETWEEN 0 AND {_N6 - 1}
+), best AS (
+  SELECT c.ix, c.iy,
+         max(struct_pack(key := (c.n - s.dv) * (c.n - s.dv) * s.w, negcode := -s.code)) AS b
+  FROM cnt c JOIN sc s ON c.ix = s.rix AND c.iy = s.riy
+  WHERE c.n - s.dv > 0
+  GROUP BY c.ix, c.iy
+), flow AS (
+  SELECT c.ix, c.iy, c.n,
+         CAST(coalesce(-struct_extract(b.b, 'negcode'), 0) AS BIGINT) AS flow_dir
+  FROM cnt c LEFT JOIN best b ON c.ix = b.ix AND c.iy = b.iy
+)"""
+
+Q142_SQL = f"""
+WITH RECURSIVE {_D8_CTES},
+edges AS (
+  SELECT ix AS cix, iy AS ciy,
+         ix + CASE flow_dir WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 128 THEN 1
+                            WHEN 8 THEN -1 WHEN 16 THEN -1 WHEN 32 THEN -1
+                            ELSE 0 END AS pix,
+         iy + CASE flow_dir WHEN 2 THEN -1 WHEN 4 THEN -1 WHEN 8 THEN -1
+                            WHEN 32 THEN 1 WHEN 64 THEN 1 WHEN 128 THEN 1
+                            ELSE 0 END AS piy
+  FROM flow WHERE flow_dir > 0
+), reach AS (
+  SELECT ix AS six, iy AS siy, ix, iy FROM flow
+  UNION ALL
+  SELECT r.six, r.siy, e.pix, e.piy
+  FROM reach r JOIN edges e ON r.ix = e.cix AND r.iy = e.ciy
+)
+SELECT f.ix, f.iy, f.n, f.flow_dir, CAST(cnt_reach AS BIGINT) AS acc
+FROM flow f JOIN (
+  SELECT ix, iy, count(*) AS cnt_reach FROM reach GROUP BY ix, iy
+) r ON f.ix = r.ix AND f.iy = r.iy
+"""
+
+
+def q143_winsorize(spark, sf_dir):
+    """Per-group winsorization (percentile clipping, the outlier-robust
+    feature-cleaning primitive): order totals clipped to the exact
+    per-priority [p05, p95] (profiling.winsorize — Spark percentile ==
+    DuckDB quantile_cont bit-exact per q67, so the clipped doubles are
+    emitted RAW)."""
+    from pda_spark.functions import profiling
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+    w = profiling.winsorize(
+        o, "o_totalprice", group_cols=["o_orderpriority"], lower=0.05, upper=0.95
+    )
+    return w.select("o_orderkey", "o_orderpriority", F.col("o_totalprice_wins").alias("wins"))
+
+
+Q143_SQL = """
+WITH b AS (
+  SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.05) AS lo,
+         quantile_cont(o_totalprice, 0.95) AS hi
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderkey, o.o_orderpriority,
+       least(greatest(o.o_totalprice, b.lo), b.hi) AS wins
+FROM orders o JOIN b USING (o_orderpriority)
+"""
+
+
+def q144_chunk_text(spark, sf_dir):
+    """RAG-style document chunking (200-char windows, 40 overlap):
+    sequence-explode + substring, pure Catalyst, shuffle-free
+    (text.chunk_text). Chunk content gates through md5 + length so the
+    compare stays light while still pinning every byte."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    ch = text.chunk_text(docs, chunk_chars=200, overlap=40)
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        F.length("chunk").alias("chunk_len"),
+        F.md5("chunk").alias("chunk_hash"),
+    )
+
+
+Q144_SQL = """
+WITH docs AS (
+  SELECT doc_id, text, length(text) AS ln FROM documents WHERE doc_id < 300
+), n AS (
+  SELECT doc_id, text, greatest((ln - 40 + 159) // 160, 1) AS n_chunks FROM docs
+), idx AS (
+  SELECT doc_id, text, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM n
+)
+SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+       CAST(length(substring(text, 1 + chunk_idx * 160, 200)) AS INTEGER) AS chunk_len,
+       md5(substring(text, 1 + chunk_idx * 160, 200)) AS chunk_hash
+FROM idx
+"""
+
+
 # Ordering contract (VERDICT r05 #1): the driver correctness artifact
 # records only the FIRST 50 keys of this dict.  Rotation rule, recorded in
 # CLAUDE.md: each round, queries WITHOUT a green row in any prior
@@ -5330,6 +5458,9 @@ QUERIES: dict[str, tuple] = {
     "q139_quantize_int8": (q139_quantize_int8, Q139_SQL),
     "q140_quantized_ann": (q140_quantized_ann, Q140_SQL),
     "q141_speed_filter": (q141_speed_filter, Q141_SQL),
+    "q142_flow_accumulation": (q142_flow_accumulation, Q142_SQL),
+    "q143_winsorize": (q143_winsorize, Q143_SQL),
+    "q144_chunk_text": (q144_chunk_text, Q144_SQL),
     # --- long driver-proven queries (green rows in DRIVER_LEDGER.json) ---
     "q41_pip_join": (q41_pip_join, Q41_SQL),
     "q42_knn": (q42_knn, Q42_SQL),

@@ -1,0 +1,124 @@
+"""Round-6e operators: D8 flow accumulation, winsorization, document
+chunking. Independent re-derivations (python graph walk, numpy
+percentile, string slicing)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pda_spark.functions import profiling, text
+from pda_spark.operators import tiling
+
+
+def _cell(res, ix, iy):
+    return (res << 58) + (ix << 29) + iy
+
+
+ARMS = [(1, 0, 1, 2), (1, -1, 2, 1), (0, -1, 4, 2), (-1, -1, 8, 1),
+        (-1, 0, 16, 2), (-1, 1, 32, 1), (0, 1, 64, 2), (1, 1, 128, 1)]
+STEP = {1: (1, 0), 2: (1, -1), 4: (0, -1), 8: (-1, -1),
+        16: (-1, 0), 32: (-1, 1), 64: (0, 1), 128: (1, 1)}
+
+
+def _py_d8(pts, n):
+    flow = {}
+    for (ix, iy), v in pts.items():
+        cand = [(0, 0, 0)]
+        for dx, dy, code, w in ARMS:
+            nx, ny = ix + dx, iy + dy
+            if 0 <= nx < n and 0 <= ny < n and (nx, ny) in pts and v - pts[(nx, ny)] > 0:
+                d = v - pts[(nx, ny)]
+                cand.append((d * d * w, -code, code))
+        flow[(ix, iy)] = max(cand)[2]
+    return flow
+
+
+def test_flow_accumulation_vs_python_walk(spark):
+    """acc(c) == #cells whose full descent path hits c (self included),
+    re-derived by walking every cell's parent chain in python."""
+    res = 6
+    rng = np.random.default_rng(9)
+    n = 1 << res
+    pts = {(int(a), int(b)): int(v) for a, b, v in zip(
+        rng.integers(0, 10, 150), rng.integers(0, 10, 150), rng.integers(1, 12, 150)
+    )}
+    df = spark.createDataFrame(
+        [(_cell(res, ix, iy), v) for (ix, iy), v in pts.items()], "cell long, n long"
+    )
+    got = {(r.ix, r.iy): (r.flow_dir, r.acc) for r in tiling.flow_accumulation(df, res).collect()}
+    flow = _py_d8(pts, n)
+    want = {c: 0 for c in pts}
+    for c in pts:
+        cur = c
+        while True:
+            want[cur] += 1
+            code = flow[cur]
+            if code == 0:
+                break
+            dx, dy = STEP[code]
+            cur = (cur[0] + dx, cur[1] + dy)
+    assert {c: a for c, (_, a) in got.items()} == want
+    assert {c: f for c, (f, _) in got.items()} == flow
+    # conservation: every cell contributes its own 1 exactly once per
+    # path node; sinks absorb their whole basin
+    assert sum(a for _, a in got.values()) == sum(want.values())
+
+
+def test_flow_accumulation_chain(spark):
+    """A strictly decreasing chain accumulates 1..k along the path."""
+    res = 6
+    vals = [(5, 5, 50), (6, 5, 40), (7, 5, 30), (8, 6, 20), (9, 7, 10)]
+    df = spark.createDataFrame(
+        [(_cell(res, ix, iy), v) for ix, iy, v in vals], "cell long, n long"
+    )
+    got = {(r.ix, r.iy): r.acc for r in tiling.flow_accumulation(df, res).collect()}
+    assert got == {(5, 5): 1, (6, 5): 2, (7, 5): 3, (8, 6): 4, (9, 7): 5}
+
+
+def test_winsorize_vs_numpy(spark):
+    rng = np.random.default_rng(2)
+    rows = []
+    for g in ("a", "b"):
+        for i, v in enumerate(rng.normal(100 if g == "a" else 500, 50, 40)):
+            rows.append((g, float(v)))
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = [(r.g, r.v, r.v_wins) for r in profiling.winsorize(df, "v", ["g"], 0.1, 0.9).collect()]
+    pdf = {g: sorted(v for gg, v in rows if gg == g) for g in ("a", "b")}
+    for g, v, w in got:
+        lo = float(np.quantile(pdf[g], 0.1))  # numpy 'linear' == p*(n-1)
+        hi = float(np.quantile(pdf[g], 0.9))
+        assert w == pytest.approx(min(max(v, lo), hi), abs=1e-9)
+    # clipping actually happened at both tails in each group
+    for g in ("a", "b"):
+        ws = [w for gg, _, w in got if gg == g]
+        vs = [v for gg, v, _ in got if gg == g]
+        assert min(ws) > min(vs) and max(ws) < max(vs)
+
+    with pytest.raises(ValueError):
+        profiling.winsorize(df, "v", ["g"], 0.9, 0.1)
+
+
+def test_chunk_text_vs_python(spark):
+    docs = [
+        (1, "abcdefghij" * 5),   # 50 chars
+        (2, "short"),
+        (3, ""),                 # empty doc -> one empty chunk
+        (4, "x" * 16),           # exact multiple of step
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    chunk_chars, overlap = 16, 4
+    step = chunk_chars - overlap
+    got = {}
+    for r in text.chunk_text(df, chunk_chars, overlap).collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk))
+    for doc_id, t in docs:
+        n = max(-(-(len(t) - overlap) // step), 1)
+        want = [(k, t[k * step: k * step + chunk_chars]) for k in range(n)]
+        assert sorted(got[doc_id]) == want, (doc_id, sorted(got[doc_id]), want)
+    # overlap property: consecutive chunks share `overlap` chars
+    chunks = [c for _, c in sorted(got[1])]
+    for a, b in zip(chunks, chunks[1:]):
+        assert a[-overlap:] == b[:overlap]
+
+    with pytest.raises(ValueError):
+        text.chunk_text(df, 10, 10)
