@@ -93,6 +93,20 @@ def winsorize(
         F.percentile(v, F.lit(lower)).alias("_wlo"),
         F.percentile(v, F.lit(upper)).alias("_whi"),
     )
-    joined = df.join(F.broadcast(agg), gcols) if gcols else df.crossJoin(F.broadcast(agg))
-    clipped = F.least(F.greatest(v, F.col("_wlo")), F.col("_whi"))
+    if gcols:
+        # null-SAFE equi-join: groupBy keeps a NULL-key group, and a
+        # plain inner join would silently DROP every NULL-key fact row
+        # (the q132 no-silent-row-loss lesson)
+        cond = None
+        for g in gcols:
+            c = df[g].eqNullSafe(agg[g])
+            cond = c if cond is None else (cond & c)
+        joined = df.join(F.broadcast(agg), cond).drop(*[agg[g] for g in gcols])
+    else:
+        joined = df.crossJoin(F.broadcast(agg))
+    # NULL in -> NULL out: greatest/least SKIP null arguments, so an
+    # unguarded clip would invent a p05 measurement from a missing value
+    clipped = F.when(
+        v.isNull(), F.lit(None).cast("double")
+    ).otherwise(F.least(F.greatest(v, F.col("_wlo")), F.col("_whi")))
     return joined.withColumn(out_col or f"{value_col}_wins", clipped).drop("_wlo", "_whi")

@@ -53,19 +53,26 @@ def cosine_topk(
     id_col: str = "vec_id",
     query_vec_col: str = "q_embedding",
     query_id_col: str = "q_id",
+    pair_filter: F.Column | None = None,
+    select_extra: tuple[str, ...] = (),
 ) -> DataFrame:
     """Exact brute-force cosine top-k: broadcast queries x full scan,
     JVM-side dot products, window top-k per query (deterministic
-    tie-break on vector id)."""
+    tie-break on vector id). ``pair_filter`` drops candidate pairs
+    BEFORE ranking (e.g. the hard-negative label-mismatch predicate);
+    ``select_extra`` carries additional vector-side columns through to
+    the output."""
     cand = vectors.withColumn("_nv", _norm(vec_col)).crossJoin(
         F.broadcast(queries.withColumn("_nq", _norm(query_vec_col)))
     )
+    if pair_filter is not None:
+        cand = cand.filter(pair_filter)
     cand = with_cosine(cand, vec_col, query_vec_col, norm_a="_nv", norm_b="_nq")
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine", "rank")
+        .select(query_id_col, id_col, *select_extra, "cosine", "rank")
     )
 
 
@@ -389,23 +396,22 @@ def hard_negatives(
     pipeline feeds back into training (the standard corpus-curation op
     beside dedup and decontamination).
 
-    Exact brute-force twin of ``cosine_topk`` (broadcast anchors x full
-    scan, norms hoisted per-vector, JVM-side dot products, rounded-6
-    cosine then deterministic id tiebreak — the q30/q32 discipline); at
-    corpus scale compose ``ivf_topk`` with the same label-mismatch
-    filter (probe k' > k then filter, the labelled scale path).
-    Self-pairs are excluded by the label filter alone (an anchor's own
-    row shares its label)."""
-    cand = vectors.withColumn("_nv", _norm(vec_col)).crossJoin(
-        F.broadcast(anchors.withColumn("_na", _norm(anchor_vec_col)))
-    )
-    cand = cand.filter(F.col(label_col) != F.col(anchor_label_col))
-    cand = with_cosine(cand, vec_col, anchor_vec_col, norm_a="_nv", norm_b="_na")
-    w = Window.partitionBy(anchor_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(anchor_id_col, id_col, label_col, "cosine", "rank")
+    A thin ``cosine_topk`` wrapper (one cosine discipline, one place —
+    hoisted norms, rounded-6 score, id tiebreak): the label-mismatch
+    predicate rides the ``pair_filter`` hook. At corpus scale compose
+    ``ivf_topk`` with the same filter (probe k' > k then filter, the
+    labelled scale path). Self-pairs are excluded by the label filter
+    alone (an anchor's own row shares its label)."""
+    return cosine_topk(
+        vectors,
+        anchors,
+        k,
+        vec_col=vec_col,
+        id_col=id_col,
+        query_vec_col=anchor_vec_col,
+        query_id_col=anchor_id_col,
+        pair_filter=F.col(label_col) != F.col(anchor_label_col),
+        select_extra=(label_col,),
     )
 
 

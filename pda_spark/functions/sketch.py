@@ -199,10 +199,16 @@ def bloom_probe(
     one broadcast left join against the (tiny, <= m rows) bit table +
     one grouped count — matched == k means every bit hit. A NULL item
     hashes to NULL positions, joins nothing, and reports 0 (absent) —
-    consistent with the build-side NULL exclusion."""
+    consistent with the build-side NULL exclusion. Probes are
+    DISTINCT'd first (one output row per distinct item): duplicate
+    probe values would otherwise contribute 2k matched rows and fail
+    the == k test — a FALSE NEGATIVE, the one error a Bloom filter
+    must never make."""
     hashes = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("hidx")
-    tagged = items.select(F.col(col).alias("item")).select(
-        "item", F.col("item").cast("string").alias("_v"), hashes
+    tagged = (
+        items.select(F.col(col).alias("item"))
+        .distinct()
+        .select("item", F.col("item").cast("string").alias("_v"), hashes)
     )
     pos = F.pmod(
         hex_to_long(F.md5(F.concat(F.col("hidx").cast("string"), F.lit(":"), F.col("_v")))),

@@ -785,9 +785,9 @@ def chunk_text(
     if not 0 <= overlap < chunk_chars:
         raise ValueError(f"need 0 <= overlap < chunk_chars, got {overlap}")
     step = chunk_chars - overlap
-    ln = F.length(F.col(text_col))
+    # n_chunks = ceil((len - overlap) / step) via integer div, floored at 1
     n_chunks = F.greatest(
-        F.expr(f"CAST((length({text_col}) - {overlap} + {step} - 1) AS BIGINT) div {step}"),
+        F.expr(f"(CAST(length({text_col}) AS BIGINT) - {overlap} + {step - 1}) div {step}"),
         F.lit(1),
     )
     idx = F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("chunk_idx")

@@ -26,7 +26,11 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-N_ROWS = int(os.environ.get("PDA_SCALE_ROWS", str(48_000_000)))
+# 96M rows / 1x1->1x4 are the VALIDATED defaults (BENCH/BASELINE.md §2):
+# 48M finished the lo level in ~6.5 s (fixed costs ate the denominator)
+# and the 1x8 level brushes the host's ~10-busy-thread throttle — that
+# configuration measured a misleading 0.50.
+N_ROWS = int(os.environ.get("PDA_SCALE_ROWS", str(96_000_000)))
 REPS = int(os.environ.get("PDA_SCALE_REPS", "2"))
 ALTERNATIONS = int(os.environ.get("PDA_SCALE_ALTERNATIONS", "3"))
 EXECUTOR_MEM_MB = 8192
@@ -124,7 +128,7 @@ def run_level(n_executors: int, cores_per_executor: int) -> dict:
 
 
 def main() -> None:
-    levels = os.environ.get("PDA_SCALE_LEVELS", "1x2,1x8")
+    levels = os.environ.get("PDA_SCALE_LEVELS", "1x1,1x4")
     (lo_e, lo_c), (hi_e, hi_c) = [
         tuple(int(v) for v in part.split("x")) for part in levels.split(",")
     ]

@@ -45,6 +45,18 @@ def test_bloom_no_false_negatives_and_exact_bits(spark):
         assert res[a] == (1 if _py_bloom_positions(a, k, m) <= want_bits else 0)
 
 
+def test_bloom_probe_duplicate_items_no_false_negative(spark):
+    """Duplicate probe values must still report present (the review
+    finding: 2k matched rows failed the == k test — a false negative,
+    the one error a Bloom filter must never make)."""
+    k, m = 3, 128
+    built = spark.createDataFrame([("x",), ("y",)], "v string")
+    bloom = sketch.bloom_build(built, "v", k=k, m=m)
+    probes = spark.createDataFrame([("x",), ("x",), ("z",)], "v string")
+    res = {r.item: r.maybe_present for r in sketch.bloom_probe(bloom, probes, "v", k=k, m=m).collect()}
+    assert res["x"] == 1
+
+
 def test_bloom_mergeable_and_null_safe(spark):
     """Union-of-tables + distinct == build over the unioned input; NULLs
     are excluded and a NULL probe reports absent."""

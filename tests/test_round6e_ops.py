@@ -98,6 +98,22 @@ def test_winsorize_vs_numpy(spark):
         profiling.winsorize(df, "v", ["g"], 0.9, 0.1)
 
 
+def test_winsorize_null_group_and_null_value(spark):
+    """Review findings: NULL group keys must not be silently dropped
+    (null-safe join), and NULL values must stay NULL (greatest/least
+    skip nulls and would invent a p05 measurement)."""
+    rows = [("a", 1.0), ("a", 2.0), ("a", 100.0), ("a", None),
+            (None, 5.0), (None, 6.0), (None, 7.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = profiling.winsorize(df, "v", ["g"], 0.25, 0.75).collect()
+    assert len(out) == len(rows), "rows were silently dropped"
+    null_group = sorted(r.v for r in out if r.g is None)
+    assert null_group == [5.0, 6.0, 7.0]
+    for r in out:
+        if r.v is None:
+            assert r.v_wins is None, "NULL value must stay NULL"
+
+
 def test_chunk_text_vs_python(spark):
     docs = [
         (1, "abcdefghij" * 5),   # 50 chars
