@@ -15,7 +15,7 @@ docs) salt like any hot key; dropDuplicates(pair) bounds re-verification.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pda_spark.functions.text import fingerprint
@@ -726,3 +726,27 @@ def simhash_neardup_pairs(
     ).filter(F.col("hamming") <= F.lit(max_hamming))
     # a pair can meet in several agreeing bands -> one row per pair
     return verified.select("doc_a", "doc_b", "hamming").distinct()
+
+
+def dedup_keep_best(
+    df: DataFrame, key_cols: list[str], order_cols: list[Column]
+) -> DataFrame:
+    """Keep exactly ONE row per key — the first under ``order_cols`` —
+    the canonical-URL / best-version dedup step of web-corpus curation
+    (after ``normalize_url``, keep the longest capture per URL; after
+    near-dup clustering, keep the best member per cluster). Callers
+    pass fully-directed sort columns (e.g. ``[F.col("n_chars").desc(),
+    F.col("doc_id").asc()]``) — the final column must make the order
+    total or the winner is nondeterministic.
+
+    One window shuffle keyed on the dedup key. A pathologically hot key
+    (one URL with millions of captures) serializes its partition — the
+    mitigation is the q73 two-level pattern (pre-aggregate a per-bucket
+    champion, then one tiny final window); at web-corpus key
+    cardinality the plain window is the right default."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -397,3 +397,96 @@ def cohort_retention(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+def knox_counts(
+    points: DataFrame,
+    eps: float,
+    tau_us: int,
+    x_col: str = "x",
+    y_col: str = "y",
+    t_col: str = "t_us",
+    id_col: str = "id",
+) -> DataFrame:
+    """Knox space-time interaction components (Knox 1964, the classic
+    epidemiology / event-cluster test): over all unordered point pairs,
+    how many are close in SPACE (planar distance <= eps), close in TIME
+    (|dt| <= tau_us microseconds), and close in BOTH — the 2x2 table
+    the Knox statistic is built from. Returns ONE row of exact integers
+    (n_points, n_pairs, n_space, n_time, n_both); significance
+    (permutation / chi-square) is the caller's statistical choice.
+
+    Distributed shape — never the O(n^2) pair scan: each count blocks
+    on its own key and meets every qualifying pair EXACTLY once (the
+    scattered side fans out over the 3x3 eps-grid neighborhood and/or
+    the +-1 tau-bucket window; the probe side keeps its single
+    cell/bucket, so a pair matches on precisely one arm), then an
+    exact predicate verifies. n_pairs is n*(n-1)/2 — arithmetic, not a
+    join. All integer outputs, order-independent, engine-exact."""
+    eps2 = eps * eps
+    base = points.select(
+        F.col(id_col).alias("_id"),
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+        F.col(t_col).cast("long").alias("_t"),
+        F.floor(F.col(x_col).cast("double") / F.lit(eps)).alias("_gx"),
+        F.floor(F.col(y_col).cast("double") / F.lit(eps)).alias("_gy"),
+        F.expr(f"CAST({t_col} AS BIGINT) div {int(tau_us)}").alias("_tb"),
+    ).localCheckpoint(eager=False)
+
+    s_off = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    t_off = (-1, 0, 1)
+
+    def arms(offs):
+        return F.explode(F.array(*[F.lit(o).alias("o") for o in offs]))
+
+    space_pred = (
+        (F.col("l._x") - F.col("r._x")) * (F.col("l._x") - F.col("r._x"))
+        + (F.col("l._y") - F.col("r._y")) * (F.col("l._y") - F.col("r._y"))
+        <= F.lit(eps2)
+    )
+    time_pred = F.abs(F.col("l._t") - F.col("r._t")) <= F.lit(int(tau_us))
+    lt = F.col("l._id") < F.col("r._id")
+
+    sc_space = F.explode(
+        F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in s_off])
+    ).alias("o")
+    left_s = base.select("*", sc_space).select(
+        F.col("_id"), F.col("_x"), F.col("_y"), F.col("_t"),
+        (F.col("_gx") + F.col("o.dx")).alias("_gx"),
+        (F.col("_gy") + F.col("o.dy")).alias("_gy"),
+        F.col("_tb"),
+    )
+    n_space = (
+        left_s.alias("l")
+        .join(base.alias("r"), ["_gx", "_gy"])
+        .filter(lt & space_pred)
+        .count()
+    )
+
+    left_t = base.select(
+        "_id", "_t", F.explode(F.array(*[(F.col("_tb") + F.lit(o)) for o in t_off])).alias("_tb")
+    )
+    n_time = (
+        left_t.alias("l").join(base.alias("r"), ["_tb"]).filter(lt & time_pred).count()
+    )
+
+    left_st = base.select("*", sc_space).select(
+        F.col("_id"), F.col("_x"), F.col("_y"), F.col("_t"),
+        (F.col("_gx") + F.col("o.dx")).alias("_gx"),
+        (F.col("_gy") + F.col("o.dy")).alias("_gy"),
+        F.explode(F.array(*[(F.col("_tb") + F.lit(o)) for o in t_off])).alias("_tb"),
+    )
+    n_both = (
+        left_st.alias("l")
+        .join(base.alias("r"), ["_gx", "_gy", "_tb"])
+        .filter(lt & space_pred & time_pred)
+        .count()
+    )
+
+    n = base.count()
+    spark = points.sparkSession
+    return spark.createDataFrame(
+        [(n, n * (n - 1) // 2, n_space, n_time, n_both)],
+        "n_points long, n_pairs long, n_space long, n_time long, n_both long",
+    )

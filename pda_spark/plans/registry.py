@@ -5364,6 +5364,121 @@ FROM idx
 """
 
 
+
+def q145_url_keep_best(spark, sf_dir):
+    """Canonical-URL keep-best dedup (the step AFTER q54's
+    normalization in a web-corpus pipeline): four raw-URL variants per
+    canonical page (path = doc_id div 4; per-doc messy casing/port/
+    slash/tracking/fragment noise), keep the longest document per
+    canonical URL with a doc_id tiebreak (dedup.dedup_keep_best)."""
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        F.expr("CAST(doc_id div 4 AS STRING)"),
+        F.when(F.pmod(F.col("doc_id"), F.lit(4)) == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.pmod(F.col("doc_id"), F.lit(5)) == 0, F.lit("?utm_source=x")).otherwise(F.lit("")),
+        F.when(F.pmod(F.col("doc_id"), F.lit(7)) == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    base = docs.select(
+        "doc_id", "n_chars", text.normalize_url(raw).alias("url")
+    )
+    best = dedup.dedup_keep_best(
+        base, ["url"], [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    )
+    return best.select("url", "doc_id", "n_chars")
+
+
+Q145_SQL = r"""
+WITH raw AS (
+  SELECT doc_id, n_chars,
+         'HTTPS://WWW.' || source || '.Example.COM'
+         || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+         || '/p/' || CAST(doc_id // 4 AS VARCHAR)
+         || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN '?utm_source=x' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END AS url
+  FROM documents
+), step AS (
+  SELECT doc_id, n_chars,
+         regexp_replace(regexp_replace(url, '#.*$', ''), '\?utm_[^?]*$', '') AS u
+  FROM raw
+), parts AS (
+  SELECT doc_id, n_chars, u,
+         lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme,
+         regexp_replace(lower(regexp_extract(u, '^[A-Za-z]+://([^/?#]+)', 1)),
+                        '^www\.', '') AS hostport,
+         regexp_replace(regexp_extract(u, '^[A-Za-z]+://[^/?#]+([/?].*)?$', 1),
+                        '/$', '') AS rest
+  FROM step
+), norm AS (
+  SELECT doc_id, n_chars,
+         scheme || '://'
+         || (CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                  ELSE regexp_replace(hostport, ':80$', '') END)
+         || rest AS url
+  FROM parts
+)
+SELECT url, doc_id, n_chars FROM (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM norm
+) WHERE rn = 1
+"""
+
+
+_KNOX_EPS = 0.5          # 0.25 = eps^2 is binary-exact
+_KNOX_TAU_US = 3_600_000_000  # one hour
+
+
+def q146_knox(spark, sf_dir):
+    """Knox space-time interaction table (event clustering in space AND
+    time): exact pair counts close in space / time / both over a
+    5000-event subset (SF-stable fixture). The engine blocks on the
+    eps-grid and tau-buckets so no O(n^2) scan ever runs; the oracle IS
+    the brute-force O(n^2) pair scan — blocking completeness is the
+    thing under test (the q135 discipline)."""
+    from pda_spark.operators import temporal
+
+    pts = (
+        _event_points(spark, sf_dir)
+        .filter(F.col("event_id") < 5000)
+        .select(
+            "event_id",
+            "lon",
+            "lat",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        )
+    )
+    return temporal.knox_counts(
+        pts, eps=_KNOX_EPS, tau_us=_KNOX_TAU_US,
+        x_col="lon", y_col="lat", t_col="t_us", id_col="event_id",
+    )
+
+
+Q146_SQL = f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+p AS (
+  SELECT event_id AS id, lon, lat, epoch_us(ts::TIMESTAMP) AS t
+  FROM pts WHERE event_id < 5000
+), pairs AS (
+  SELECT CASE WHEN (a.lon - b.lon) * (a.lon - b.lon)
+                   + (a.lat - b.lat) * (a.lat - b.lat) <= {_KNOX_EPS * _KNOX_EPS!r}
+              THEN 1 ELSE 0 END AS sp,
+         CASE WHEN abs(a.t - b.t) <= {_KNOX_TAU_US} THEN 1 ELSE 0 END AS tp
+  FROM p a JOIN p b ON a.id < b.id
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_points,
+       (SELECT CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) FROM p) AS n_pairs,
+       CAST(coalesce(sum(sp), 0) AS BIGINT) AS n_space,
+       CAST(coalesce(sum(tp), 0) AS BIGINT) AS n_time,
+       CAST(coalesce(sum(sp * tp), 0) AS BIGINT) AS n_both
+FROM pairs
+"""
+
+
 # Ordering contract (VERDICT r05 #1): the driver correctness artifact
 # records only the FIRST 50 keys of this dict.  Rotation rule, recorded in
 # CLAUDE.md: each round, queries WITHOUT a green row in any prior
@@ -5461,6 +5576,8 @@ QUERIES: dict[str, tuple] = {
     "q142_flow_accumulation": (q142_flow_accumulation, Q142_SQL),
     "q143_winsorize": (q143_winsorize, Q143_SQL),
     "q144_chunk_text": (q144_chunk_text, Q144_SQL),
+    "q145_url_keep_best": (q145_url_keep_best, Q145_SQL),
+    "q146_knox": (q146_knox, Q146_SQL),
     # --- long driver-proven queries (green rows in DRIVER_LEDGER.json) ---
     "q41_pip_join": (q41_pip_join, Q41_SQL),
     "q42_knn": (q42_knn, Q42_SQL),

@@ -138,3 +138,46 @@ def test_chunk_text_vs_python(spark):
 
     with pytest.raises(ValueError):
         text.chunk_text(df, 10, 10)
+
+
+def test_dedup_keep_best(spark):
+    from pda_spark.functions import dedup
+
+    rows = [
+        ("u1", 1, 10), ("u1", 2, 30), ("u1", 3, 30),  # tie on len -> min id
+        ("u2", 4, 5),
+    ]
+    df = spark.createDataFrame(rows, "url string, doc_id long, n long")
+    best = dedup.dedup_keep_best(
+        df, ["url"], [F.col("n").desc(), F.col("doc_id").asc()]
+    ).collect()
+    got = {r.url: r.doc_id for r in best}
+    assert got == {"u1": 2, "u2": 4}
+    assert len(best) == 2
+
+
+def test_knox_counts_vs_bruteforce(spark):
+    from pda_spark.operators import temporal
+
+    rng = np.random.default_rng(17)
+    n = 400
+    x = rng.uniform(0, 5, n)
+    y = rng.uniform(0, 5, n)
+    t = rng.integers(0, 10**7, n)
+    eps, tau = 0.8, 10**6
+    df = spark.createDataFrame(
+        [(i, float(x[i]), float(y[i]), int(t[i])) for i in range(n)],
+        "id long, x double, y double, t_us long",
+    )
+    row = temporal.knox_counts(df, eps=eps, tau_us=tau).collect()[0]
+    ns = nt = nb = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            sp = (x[i] - x[j]) ** 2 + (y[i] - y[j]) ** 2 <= eps * eps
+            tp = abs(int(t[i]) - int(t[j])) <= tau
+            ns += sp
+            nt += tp
+            nb += sp and tp
+    assert (row.n_points, row.n_pairs) == (n, n * (n - 1) // 2)
+    assert (row.n_space, row.n_time, row.n_both) == (ns, nt, nb)
+    assert row.n_both > 0 and row.n_space > row.n_both
