@@ -744,9 +744,14 @@ def dedup_keep_best(
     mitigation is the q73 two-level pattern (pre-aggregate a per-bucket
     champion, then one tiny final window); at web-corpus key
     cardinality the plain window is the right default."""
+    import uuid
+
+    # collision-proof temp name: a caller's own _rn column must survive
+    # (the round-6 UDTF unique-view lesson — never clobber fixed names)
+    rn = f"_rn_{uuid.uuid4().hex[:8]}"
     w = Window.partitionBy(*key_cols).orderBy(*order_cols)
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        df.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) == 1)
+        .drop(rn)
     )

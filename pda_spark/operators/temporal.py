@@ -423,6 +423,8 @@ def knox_counts(
     cell/bucket, so a pair matches on precisely one arm), then an
     exact predicate verifies. n_pairs is n*(n-1)/2 — arithmetic, not a
     join. All integer outputs, order-independent, engine-exact."""
+    if eps <= 0 or tau_us <= 0:
+        raise ValueError(f"need eps > 0 and tau_us > 0, got eps={eps} tau_us={tau_us}")
     eps2 = eps * eps
     base = points.select(
         F.col(id_col).alias("_id"),
@@ -431,14 +433,11 @@ def knox_counts(
         F.col(t_col).cast("long").alias("_t"),
         F.floor(F.col(x_col).cast("double") / F.lit(eps)).alias("_gx"),
         F.floor(F.col(y_col).cast("double") / F.lit(eps)).alias("_gy"),
-        F.expr(f"CAST({t_col} AS BIGINT) div {int(tau_us)}").alias("_tb"),
+        F.expr(f"CAST(`{t_col}` AS BIGINT) div {int(tau_us)}").alias("_tb"),
     ).localCheckpoint(eager=False)
 
     s_off = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
     t_off = (-1, 0, 1)
-
-    def arms(offs):
-        return F.explode(F.array(*[F.lit(o).alias("o") for o in offs]))
 
     space_pred = (
         (F.col("l._x") - F.col("r._x")) * (F.col("l._x") - F.col("r._x"))
@@ -457,31 +456,28 @@ def knox_counts(
         (F.col("_gy") + F.col("o.dy")).alias("_gy"),
         F.col("_tb"),
     )
-    n_space = (
+    # ONE job yields both space counts: the space join already meets
+    # every space-close pair exactly once with both timestamps in
+    # scope, so n_both is a conditional aggregate on the same rows —
+    # a separate 27-arm space-x-time scatter would double the shuffle
+    # volume for no extra information (review finding).
+    srow = (
         left_s.alias("l")
         .join(base.alias("r"), ["_gx", "_gy"])
         .filter(lt & space_pred)
-        .count()
+        .agg(
+            F.count(F.lit(1)).alias("_ns"),
+            F.coalesce(F.sum(F.when(time_pred, 1)), F.lit(0)).alias("_nb"),
+        )
+        .collect()[0]
     )
+    n_space, n_both = int(srow._ns), int(srow._nb)
 
     left_t = base.select(
         "_id", "_t", F.explode(F.array(*[(F.col("_tb") + F.lit(o)) for o in t_off])).alias("_tb")
     )
     n_time = (
         left_t.alias("l").join(base.alias("r"), ["_tb"]).filter(lt & time_pred).count()
-    )
-
-    left_st = base.select("*", sc_space).select(
-        F.col("_id"), F.col("_x"), F.col("_y"), F.col("_t"),
-        (F.col("_gx") + F.col("o.dx")).alias("_gx"),
-        (F.col("_gy") + F.col("o.dy")).alias("_gy"),
-        F.explode(F.array(*[(F.col("_tb") + F.lit(o)) for o in t_off])).alias("_tb"),
-    )
-    n_both = (
-        left_st.alias("l")
-        .join(base.alias("r"), ["_gx", "_gy", "_tb"])
-        .filter(lt & space_pred & time_pred)
-        .count()
     )
 
     n = base.count()

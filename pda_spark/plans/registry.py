@@ -2776,7 +2776,38 @@ def q54_url_normalize(spark, sf_dir):
     return base.withColumn("n_host_docs", F.count(F.lit(1)).over(w))
 
 
-Q54_SQL = r"""
+
+def _url_norm_ctes(carry: str) -> str:
+    """The step/parts/norm oracle CTE chain twin of text.normalize_url
+    — ONE copy (review finding: Q54/Q145 carried verbatim duplicates; a
+    normalize_url change must update exactly one SQL twin). Expects a
+    prior CTE ``raw`` with columns (url, <carry>); ``norm`` emits
+    (<carry>, url_norm, host)."""
+    return rf"""step AS (
+  SELECT {carry},
+         regexp_replace(regexp_replace(url, '#.*$', ''), '\?utm_[^?]*$', '') AS u
+  FROM raw
+), parts AS (
+  SELECT {carry}, u,
+         lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme,
+         regexp_replace(lower(regexp_extract(u, '^[A-Za-z]+://([^/?#]+)', 1)),
+                        '^www\.', '') AS hostport,
+         regexp_replace(regexp_extract(u, '^[A-Za-z]+://[^/?#]+([/?].*)?$', 1),
+                        '/$', '') AS rest
+  FROM step
+), norm AS (
+  SELECT {carry},
+         scheme || '://'
+         || (CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                  ELSE regexp_replace(hostport, ':80$', '') END)
+         || rest AS url_norm,
+         regexp_replace(lower(regexp_extract(u, '^[A-Za-z]+://([^/:?#]+)', 1)),
+                        '^www\.', '') AS host
+  FROM parts
+)"""
+
+
+Q54_SQL = rf"""
 WITH raw AS (
   SELECT doc_id,
          'HTTPS://WWW.' || source || '.Example.COM'
@@ -2786,28 +2817,7 @@ WITH raw AS (
          || CASE WHEN doc_id % 5 = 0 THEN '?utm_source=x' ELSE '' END
          || CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END AS url
   FROM documents
-), step AS (
-  SELECT doc_id,
-         regexp_replace(regexp_replace(url, '#.*$', ''), '\?utm_[^?]*$', '') AS u
-  FROM raw
-), parts AS (
-  SELECT doc_id, u,
-         lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme,
-         regexp_replace(lower(regexp_extract(u, '^[A-Za-z]+://([^/?#]+)', 1)),
-                        '^www\.', '') AS hostport,
-         regexp_replace(regexp_extract(u, '^[A-Za-z]+://[^/?#]+([/?].*)?$', 1),
-                        '/$', '') AS rest
-  FROM step
-), norm AS (
-  SELECT doc_id,
-         scheme || '://'
-         || (CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
-                  ELSE regexp_replace(hostport, ':80$', '') END)
-         || rest AS url_norm,
-         regexp_replace(lower(regexp_extract(u, '^[A-Za-z]+://([^/:?#]+)', 1)),
-                        '^www\.', '') AS host
-  FROM parts
-)
+), {_url_norm_ctes("doc_id")}
 SELECT doc_id, url_norm, host,
        CAST(count(*) OVER (PARTITION BY host) AS BIGINT) AS n_host_docs
 FROM norm
@@ -5392,7 +5402,7 @@ def q145_url_keep_best(spark, sf_dir):
     return best.select("url", "doc_id", "n_chars")
 
 
-Q145_SQL = r"""
+Q145_SQL = rf"""
 WITH raw AS (
   SELECT doc_id, n_chars,
          'HTTPS://WWW.' || source || '.Example.COM'
@@ -5402,28 +5412,10 @@ WITH raw AS (
          || CASE WHEN doc_id % 5 = 0 THEN '?utm_source=x' ELSE '' END
          || CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END AS url
   FROM documents
-), step AS (
-  SELECT doc_id, n_chars,
-         regexp_replace(regexp_replace(url, '#.*$', ''), '\?utm_[^?]*$', '') AS u
-  FROM raw
-), parts AS (
-  SELECT doc_id, n_chars, u,
-         lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme,
-         regexp_replace(lower(regexp_extract(u, '^[A-Za-z]+://([^/?#]+)', 1)),
-                        '^www\.', '') AS hostport,
-         regexp_replace(regexp_extract(u, '^[A-Za-z]+://[^/?#]+([/?].*)?$', 1),
-                        '/$', '') AS rest
-  FROM step
-), norm AS (
-  SELECT doc_id, n_chars,
-         scheme || '://'
-         || (CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
-                  ELSE regexp_replace(hostport, ':80$', '') END)
-         || rest AS url
-  FROM parts
-)
+), {_url_norm_ctes("doc_id, n_chars")}
 SELECT url, doc_id, n_chars FROM (
-  SELECT *, row_number() OVER (PARTITION BY url ORDER BY n_chars DESC, doc_id ASC) AS rn
+  SELECT doc_id, n_chars, url_norm AS url,
+         row_number() OVER (PARTITION BY url_norm ORDER BY n_chars DESC, doc_id ASC) AS rn
   FROM norm
 ) WHERE rn = 1
 """

@@ -181,3 +181,21 @@ def test_knox_counts_vs_bruteforce(spark):
     assert (row.n_points, row.n_pairs) == (n, n * (n - 1) // 2)
     assert (row.n_space, row.n_time, row.n_both) == (ns, nt, nb)
     assert row.n_both > 0 and row.n_space > row.n_both
+
+
+def test_knox_validation_and_dedup_rn_preserved(spark):
+    """Review findings: knox rejects degenerate eps/tau at the API
+    boundary (not a mid-plan ANSI divide-by-zero); dedup_keep_best must
+    not clobber a caller's own _rn column."""
+    from pda_spark.functions import dedup
+    from pda_spark.operators import temporal
+
+    df = spark.createDataFrame([(1, 0.0, 0.0, 0)], "id long, x double, y double, t_us long")
+    with pytest.raises(ValueError):
+        temporal.knox_counts(df, eps=0.5, tau_us=0)
+    with pytest.raises(ValueError):
+        temporal.knox_counts(df, eps=0.0, tau_us=10)
+
+    d2 = spark.createDataFrame([("u", 1, 10, 7), ("u", 2, 20, 8)], "url string, doc_id long, n long, _rn long")
+    best = dedup.dedup_keep_best(d2, ["url"], [F.col("n").desc()]).collect()
+    assert len(best) == 1 and best[0]._rn == 8, "caller's _rn column must survive"
