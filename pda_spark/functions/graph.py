@@ -71,9 +71,35 @@ def connected_components(
     19); 45 covers even a single 10^12-vertex path — beyond any real
     candidate-pair graph — while still bounding a logic bug to minutes,
     not forever.
+
+    Min-neighbor contraction pre-pass (round-6 perf): before iterating,
+    every vertex contracts to ``m(a) = min(a, min neighbor of a)`` and
+    the star rounds run on the QUOTIENT graph ``(m(u), m(v))`` only.
+    Dense blobs — cliques from DBSCAN eps-blobs, LSH boilerplate
+    templates — collapse to a single quotient vertex in this one
+    map-side-combinable pass, so the O(edges)-per-round fixed-point
+    loop never sees them (q124: CC leg 37.9 -> ~4 s, A/B in
+    BENCH/BASELINE.md). Labels are unchanged: the component's global
+    min g has m(g) = g, so quotient component mins ARE original
+    component mins, and ``label(a) = quotient_label(m(a))``.
     """
-    e = (
+    raw = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+        .localCheckpoint(eager=False)
+    )
+    sym = raw.union(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select("u", F.least(F.col("u"), F.col("_mn")).alias("m"))
+        .localCheckpoint(eager=False)
+    )
+    e = (
+        raw.join(m.select(F.col("u"), F.col("m").alias("_mu")), "u")
+        .join(m.select(F.col("u").alias("v"), F.col("m").alias("_mv")), "v")
+        .select(F.col("_mu").alias("u"), F.col("_mv").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .dropDuplicates(["u", "v"])
         .localCheckpoint(eager=False)
@@ -104,11 +130,20 @@ def connected_components(
         prev_fp = fp
     else:
         raise RuntimeError(f"connected_components: no fixed point after {max_iter} rounds")
-    # At the fixed point the edge set is a star forest: every edge is
-    # (node, component-min). Centers appear only on the v side.
-    labels = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
-    centers = e.select(F.col("v").alias("id")).distinct().withColumn("component", F.col("id"))
-    return labels.union(centers.join(labels, "id", "left_anti")).localCheckpoint(eager=False)
+    # At the fixed point the QUOTIENT edge set is a star forest: every
+    # edge is (quotient-vertex, component-min). A quotient vertex absent
+    # from the star forest (its blob fully collapsed in the pre-pass, or
+    # it was isolated in the quotient) is its own component min. Map the
+    # quotient label back through m(a): label(a) = label_q(m(a)) | m(a).
+    q_labels = e.select(F.col("u").alias("m"), F.col("v").alias("component"))
+    return (
+        m.join(q_labels, "m", "left")
+        .select(
+            F.col("u").alias("id"),
+            F.coalesce(F.col("component"), F.col("m")).alias("component"),
+        )
+        .localCheckpoint(eager=False)
+    )
 
 
 def dedup_cluster_labels(

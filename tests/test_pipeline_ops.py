@@ -784,3 +784,20 @@ def test_zorder_locality_beats_row_major(spark):
     assert worst_chunk_side(rowmajor) == n - 1
     # bijectivity on the grid: all codes distinct
     assert len({r["z"] for r in rows}) == n * n
+
+
+def test_connected_components_clique_contraction(spark):
+    """Round-6 contraction pre-pass edge cases: a pure clique (quotient
+    graph entirely empty — labels come from the coalesce fallback) and a
+    clique joined to a chain by one bridge (quotient keeps only the
+    bridge). Against the union-find oracle."""
+    from pda_spark.functions import graph
+
+    k4 = [(a, b) for a in (70, 71, 72, 73) for b in (70, 71, 72, 73) if a < b]
+    clique = [(a, b) for a in (50, 51, 52, 53, 54) for b in (50, 51, 52, 53, 54) if a < b]
+    bridge_chain = [(54, 60), (60, 61), (61, 62)]
+    edges = k4 + clique + bridge_chain
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r["component"] for r in graph.connected_components(df).collect()}
+    want = _uf_components(None, edges)
+    assert got == want
