@@ -219,7 +219,9 @@ def pagerank(
     return r.select(F.col("_id").alias(id_col), F.col("_r").alias("rank"))
 
 
-def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst", broadcast_close: bool = False
+) -> DataFrame:
     """Per-node triangle participation counts over an undirected graph
     (one row per node in >= 1 triangle: (id, n_tri); the global count
     is sum/3). Input edges may be directed/duplicated — they are
@@ -238,7 +240,16 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
 
     Rank packing contract: rank = degree * 2^40 + id must fit int64,
     i.e. ids < 2^40 and degrees < 2^23 (document, not check — a lazy
-    plan can't validate)."""
+    plan can't validate).
+
+    ``broadcast_close=True`` ships the oriented edge list to every task
+    and probes it hash-side for the closing edge, so the wedge stream —
+    the volume term, bounded by sum(out_deg^2), 41M rows for q127's
+    1.2M-edge co-purchase graph — never shuffles: wedge generation,
+    closing probe and the member explode fuse into one codegen stage
+    (q127 16.6 -> ~4 s). Only for edge lists that fit an executor
+    (<= a few 10M edges); the default keeps the shuffle join, the
+    correct shape when the graph itself is beyond broadcast."""
     u, v = F.col(src), F.col(dst)
     # localCheckpoint (lazy): e is consumed by the degree count AND the
     # rank join, o by BOTH wedge legs and the closing probe — without
@@ -273,9 +284,10 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         .join(o.select("a", F.col("b").alias("y"), F.col("rb").alias("ry")), "a")
         .filter(F.col("rx") < F.col("ry"))
     )
-    tri = wedges.join(
-        o.select(F.col("a").alias("x"), F.col("b").alias("y")), ["x", "y"]
-    ).select("a", "x", "y")
+    closing = o.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    if broadcast_close:
+        closing = F.broadcast(closing)
+    tri = wedges.join(closing, ["x", "y"]).select("a", "x", "y")
     member = F.explode(F.array("a", "x", "y")).alias("id")
     return tri.select(member).groupBy("id").agg(
         F.count(F.lit(1)).cast("long").alias("n_tri")

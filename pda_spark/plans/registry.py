@@ -4512,7 +4512,11 @@ def q127_triangles(spark, sf_dir):
         .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .distinct()
     )
-    return graph.triangle_counts(edges)
+    # broadcast_close: the oriented co-purchase edge list is ~1.2M rows
+    # at sf0.1 (parts dimension), far under executor memory — the 41M
+    # wedge stream then never shuffles. At part-counts beyond broadcast
+    # the default shuffle-close shape is the one to use.
+    return graph.triangle_counts(edges, broadcast_close=True)
 
 
 Q127_SQL = """
