@@ -755,3 +755,131 @@ def dedup_keep_best(
         .filter(F.col(rn) == 1)
         .drop(rn)
     )
+
+
+def jaccard_join_prefix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    shingle_words: int = 1,
+) -> DataFrame:
+    """Exact set-similarity self-join with PREFIX FILTERING (the
+    AllPairs / PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    ICDE'08): emit every unordered doc pair whose WORD-token Jaccard
+    >= threshold_num/threshold_den, with the exact intersection and
+    union sizes. Unlike the MinHash/LSH path (probabilistic) and
+    ``ngram_jaccard_pairs`` (joins on EVERY shingle), candidates here
+    come only from each doc's PREFIX — its p = s - ceil(t*s) + 1
+    globally-rarest tokens — which is the published exact-join shape
+    for web-scale corpora: two sets with Jaccard >= t MUST share a
+    prefix token (pigeonhole on the (df, token) total order), so
+    completeness is guaranteed while hot stop-words never generate
+    candidates (they sort LAST and rarely enter any prefix).
+
+    The global token order is (document-frequency asc, token asc).
+    No global rank window is materialized: each doc just sorts its own
+    tokens by the struct key — the order is total, which is all the
+    pigeonhole needs. The threshold is a rational num/den so every
+    filter is integer arithmetic (den*inter >= num*union), exact in
+    both engines; the emitted ``jaccard`` is the one final division
+    rounded to 6 (house float discipline).
+
+    Scale shape: token df is one map-side-combinable count; the
+    candidate join key is the prefix token (df-bounded by
+    construction); the verify joins fetch the two sorted token arrays
+    by doc id and intersect JVM-side (array_intersect) — a length
+    filter (den*sa <= ... ) prunes before the array fetch. No Python
+    stages, no O(n^2) scan."""
+    t_num, t_den = int(threshold_num), int(threshold_den)
+    if not (0 < t_num <= t_den):
+        raise ValueError(f"need 0 < num <= den, got {t_num}/{t_den}")
+    k = int(shingle_words)
+    if k < 1:
+        raise ValueError(f"shingle_words must be >= 1, got {k}")
+    # ``shingle_words`` = 1 joins on plain word sets; k > 1 joins on
+    # word k-gram (w-shingling) sets — the discriminative choice when
+    # docs share a template vocabulary (word sets nearly coincide while
+    # k-gram sets separate). Empty-token guard: split() emits '' around
+    # leading/trailing separators.
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    if k == 1:
+        shingled = F.array_distinct(words)
+    else:
+        shingled = F.when(
+            F.size(words) >= F.lit(k),
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(words) - F.lit(k - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+                )
+            ),
+        ).otherwise(F.expr("cast(array() as array<string>)"))
+    tok = docs.select(
+        F.col(id_col).alias("_id"), F.explode(shingled).alias("_tok")
+    )
+    df_counts = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = tok.join(df_counts, "_tok")
+    per_doc = (
+        ranked.groupBy("_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_df", "_tok"))),
+                lambda s: s["_tok"],
+            ).alias("_toks")
+        )
+        .select(
+            "_id",
+            "_toks",
+            F.size("_toks").alias("_s"),
+            # prefix length p = s - ceil(t*s) + 1, integer ceil:
+            # ceil(n*s/d) = (n*s + d - 1) div d
+            (
+                F.size("_toks")
+                - F.expr(f"(({t_num} * size(_toks)) + {t_den} - 1) div {t_den}")
+                + F.lit(1)
+            ).alias("_p"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    prefix = per_doc.select(
+        "_id", "_s", F.explode(F.slice("_toks", 1, F.col("_p"))).alias("_ptok")
+    )
+    cand = (
+        prefix.select(F.col("_id").alias("_a"), F.col("_s").alias("_sa"), "_ptok")
+        .join(
+            prefix.select(F.col("_id").alias("_b"), F.col("_s").alias("_sb"), "_ptok"),
+            "_ptok",
+        )
+        .filter(F.col("_a") < F.col("_b"))
+        # length filter: t*sa <= sb and t*sb <= sa (integer form)
+        .filter(
+            (F.lit(t_den) * F.col("_sb") >= F.lit(t_num) * F.col("_sa"))
+            & (F.lit(t_den) * F.col("_sa") >= F.lit(t_num) * F.col("_sb"))
+        )
+        .select("_a", "_b")
+        .dropDuplicates(["_a", "_b"])
+    )
+    verified = (
+        cand.join(per_doc.select(F.col("_id").alias("_a"), F.col("_toks").alias("_ta")), "_a")
+        .join(per_doc.select(F.col("_id").alias("_b"), F.col("_toks").alias("_tb")), "_b")
+        .select(
+            "_a",
+            "_b",
+            F.size(F.array_intersect("_ta", "_tb")).alias("inter"),
+            (F.size("_ta") + F.size("_tb") - F.size(F.array_intersect("_ta", "_tb"))).alias(
+                "uni"
+            ),
+        )
+        .filter(F.lit(t_den) * F.col("inter") >= F.lit(t_num) * F.col("uni"))
+    )
+    return verified.select(
+        F.col("_a").alias("id_a"),
+        F.col("_b").alias("id_b"),
+        F.col("inter").cast("long").alias("inter"),
+        F.col("uni").cast("long").alias("uni"),
+        F.round(F.col("inter") / F.col("uni"), 6).alias("jaccard"),
+    )

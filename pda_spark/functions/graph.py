@@ -292,3 +292,50 @@ def triangle_counts(
     return tri.select(member).groupBy("id").agg(
         F.count(F.lit(1)).cast("long").alias("n_tri")
     )
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    id_col: str = "id",
+) -> DataFrame:
+    """Hop-bounded single-source (multi-source) shortest paths: for
+    every node reachable from ``sources`` in <= ``rounds`` edges, the
+    minimum total weight over all such paths — the distributed
+    Bellman-Ford relaxation, the bounded-iteration sibling of
+    ``pagerank`` (and the last member of the graph family: CC /
+    PageRank / triangles / SSSP). Weights must be non-negative
+    integers (exact int64 arithmetic end-to-end).
+
+    Each round is ONE equi-join (current frontier x out-edges) and ONE
+    map-side-combinable grouped min — no driver state, no fixed-point
+    probe (the hop bound is the contract, so zero actions run inside
+    the loop; lazy localCheckpoints truncate lineage when the consumer
+    finally executes). At 100 TB this is the standard k-hop
+    reachability-with-cost shape: the frontier table is the only state
+    shuffled per round, keyed by node id.
+
+    Returns (id, dist) with dist = 0 for the sources themselves."""
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    e = edges.select(
+        F.col(src).alias("id"),
+        F.col(dst).alias("_to"),
+        F.col(weight).cast("long").alias("_w"),
+    )
+    dist = sources.select(F.col(id_col).alias("id"), F.lit(0).cast("long").alias("dist"))
+    for _ in range(rounds):
+        relaxed = dist.join(e, "id").select(
+            F.col("_to").alias("id"), (F.col("dist") + F.col("_w")).alias("dist")
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist

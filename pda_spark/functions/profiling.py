@@ -110,3 +110,64 @@ def winsorize(
         v.isNull(), F.lit(None).cast("double")
     ).otherwise(F.least(F.greatest(v, F.col("_wlo")), F.col("_whi")))
     return joined.withColumn(out_col or f"{value_col}_wins", clipped).drop("_wlo", "_whi")
+
+
+def mad(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Median absolute deviation per group — the robust-scale sibling
+    of ``winsorize`` (robust location+spread replaces mean/stddev when
+    the column has heavy tails): med = median(x), mad = median(|x -
+    med|). Two grouped exact percentiles with a join between (the
+    med must be bound per row before the second pass); Spark's exact
+    ``percentile(0.5)`` interpolates identically to DuckDB's
+    ``median``/``quantile_cont`` (the q67 bit-exactness), and |x -
+    med| over integer x and a .5-exact med stays dyadic-exact, so
+    both medians replay bit-for-bit. Returns one row per group:
+    (group..., n, med, mad)."""
+    gcols = list(group_cols or [])
+    key = [F.col(c) for c in gcols] if gcols else [F.lit(1).alias("_g")]
+    base = df.select(*key, F.col(value_col).cast("double").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    gnames = gcols if gcols else ["_g"]
+    med = base.groupBy(*gnames).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("percentile(_v, 0.5)").alias("med"),
+    )
+    dev = base.join(med, gnames).select(
+        *gnames, F.abs(F.col("_v") - F.col("med")).alias("_d")
+    )
+    out = (
+        dev.groupBy(*gnames)
+        .agg(F.expr("percentile(_d, 0.5)").alias("mad"))
+        .join(med, gnames)
+        .select(*gnames, "n", F.round("med", 6).alias("med"), F.round("mad", 6).alias("mad"))
+    )
+    return out.drop("_g") if not gcols else out
+
+
+def mode_per_group(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Most frequent value per group, deterministic: ties resolve to
+    the MINIMUM value (textbook mode() leaves ties engine-defined,
+    which no cross-engine operator should; min is the total order
+    every engine agrees on). Two-phase shape that works for any
+    orderable value type including strings: (group, value) counts
+    (map-side combinable) -> per-group max count -> equi-join filter
+    -> min(value). NULL values are excluded (mode is over observed
+    values; SQL's mode() skips NULLs too)."""
+    counts = df.filter(F.col(value_col).isNotNull()).groupBy(
+        *group_cols, F.col(value_col).alias("value")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    mx = counts.groupBy(*group_cols).agg(F.max("cnt").alias("cnt"))
+    return (
+        counts.join(mx, [*group_cols, "cnt"])
+        .groupBy(*group_cols)
+        .agg(F.min("value").alias("mode"), F.max("cnt").cast("long").alias("mode_count"))
+    )

@@ -486,3 +486,124 @@ def knox_counts(
         [(n, n * (n - 1) // 2, n_space, n_time, n_both)],
         "n_points long, n_pairs long, n_space long, n_time long, n_both long",
     )
+
+
+def interval_coverage(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Sweep-line aggregate over half-open integer intervals
+    ``[start, end)`` per key: one row per key with the UNION length
+    (total covered span, overlaps merged — sensor uptime, in-transit
+    coverage), the MAX CONCURRENCY (peak number of simultaneously open
+    intervals) and the earliest instant that peak is first reached.
+    The classic +1/-1 event sweep, expressed relationally:
+
+    - every interval contributes (+1 at start, -1 at end); deltas are
+      SUMMED PER DISTINCT INSTANT first, which makes the running sum
+      tie-free by construction (the half-open convention: an interval
+      ending at t and another starting at t never overlap, and the
+      per-instant net delta encodes that exactly);
+    - one ordered window per key gives the running coverage; the gap
+      to the next instant is covered iff coverage > 0; union length =
+      sum of covered gaps — all int64, engine-exact.
+
+    Degenerate intervals (start >= end) are dropped (zero-length
+    half-open sets are empty). The per-key window is bounded by the
+    number of DISTINCT instants under a key — the same contract as
+    sessionization; keys with corpus-scale interval counts should
+    pre-bucket time (the q84 RANGE-frame discipline).
+
+    Peak tie-break: peak_at = the minimum instant whose running
+    coverage equals the maximum — via one max(struct(coverage, -t))
+    (lexicographic struct order IS the argmax, the q136 discipline)."""
+    iv = df.filter(F.col(start_col) < F.col(end_col)).select(
+        F.col(key_col).alias("key"),
+        F.col(start_col).cast("long").alias("_s"),
+        F.col(end_col).cast("long").alias("_e"),
+    )
+    pts = iv.select("key", F.col("_s").alias("t"), F.lit(1).alias("d")).unionAll(
+        iv.select("key", F.col("_e").alias("t"), F.lit(-1).alias("d"))
+    )
+    per_t = pts.groupBy("key", "t").agg(F.sum("d").alias("d"))
+    w = Window.partitionBy("key").orderBy("t")
+    swept = per_t.select(
+        "key",
+        "t",
+        F.sum("d").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("_cov"),
+        F.lead("t").over(w).alias("_nxt"),
+    )
+    seg = F.when(
+        (F.col("_cov") > 0) & F.col("_nxt").isNotNull(), F.col("_nxt") - F.col("t")
+    ).otherwise(F.lit(0))
+    return (
+        swept.groupBy("key")
+        .agg(
+            F.sum(seg).cast("long").alias("covered_len"),
+            F.max(F.struct(F.col("_cov").alias("c"), (-F.col("t")).alias("nt"))).alias("_pk"),
+        )
+        .select(
+            "key",
+            "covered_len",
+            F.col("_pk.c").cast("long").alias("max_concurrency"),
+            (-F.col("_pk.nt")).cast("long").alias("peak_at"),
+        )
+    )
+
+
+def ols_trend(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-key ordinary-least-squares trend line — the parametric
+    sibling of ``mann_kendall_trend`` (which is rank-based): slope and
+    intercept of y ~ x from the closed-form normal equations, carried
+    as EXACT int64 sums (x and y must be integer-valued; callers
+    pre-scale — epoch days / integer cents — the q83 discipline):
+
+        slope     = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+        intercept = (Sy - slope*Sx) / n
+
+    Emits the integer numerator/denominator alongside the one-division
+    floats (round 6), so the gate replays exact integers and the float
+    is a single identical libm op in both engines. Keys with zero
+    x-variance (denominator 0) emit NULL slope/intercept (vertical
+    line). Overflow contract (document, not check): |n*Sxy| and
+    |n*Sxx| must fit int64 — pre-center x near 0 for long series."""
+    g = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(x_col).cast("long").alias("_x"),
+            F.col(y_col).cast("long").alias("_y"),
+        )
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_x").alias("sx"),
+            F.sum("_y").alias("sy"),
+            F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+            F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+        )
+    )
+    num = g["n"] * g["sxy"] - g["sx"] * g["sy"]
+    den = g["n"] * g["sxx"] - g["sx"] * g["sx"]
+    slope = F.when(den != 0, num.cast("double") / den.cast("double"))
+    intercept = F.when(
+        den != 0,
+        (g["sy"].cast("double") - (num.cast("double") / den.cast("double")) * g["sx"].cast("double"))
+        / g["n"].cast("double"),
+    )
+    return g.select(
+        "key",
+        F.col("n").cast("long").alias("n"),
+        F.col("sx").cast("long").alias("sx"),
+        F.col("sy").cast("long").alias("sy"),
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )

@@ -131,3 +131,48 @@ def cusum_changepoint(
         F.col("_best.a").cast("long").alias("max_absdev"),
         (-F.col("_best.nt")).cast("long").alias("cp_t"),
     )
+
+
+def ewma_dyadic(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    window: int = 16,
+) -> DataFrame:
+    """Exponentially-weighted moving sum with DYADIC decay (alpha =
+    1/2) over the last ``window`` rows per key:
+
+        s_t = sum_{j=0..window-1}  x_{t-j} * 2^-j
+
+    The decay rate is fixed at 1/2 BY DESIGN, not convenience: every
+    weight 2^-j is an exact double, and when x is integer-valued with
+    |x| < 2^(52 - window) every term AND every partial sum is exact
+    (all terms are multiples of 2^-(window-1) well inside the
+    53-bit mantissa) — so the float result is order-independent and
+    engine-exact, where an arbitrary-alpha EWMA would accumulate
+    rounding that no cross-engine oracle can replay. Callers needing
+    other decays rescale time (decay 1/2 per k rows == decay 2^-1/k
+    per row).
+
+    One window pass, pure codegen: the sum unrolls to ``window``
+    lag() terms (lag j weighted by 1/2^j, missing leading rows
+    contribute 0), no join, no Python. The ordered window requires a
+    unique (key, order) — the q68 analytic-window contract."""
+    if not 1 <= window <= 48:
+        raise ValueError(f"window must be in [1, 48], got {window}")
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    terms = [
+        (F.coalesce(F.lag(F.col(value_col).cast("long"), j).over(w), F.lit(0))
+         / F.lit(float(1 << j)))
+        for j in range(window)
+    ]
+    s = terms[0]
+    for t in terms[1:]:
+        s = s + t
+    return df.withColumn("_ewma", s).select(
+        F.col(key_col).alias("key"),
+        F.col(order_col).alias("t"),
+        F.col(value_col).cast("long").alias("x"),
+        F.col("_ewma").alias("ewma"),
+    )

@@ -5475,6 +5475,280 @@ FROM pairs
 """
 
 
+def q147_jaccard_prefix_join(spark, sf_dir):
+    """Exact set-similarity self-join via PREFIX FILTERING (AllPairs /
+    PPJoin; Bayardo WWW'07): every doc pair with word-3-gram Jaccard
+    >= 1/2, candidates generated ONLY from each doc's globally-rarest
+    prefix tokens. The oracle is the brute-force all-shingle join —
+    prefix-filter COMPLETENESS is the thing under test (the q135/q146
+    blocking discipline). Threshold is the rational 1/2 so every
+    compare is integer; doc_id < 1000 keeps the O(n^2)-ish oracle
+    SF-stable."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return dedup.jaccard_join_prefix(
+        docs, "doc_id", "text", threshold_num=1, threshold_den=2, shingle_words=3
+    )
+
+
+Q147_SQL = r"""
+WITH w AS (
+  SELECT doc_id, [t for t in regexp_split_to_array(lower(text), '[^a-z0-9]+') if t <> ''] AS ws
+  FROM documents WHERE doc_id < 1000
+), tok AS (
+  SELECT doc_id, unnest(list_distinct(
+    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, greatest(len(ws)-2,0)+1)]
+  )) AS tok FROM w
+), sizes AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id ia, b.doc_id ib, count(*) AS inter
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT ia AS id_a, ib AS id_b, CAST(inter AS BIGINT) AS inter,
+       CAST(sa.s + sb.s - inter AS BIGINT) AS uni,
+       round(inter / (sa.s + sb.s - inter), 6) AS jaccard
+FROM pairs JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+WHERE 2 * inter >= (sa.s + sb.s - inter)
+"""
+
+
+def q148_sssp(spark, sf_dir):
+    """Hop-bounded multi-source shortest paths (distributed
+    Bellman-Ford, 4 relaxation rounds) over a deterministic supplier
+    ladder graph: s -> s+1 (weight 1 + s%7) and s -> s+10 (weight
+    3 + s%5), sources = suppliers with s % 50 == 1. The oracle unrolls
+    the same 4 rounds as chained CTEs — no recursive CTE, so the
+    path explosion a recursive UNION would risk never occurs. All
+    integer arithmetic."""
+    from pda_spark.functions import graph
+
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey")
+    # SF-scaling bound as a lazy one-row broadcast scalar (no collect)
+    mx = sup.agg(F.max("s_suppkey").alias("_mx"))
+    supx = sup.crossJoin(F.broadcast(mx))
+    e1 = supx.filter(F.col("s_suppkey") + 1 <= F.col("_mx")).select(
+        F.col("s_suppkey").alias("src"),
+        (F.col("s_suppkey") + 1).alias("dst"),
+        (F.lit(1) + F.pmod(F.col("s_suppkey"), F.lit(7))).alias("w"),
+    )
+    e2 = supx.filter(F.col("s_suppkey") + 10 <= F.col("_mx")).select(
+        F.col("s_suppkey").alias("src"),
+        (F.col("s_suppkey") + 10).alias("dst"),
+        (F.lit(3) + F.pmod(F.col("s_suppkey"), F.lit(5))).alias("w"),
+    )
+    src = sup.filter(F.pmod(F.col("s_suppkey"), F.lit(50)) == 1).select(
+        F.col("s_suppkey").alias("id")
+    )
+    return graph.sssp_bounded(e1.unionAll(e2), src, rounds=4)
+
+
+_SSSP_ROUND = """
+  SELECT id, min(dist) AS dist FROM (
+    SELECT id, dist FROM {prev}
+    UNION ALL
+    SELECT e.v AS id, {prev}.dist + e.w AS dist FROM {prev} JOIN e ON e.u = {prev}.id
+  ) GROUP BY id
+"""
+
+Q148_SQL = f"""
+WITH mx AS (SELECT max(s_suppkey) AS m FROM supplier),
+e AS (
+  SELECT s_suppkey AS u, s_suppkey + 1 AS v, 1 + s_suppkey % 7 AS w
+  FROM supplier, mx WHERE s_suppkey + 1 <= mx.m
+  UNION ALL
+  SELECT s_suppkey, s_suppkey + 10, 3 + s_suppkey % 5
+  FROM supplier, mx WHERE s_suppkey + 10 <= mx.m
+),
+d0 AS (SELECT s_suppkey AS id, CAST(0 AS BIGINT) AS dist FROM supplier WHERE s_suppkey % 50 = 1),
+d1 AS ({_SSSP_ROUND.format(prev="d0")}),
+d2 AS ({_SSSP_ROUND.format(prev="d1")}),
+d3 AS ({_SSSP_ROUND.format(prev="d2")}),
+d4 AS ({_SSSP_ROUND.format(prev="d3")})
+SELECT id, CAST(dist AS BIGINT) AS dist FROM d4
+"""
+
+
+def q149_interval_coverage(spark, sf_dir):
+    """Per-supplier sweep-line interval aggregate over shipping windows
+    [ship_day, ship_day + 1 + quantity % 20): union length (days with
+    at least one parcel in transit), peak concurrency, and the first
+    day the peak is reached. The +1/-1 event sweep with per-instant
+    delta aggregation — all int64."""
+    from pda_spark.operators import temporal
+
+    li = _t(spark, sf_dir, "lineitem")
+    day = F.datediff(F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date"))
+    iv = li.select(
+        F.col("l_suppkey").alias("k"),
+        day.alias("s"),
+        (day + F.lit(1) + F.pmod(F.col("l_quantity").cast("long"), F.lit(20))).alias("e"),
+    )
+    return temporal.interval_coverage(iv, "k", "s", "e")
+
+
+Q149_SQL = """
+WITH iv AS (
+  SELECT l_suppkey AS key,
+         datediff('day', DATE '1992-01-01', l_shipdate::DATE) AS s,
+         datediff('day', DATE '1992-01-01', l_shipdate::DATE)
+           + 1 + CAST(l_quantity AS BIGINT) % 20 AS e
+  FROM lineitem
+), pts AS (
+  SELECT key, s AS t, 1 AS d FROM iv WHERE s < e
+  UNION ALL
+  SELECT key, e, -1 FROM iv WHERE s < e
+), per_t AS (
+  SELECT key, t, sum(d) AS d FROM pts GROUP BY 1, 2
+), swept AS (
+  SELECT key, t,
+         sum(d) OVER (PARTITION BY key ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cov,
+         lead(t) OVER (PARTITION BY key ORDER BY t) AS nxt
+  FROM per_t
+), agg AS (
+  SELECT key, CAST(coalesce(sum(CASE WHEN cov > 0 AND nxt IS NOT NULL
+                                     THEN nxt - t ELSE 0 END), 0) AS BIGINT) AS covered_len,
+         CAST(max(cov) AS BIGINT) AS max_concurrency
+  FROM swept GROUP BY key
+)
+SELECT a.key, a.covered_len, a.max_concurrency,
+       CAST(min(s.t) AS BIGINT) AS peak_at
+FROM agg a JOIN swept s ON s.key = a.key AND s.cov = a.max_concurrency
+GROUP BY 1, 2, 3
+"""
+
+
+def q150_ols_trend(spark, sf_dir):
+    """Per-supplier OLS price trend (slope/intercept of price-cents ~
+    ship-day): exact int64 normal-equation sums, one final division
+    replayed identically (the q81 libm-order discipline). x is
+    pre-centered to days-since-1992 so n*Sxy stays in int64."""
+    from pda_spark.operators import temporal
+
+    li = _t(spark, sf_dir, "lineitem")
+    return temporal.ols_trend(
+        li.select(
+            "l_suppkey",
+            F.datediff(F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date")).alias("_day"),
+            F.floor(F.col("l_extendedprice") * 100).alias("_cents"),
+        ),
+        "l_suppkey",
+        "_day",
+        "_cents",
+    )
+
+
+Q150_SQL = """
+WITH b AS (
+  SELECT l_suppkey AS key,
+         CAST(datediff('day', DATE '1992-01-01', l_shipdate::DATE) AS BIGINT) AS x,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+), g AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM b GROUP BY key
+)
+SELECT key, n, CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+       round(CASE WHEN n * sxx - sx * sx <> 0
+             THEN CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END, 6) AS slope,
+       round(CASE WHEN n * sxx - sx * sx <> 0
+             THEN (CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) END, 6) AS intercept
+FROM g
+"""
+
+
+def q151_mad(spark, sf_dir):
+    """Median absolute deviation of price cents per (returnflag,
+    linestatus) — robust location+spread. Integer cents + the q67
+    percentile bit-exactness make both medians replay exactly."""
+    from pda_spark.functions import profiling
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", F.floor(F.col("l_extendedprice") * 100).alias("cents")
+    )
+    return profiling.mad(li, "cents", ["l_returnflag", "l_linestatus"])
+
+
+Q151_SQL = """
+WITH b AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(floor(l_extendedprice * 100) AS DOUBLE) AS v
+  FROM lineitem
+), med AS (
+  SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+         quantile_cont(v, 0.5) AS med
+  FROM b GROUP BY 1, 2
+)
+SELECT b.l_returnflag, b.l_linestatus, any_value(med.n) AS n,
+       round(any_value(med.med), 6) AS med,
+       round(quantile_cont(abs(b.v - med.med), 0.5), 6) AS mad
+FROM b JOIN med USING (l_returnflag, l_linestatus)
+GROUP BY 1, 2
+"""
+
+
+def q152_mode(spark, sf_dir):
+    """Deterministic mode (most frequent quantity, ties to the MINIMUM
+    value) per (returnflag, linestatus). The oracle replays the same
+    two-phase count/argmax rather than DuckDB's mode() — whose
+    tie-break is engine-defined, the exact thing this operator
+    pins down."""
+    from pda_spark.functions import profiling
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", F.col("l_quantity").cast("long").alias("qty")
+    )
+    return profiling.mode_per_group(li, "qty", ["l_returnflag", "l_linestatus"])
+
+
+Q152_SQL = """
+WITH c AS (
+  SELECT l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS value,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1, 2, 3
+), mx AS (
+  SELECT l_returnflag, l_linestatus, max(cnt) AS cnt FROM c GROUP BY 1, 2
+)
+SELECT c.l_returnflag, c.l_linestatus, min(c.value) AS mode,
+       CAST(max(c.cnt) AS BIGINT) AS mode_count
+FROM c JOIN mx USING (l_returnflag, l_linestatus, cnt)
+GROUP BY 1, 2
+"""
+
+
+def q153_ewma(spark, sf_dir):
+    """Dyadic-decay EWMA (alpha = 1/2, window 16) of event values per
+    user bucket, ordered by event id: every term is a multiple of
+    2^-15 with |x| < 2^17, so the float sum is EXACT and
+    order-independent — the one decay rate a cross-engine oracle can
+    replay bit-for-bit. The SQL twin unrolls the same 16 lag terms."""
+    from pda_spark.operators import timeseries
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.pmod(F.col("user_id"), F.lit(50)).alias("k"),
+        "event_id",
+        F.floor(F.col("value") * 100).alias("x"),
+    )
+    return timeseries.ewma_dyadic(ev, "k", "event_id", "x", window=16)
+
+
+def _ewma_sql(window: int = 16) -> str:
+    terms = " + ".join(
+        f"coalesce(lag(x, {j}) OVER w, 0) / {float(1 << j)!r}" for j in range(window)
+    )
+    return f"""
+WITH b AS (
+  SELECT user_id % 50 AS key, event_id AS t,
+         CAST(floor(value * 100) AS BIGINT) AS x
+  FROM events
+)
+SELECT key, t, x, {terms} AS ewma
+FROM b WINDOW w AS (PARTITION BY key ORDER BY t)
+"""
+
+
 # Ordering contract (VERDICT r05 #1): the driver correctness artifact
 # records only the FIRST 50 keys of this dict.  Rotation rule, recorded in
 # CLAUDE.md: each round, queries WITHOUT a green row in any prior
@@ -5574,6 +5848,13 @@ QUERIES: dict[str, tuple] = {
     "q144_chunk_text": (q144_chunk_text, Q144_SQL),
     "q145_url_keep_best": (q145_url_keep_best, Q145_SQL),
     "q146_knox": (q146_knox, Q146_SQL),
+    "q147_jaccard_prefix": (q147_jaccard_prefix_join, Q147_SQL),
+    "q148_sssp": (q148_sssp, Q148_SQL),
+    "q149_interval_coverage": (q149_interval_coverage, Q149_SQL),
+    "q150_ols_trend": (q150_ols_trend, Q150_SQL),
+    "q151_mad": (q151_mad, Q151_SQL),
+    "q152_mode": (q152_mode, Q152_SQL),
+    "q153_ewma": (q153_ewma, _ewma_sql()),
     # --- long driver-proven queries (green rows in DRIVER_LEDGER.json) ---
     "q41_pip_join": (q41_pip_join, Q41_SQL),
     "q42_knn": (q42_knn, Q42_SQL),

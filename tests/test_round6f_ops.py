@@ -1,0 +1,187 @@
+"""Round-6 session-3 operators: prefix-filtered exact Jaccard join,
+hop-bounded SSSP, sweep-line interval coverage, OLS trend, MAD, mode,
+dyadic EWMA."""
+
+from __future__ import annotations
+
+import heapq
+import itertools
+import math
+
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------- jaccard prefix
+def _brute_jaccard(docs, k, t):
+    """Python brute force over word-k-gram sets."""
+    import re
+
+    sets = {}
+    for did, text in docs:
+        ws = [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+        if len(ws) >= k:
+            sh = {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)}
+        else:
+            sh = set()
+        sets[did] = sh
+    out = []
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        uni = len(sets[a] | sets[b])
+        if uni and inter / uni >= t:
+            out.append((a, b, inter, uni))
+    return sorted(out)
+
+
+def test_jaccard_prefix_completeness(spark):
+    """Prefix filtering must find EVERY qualifying pair — including
+    identical docs, near-dups, and docs sharing only stop-words (which
+    must NOT pair)."""
+    from pda_spark.functions import dedup
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy cat today"),
+        (3, "the quick brown fox jumps over the lazy dog today"),  # == 1
+        (4, "completely different content about spark catalyst engines"),
+        (5, "the and of to in a is it for on"),  # stop-words only
+        (6, "spark catalyst engines optimize completely different content about"),
+        (7, "x"),  # fewer words than the shingle width -> empty set
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        (r.id_a, r.id_b, r.inter, r.uni)
+        for r in dedup.jaccard_join_prefix(
+            df, threshold_num=1, threshold_den=2, shingle_words=3
+        ).collect()
+    )
+    want = _brute_jaccard(rows, 3, 0.5)
+    assert got == want
+    assert (1, 3, 8, 8) in got  # identical pair found with jaccard 1
+
+
+def test_jaccard_prefix_word_sets(spark):
+    """shingle_words=1 joins on plain word sets."""
+    from pda_spark.functions import dedup
+
+    rows = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma epsilon"), (3, "zeta eta")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        (r.id_a, r.id_b, r.inter, r.uni)
+        for r in dedup.jaccard_join_prefix(
+            df, threshold_num=1, threshold_den=2, shingle_words=1
+        ).collect()
+    )
+    assert got == [(1, 2, 3, 5)]
+
+
+# ------------------------------------------------------------------ sssp
+def _dijkstra_bounded(nodes, edges, sources, rounds):
+    """Hop-bounded shortest path oracle: dist[v] = min cost over paths
+    of <= rounds edges."""
+    INF = math.inf
+    dist = {v: (0 if v in sources else INF) for v in nodes}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for u, v, w in edges:
+            if dist[u] + w < nxt[v]:
+                nxt[v] = dist[u] + w
+        dist = nxt
+    return {v: d for v, d in dist.items() if d < INF}
+
+
+def test_sssp_bounded_vs_oracle(spark):
+    from pda_spark.functions import graph
+
+    edges = [
+        (1, 2, 5), (2, 3, 1), (3, 4, 1), (1, 4, 10),
+        (4, 5, 2), (10, 11, 1), (5, 1, 1),
+    ]
+    nodes = {n for e in edges for n in e[:2]}
+    e = spark.createDataFrame(edges, ["src", "dst", "w"])
+    s = spark.createDataFrame([(1,), (10,)], ["id"])
+    for rounds in (0, 1, 2, 4):
+        got = {r.id: r.dist for r in graph.sssp_bounded(e, s, rounds=rounds).collect()}
+        want = _dijkstra_bounded(nodes | {1, 10}, edges, {1, 10}, rounds)
+        assert got == want, f"rounds={rounds}"
+    # hop-bounded: 1->2->3->4 costs 7 but needs 3 hops; 2 hops sees only 1->4 = 10
+    two = {r.id: r.dist for r in graph.sssp_bounded(e, s, rounds=2).collect()}
+    assert two[4] == 10
+    four = {r.id: r.dist for r in graph.sssp_bounded(e, s, rounds=4).collect()}
+    assert four[4] == 7
+
+
+# ------------------------------------------------------- interval sweep
+def test_interval_coverage_cases(spark):
+    from pda_spark.operators import temporal
+
+    rows = [
+        # key 1: [0,10) + [5,15) overlap -> union 15, peak 2 first at 5
+        (1, 0, 10), (1, 5, 15),
+        # key 2: adjacent half-open [0,5)+[5,10): union 10, peak 1 at 0
+        (2, 0, 5), (2, 5, 10),
+        # key 3: nested + degenerate + disjoint
+        (3, 0, 100), (3, 10, 20), (3, 50, 50), (3, 200, 210),
+    ]
+    df = spark.createDataFrame(rows, ["k", "s", "e"])
+    got = {
+        r.key: (r.covered_len, r.max_concurrency, r.peak_at)
+        for r in temporal.interval_coverage(df, "k", "s", "e").collect()
+    }
+    assert got[1] == (15, 2, 5)
+    assert got[2] == (10, 1, 0)
+    assert got[3] == (110, 2, 10)
+
+
+# ------------------------------------------------------------ ols trend
+def test_ols_trend_exact_line(spark):
+    from pda_spark.operators import temporal
+
+    # y = 3x + 7 exactly -> slope 3, intercept 7; plus a zero-variance key
+    rows = [(1, x, 3 * x + 7) for x in range(10)] + [(2, 4, 9), (2, 4, 11)]
+    df = spark.createDataFrame(rows, ["k", "x", "y"])
+    got = {r.key: r for r in temporal.ols_trend(df, "k", "x", "y").collect()}
+    assert got[1].slope == 3.0 and got[1].intercept == 7.0
+    assert got[2].slope is None and got[2].intercept is None
+    assert got[2].slope_den == 0
+
+
+# ------------------------------------------------------------- mad/mode
+def test_mad_and_mode(spark):
+    from pda_spark.functions import profiling
+
+    rows = [("a", 1), ("a", 2), ("a", 3), ("a", 100), ("b", 5), ("b", 5), ("b", 7)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    m = {r.g: (r.n, r.med, r.mad) for r in profiling.mad(df, "v", ["g"]).collect()}
+    # a: med = 2.5, |dev| = [1.5, 0.5, 0.5, 97.5], mad = 1.0
+    assert m["a"] == (4, 2.5, 1.0)
+    assert m["b"] == (3, 5.0, 0.0)
+
+    mo = {
+        r.g: (r.mode, r.mode_count)
+        for r in profiling.mode_per_group(df, "v", ["g"]).collect()
+    }
+    assert mo["b"] == (5, 2)
+    assert mo["a"] == (1, 1)  # 4-way tie -> minimum value
+
+
+def test_mad_global_no_groups(spark):
+    from pda_spark.functions import profiling
+
+    df = spark.createDataFrame([(i,) for i in range(1, 6)], ["v"])
+    row = profiling.mad(df, "v").collect()[0]
+    assert (row.n, row.med, row.mad) == (5, 3.0, 1.0)
+
+
+# ----------------------------------------------------------------- ewma
+def test_ewma_dyadic_exact(spark):
+    from pda_spark.operators import timeseries
+
+    rows = [(1, t, (t * 37) % 1000) for t in range(40)] + [(2, 0, 8)]
+    df = spark.createDataFrame(rows, ["k", "t", "x"])
+    got = {(r.key, r.t): r.ewma for r in timeseries.ewma_dyadic(df, "k", "t", "x", window=16).collect()}
+    xs = {t: (t * 37) % 1000 for t in range(40)}
+    for t in range(40):
+        want = sum(xs.get(t - j, 0) * 2.0 ** (-j) for j in range(16) if t - j >= 0)
+        assert got[(1, t)] == want, t  # EXACT equality, not approx
+    assert got[(2, 0)] == 8.0
