@@ -107,7 +107,12 @@ def connected_components(
     prev_fp = None
     for _ in range(max_iter):
         # Lazy checkpoint: the fingerprint aggregate below is the action
-        # that materializes it — one job per round, not two.
+        # that materializes it — one job per round, not two. (A probed-
+        # every-other-pair variant was tried and REVERTED: skipping the
+        # inter-pair dedup lets edge multiplicity compound across four
+        # un-deduped star stages, costing more shuffle volume than the
+        # saved barrier — measured 350 s vs 311 s on the scaling_cc
+        # 10M-node chain harness.)
         e = _stars(_stars(e, large=True, dedup=False), large=False).localCheckpoint(eager=False)
         # Fixed-point probe: one tiny aggregate per round, no collect of
         # the edge set itself. Each hash is pmod-folded BEFORE the sum

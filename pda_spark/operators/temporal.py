@@ -607,3 +607,50 @@ def ols_trend(
         F.round(slope, 6).alias("slope"),
         F.round(intercept, 6).alias("intercept"),
     )
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Theil-Sen estimator per key: the MEDIAN of all pairwise slopes
+    (y_j - y_i)/(x_j - x_i), x_i < x_j — the robust-magnitude
+    companion to ``mann_kendall_trend`` (which tests direction) and
+    ``ols_trend`` (which outliers can drag arbitrarily; Theil-Sen
+    tolerates ~29% contamination). Inputs must be integer-valued so
+    each pairwise slope is ONE exact division; the median then runs on
+    the exact-percentile path (the q67 Spark-percentile ==
+    quantile_cont bit-exactness — interpolation between two doubles is
+    the same single float op in both engines).
+
+    Shape: the pair generation is a per-key self-join (O(n_k^2) rows
+    per key) — the textbook estimator's inherent cost; callers bound
+    n_k (sample or time-window) exactly as they would for q123
+    Hausdorff or q146 Knox. Returns (key, n, n_pairs, slope)."""
+    b = df.select(
+        F.col(key_col).alias("key"),
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    a2 = b.select("key", F.col("_x").alias("_x2"), F.col("_y").alias("_y2"))
+    pairs = b.join(a2, "key").filter(F.col("_x") < F.col("_x2"))
+    slopes = pairs.select(
+        "key",
+        (
+            (F.col("_y2") - F.col("_y")).cast("double")
+            / (F.col("_x2") - F.col("_x")).cast("double")
+        ).alias("_s"),
+    )
+    n = b.groupBy("key").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    med = slopes.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("percentile(_s, 0.5)").alias("_med"),
+    )
+    return n.join(med, "key", "left").select(
+        "key",
+        "n",
+        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+        F.round("_med", 6).alias("slope"),
+    )

@@ -5749,6 +5749,75 @@ FROM b WINDOW w AS (PARTITION BY key ORDER BY t)
 """
 
 
+def q154_theil_sen(spark, sf_dir):
+    """Theil-Sen robust slope per user bucket (median of pairwise
+    slopes) — the magnitude companion to q117 Mann-Kendall. event_id <
+    2000 keeps the inherent O(n^2) pair fan-out SF-stable (the q146
+    fixture discipline); each slope is one exact division and the
+    median runs on the q67-bit-exact percentile path."""
+    from pda_spark.operators import temporal
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return temporal.theil_sen_slope(
+        ev.select(
+            F.pmod(F.col("user_id"), F.lit(20)).alias("k"),
+            "event_id",
+            F.floor(F.col("value") * 100).alias("cents"),
+        ),
+        "k",
+        "event_id",
+        "cents",
+    )
+
+
+Q154_SQL = """
+WITH b AS (
+  SELECT user_id % 20 AS key, event_id AS x,
+         CAST(floor(value * 100) AS BIGINT) AS y
+  FROM events WHERE event_id < 2000
+), pr AS (
+  SELECT p.key, (q.y - p.y) / CAST(q.x - p.x AS DOUBLE) AS s
+  FROM b p JOIN b q ON p.key = q.key AND p.x < q.x
+), n AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY key
+), m AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n_pairs,
+         quantile_cont(s, 0.5) AS med
+  FROM pr GROUP BY key
+)
+SELECT n.key, n.n, coalesce(m.n_pairs, 0) AS n_pairs, round(m.med, 6) AS slope
+FROM n LEFT JOIN m USING (key)
+"""
+
+
+def q155_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking pairs over customer balances
+    (window 3): the sliding-window candidate generator of classic
+    record linkage. The engine computes the global sort rank WITHOUT a
+    single-task window (range partition + parallel per-partition
+    row_numbers + broadcast prefix offsets — ``dedup.global_rank``);
+    the oracle IS the single-window row_number formulation — rank
+    parity between the two is the thing under test."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.floor(F.col("c_acctbal") * 100).alias("cents")
+    )
+    return dedup.sorted_neighborhood_pairs(
+        cust, "c_custkey", ["cents"], window=3
+    )
+
+
+Q155_SQL = """
+WITH r AS (
+  SELECT c_custkey AS id,
+         row_number() OVER (ORDER BY floor(c_acctbal * 100), c_custkey) AS rk
+  FROM customer
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(a.rk AS BIGINT) AS rank_a, CAST(b.rk AS BIGINT) AS rank_b
+FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 3
+"""
+
+
 # Ordering contract (VERDICT r05 #1): the driver correctness artifact
 # records only the FIRST 50 keys of this dict.  Rotation rule, recorded in
 # CLAUDE.md: each round, queries WITHOUT a green row in any prior
@@ -5855,6 +5924,8 @@ QUERIES: dict[str, tuple] = {
     "q151_mad": (q151_mad, Q151_SQL),
     "q152_mode": (q152_mode, Q152_SQL),
     "q153_ewma": (q153_ewma, _ewma_sql()),
+    "q154_theil_sen": (q154_theil_sen, Q154_SQL),
+    "q155_sorted_neighborhood": (q155_sorted_neighborhood, Q155_SQL),
     # --- long driver-proven queries (green rows in DRIVER_LEDGER.json) ---
     "q41_pip_join": (q41_pip_join, Q41_SQL),
     "q42_knn": (q42_knn, Q42_SQL),

@@ -185,3 +185,59 @@ def test_ewma_dyadic_exact(spark):
         want = sum(xs.get(t - j, 0) * 2.0 ** (-j) for j in range(16) if t - j >= 0)
         assert got[(1, t)] == want, t  # EXACT equality, not approx
     assert got[(2, 0)] == 8.0
+
+
+# ------------------------------------------------------------ theil-sen
+def test_theil_sen_robust_to_outlier(spark):
+    from pda_spark.operators import temporal
+
+    # y = 2x except one wild outlier; OLS would move, Theil-Sen holds 2.0
+    rows = [(1, x, 2 * x) for x in range(9)] + [(1, 9, 1000)]
+    df = spark.createDataFrame(rows, ["k", "x", "y"])
+    r = temporal.theil_sen_slope(df, "k", "x", "y").collect()[0]
+    assert r.n == 10 and r.n_pairs == 45
+    import itertools
+
+    slopes = sorted(
+        (yb - ya) / (xb - xa)
+        for (xa, ya), (xb, yb) in itertools.combinations([(x, 2 * x) for x in range(9)] + [(9, 1000)], 2)
+    )
+    want = (slopes[22] + slopes[22]) / 2 if len(slopes) % 2 else (slopes[21] + slopes[22]) / 2
+    assert r.slope == round(want, 6)
+    assert r.slope == 2.0
+
+
+# ----------------------------------------------------- global rank / SNM
+def test_global_rank_matches_single_window(spark):
+    from pda_spark.functions import dedup
+
+    rows = [(i, (i * 37) % 101) for i in range(500)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    got = {
+        r.id: r.rank
+        for r in dedup.global_rank(df, ["v", "id"], num_ranges=8).collect()
+    }
+    want = {
+        i: rk + 1
+        for rk, (v, i) in enumerate(sorted((v, i) for i, v in rows))
+    }
+    assert got == want
+
+
+def test_sorted_neighborhood_pairs_vs_oracle(spark):
+    from pda_spark.functions import dedup
+
+    rows = [(i, (i * 37) % 101) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    got = sorted(
+        (r.id_a, r.id_b, r.rank_a, r.rank_b)
+        for r in dedup.sorted_neighborhood_pairs(df, "id", ["v"], window=2).collect()
+    )
+    order = [i for v, i in sorted((v, i) for i, v in rows)]
+    want = sorted(
+        (order[a], order[b], a + 1, b + 1)
+        for a in range(len(order))
+        for b in (a + 1, a + 2)
+        if b < len(order)
+    )
+    assert got == want
