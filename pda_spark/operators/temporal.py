@@ -18,6 +18,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -653,4 +654,84 @@ def theil_sen_slope(
         "n",
         F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
         F.round("_med", 6).alias("slope"),
+    )
+
+
+def dtw_join(
+    trajs: DataFrame,
+    pairs: DataFrame,
+    key_col: str = "key",
+    xs_col: str = "xs",
+    ys_col: str = "ys",
+) -> DataFrame:
+    """Dynamic-time-warping distance between keyed coordinate SEQUENCES
+    — the order-aware companion to ``hausdorff_join`` (which scores
+    point SETS): DTW aligns the two sequences monotonically and sums
+    the Manhattan step costs along the cheapest alignment (Sakoe &
+    Chiba 1978; the standard trajectory/time-series similarity when
+    sampling rates differ). Coordinates must be integer-valued
+    (pre-scale to integer units) so the DP is exact int64 end-to-end —
+    engine-replayable with no float accumulation.
+
+    ``trajs`` carries one row per key with the ordered coordinate
+    arrays; ``pairs`` is the candidate-pair table — blocking stays
+    with the caller (the hausdorff_join contract). The DP is
+    inherently sequential per pair, so this is one of the few
+    legitimate Pandas-UDF operators: ONE Arrow stage over the joined
+    pair rows (the chained-UDF rule), O(len_a * len_b) ints per pair —
+    callers bound sequence length exactly as they bound pair count.
+    Returns (key_a, key_b, len_a, len_b, dtw); an empty side yields
+    NULL dtw."""
+
+    @F.pandas_udf("long")
+    def _dtw(xa: pd.Series, ya: pd.Series, xb: pd.Series, yb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for k in range(len(xa)):
+            ax = np.asarray(xa[k], dtype=np.int64)
+            ay = np.asarray(ya[k], dtype=np.int64)
+            bx = np.asarray(xb[k], dtype=np.int64)
+            by = np.asarray(yb[k], dtype=np.int64)
+            n, m = len(ax), len(bx)
+            if n == 0 or m == 0:
+                out.append(None)
+                continue
+            prev = None
+            for r in range(n):
+                d = np.abs(bx - ax[r]) + np.abs(by - ay[r])
+                if prev is None:
+                    cur = np.cumsum(d)
+                else:
+                    cur = np.empty(m, dtype=np.int64)
+                    cur[0] = prev[0] + d[0]
+                    for j in range(1, m):
+                        p = prev[j] if prev[j] < prev[j - 1] else prev[j - 1]
+                        if cur[j - 1] < p:
+                            p = cur[j - 1]
+                        cur[j] = d[j] + p
+                prev = cur
+            out.append(int(prev[-1]))
+        return pd.Series(out, dtype="Int64")
+
+    ta = trajs.select(
+        F.col(key_col).alias("key_a"),
+        F.col(xs_col).alias("_xa"),
+        F.col(ys_col).alias("_ya"),
+    )
+    tb = trajs.select(
+        F.col(key_col).alias("key_b"),
+        F.col(xs_col).alias("_xb"),
+        F.col(ys_col).alias("_yb"),
+    )
+    return (
+        pairs.join(ta, "key_a")
+        .join(tb, "key_b")
+        .select(
+            "key_a",
+            "key_b",
+            F.size("_xa").cast("long").alias("len_a"),
+            F.size("_xb").cast("long").alias("len_b"),
+            _dtw("_xa", "_ya", "_xb", "_yb").alias("dtw"),
+        )
     )

@@ -5818,6 +5818,95 @@ FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 3
 """
 
 
+_DTW_L = 8
+
+
+def q156_dtw(spark, sf_dir):
+    """DTW trajectory-distance join (users % 60 == 0, first 8 points
+    each, all ordered pairs): integer Manhattan step costs make the DP
+    exact int64, and the oracle computes the SAME DP by unrolled
+    anti-diagonal CTEs (the q148 unrolled-rounds discipline scaled to
+    a 2-D recurrence — never a recursive CTE). Integer coordinates
+    come straight from the _event_points generator integers (x100),
+    NEVER by casting lon*100 back: the float reconstruction rounds
+    differently under Spark's truncating cast vs DuckDB's half-even
+    cast."""
+    from pda_spark.operators import temporal
+
+    ev = _t(spark, sf_dir, "events").filter(F.pmod(F.col("user_id"), F.lit(60)) == 0)
+    ix = F.pmod(F.col("user_id") * 97 + F.col("event_id") * 31, F.lit(4000)) - 2000
+    iy = F.pmod(F.col("event_id") * 57 + F.col("user_id") * 13, F.lit(2500)) + 3600
+    w = Window.partitionBy("k").orderBy("event_id")
+    p = (
+        ev.select(F.col("user_id").alias("k"), "event_id", ix.alias("x"), iy.alias("y"))
+        .withColumn("_i", F.row_number().over(w))
+        .filter(F.col("_i") <= _DTW_L)
+    )
+    traj = p.groupBy("k").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("_i", "x", "y"))), lambda s: s["x"]
+        ).alias("xs"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("_i", "x", "y"))), lambda s: s["y"]
+        ).alias("ys"),
+    )
+    keys = traj.select("k")
+    pairs = keys.select(F.col("k").alias("key_a")).join(
+        keys.select(F.col("k").alias("key_b")), F.col("key_a") < F.col("key_b")
+    )
+    return temporal.dtw_join(traj, pairs, key_col="k")
+
+
+def _dtw_sql(L: int = _DTW_L) -> str:
+    digs = []
+    for s in range(3, 2 * L + 1):
+        p0 = (
+            f"LEFT JOIN dg{s - 2} p0 ON p0.ka = m.ka AND p0.kb = m.kb"
+            f" AND p0.i = m.i - 1 AND p0.j = m.j - 1"
+            if s >= 4
+            else ""
+        )
+        p0c = "coalesce(p0.c, 1152921504606846976)" if s >= 4 else "1152921504606846976"
+        digs.append(
+            f"""dg{s} AS MATERIALIZED (
+  SELECT m.ka, m.kb, m.i, m.j,
+         m.d + least(coalesce(p1.c, 1152921504606846976),
+                     coalesce(p2.c, 1152921504606846976), {p0c}) AS c
+  FROM dmat m
+  LEFT JOIN dg{s - 1} p1 ON p1.ka = m.ka AND p1.kb = m.kb AND p1.i = m.i - 1 AND p1.j = m.j
+  LEFT JOIN dg{s - 1} p2 ON p2.ka = m.ka AND p2.kb = m.kb AND p2.i = m.i AND p2.j = m.j - 1
+  {p0}
+  WHERE m.i + m.j = {s}
+)"""
+        )
+    cells = " UNION ALL ".join(f"SELECT * FROM dg{s}" for s in range(2, 2 * L + 1))
+    return f"""
+WITH p0_ AS (
+  SELECT user_id AS k,
+         (user_id * 97 + event_id * 31) % 4000 - 2000 AS x,
+         (event_id * 57 + user_id * 13) % 2500 + 3600 AS y,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS i
+  FROM events WHERE user_id % 60 = 0
+), p AS MATERIALIZED (SELECT k, i, x, y FROM p0_ WHERE i <= {L}),
+lens AS MATERIALIZED (SELECT k, CAST(count(*) AS BIGINT) AS l FROM p GROUP BY k),
+prs AS (SELECT a.k AS ka, b.k AS kb FROM lens a JOIN lens b ON a.k < b.k),
+dmat AS MATERIALIZED (
+  SELECT pr.ka, pr.kb, pa.i AS i, pb.i AS j,
+         abs(pa.x - pb.x) + abs(pa.y - pb.y) AS d
+  FROM prs pr JOIN p pa ON pa.k = pr.ka JOIN p pb ON pb.k = pr.kb
+),
+dg2 AS MATERIALIZED (SELECT ka, kb, i, j, d AS c FROM dmat WHERE i + j = 2),
+{",".join(digs)},
+cells AS ({cells})
+SELECT c.ka AS key_a, c.kb AS key_b, la.l AS len_a, lb.l AS len_b,
+       CAST(c.c AS BIGINT) AS dtw
+FROM cells c
+JOIN lens la ON la.k = c.ka
+JOIN lens lb ON lb.k = c.kb
+WHERE c.i = la.l AND c.j = lb.l
+"""
+
+
 # Ordering contract (VERDICT r05 #1): the driver correctness artifact
 # records only the FIRST 50 keys of this dict.  Rotation rule, recorded in
 # CLAUDE.md: each round, queries WITHOUT a green row in any prior
@@ -5926,6 +6015,7 @@ QUERIES: dict[str, tuple] = {
     "q153_ewma": (q153_ewma, _ewma_sql()),
     "q154_theil_sen": (q154_theil_sen, Q154_SQL),
     "q155_sorted_neighborhood": (q155_sorted_neighborhood, Q155_SQL),
+    "q156_dtw": (q156_dtw, _dtw_sql()),
     # --- long driver-proven queries (green rows in DRIVER_LEDGER.json) ---
     "q41_pip_join": (q41_pip_join, Q41_SQL),
     "q42_knn": (q42_knn, Q42_SQL),

@@ -241,3 +241,47 @@ def test_sorted_neighborhood_pairs_vs_oracle(spark):
         if b < len(order)
     )
     assert got == want
+
+
+# ------------------------------------------------------------------ dtw
+def _dtw_ref(A, B):
+    n, m = len(A), len(B)
+    INF = float("inf")
+    c = [[INF] * m for _ in range(n)]
+    for i in range(n):
+        for j in range(m):
+            d = abs(A[i][0] - B[j][0]) + abs(A[i][1] - B[j][1])
+            if i == 0 and j == 0:
+                c[i][j] = d
+            else:
+                best = min(
+                    c[i - 1][j] if i else INF,
+                    c[i][j - 1] if j else INF,
+                    c[i - 1][j - 1] if i and j else INF,
+                )
+                c[i][j] = d + best
+    return c[n - 1][m - 1]
+
+
+def test_dtw_join_vs_reference(spark):
+    from pda_spark.operators import temporal
+
+    t1 = [(0, 0), (1, 0), (2, 0), (3, 0)]
+    t2 = [(0, 1), (1, 1), (1, 1), (2, 1), (3, 1)]  # different length + a repeat
+    t3 = [(10, 10)]
+    trajs = spark.createDataFrame(
+        [
+            (1, [p[0] for p in t1], [p[1] for p in t1]),
+            (2, [p[0] for p in t2], [p[1] for p in t2]),
+            (3, [p[0] for p in t3], [p[1] for p in t3]),
+        ],
+        "key long, xs array<long>, ys array<long>",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], ["key_a", "key_b"])
+    got = {
+        (r.key_a, r.key_b): (r.len_a, r.len_b, r.dtw)
+        for r in temporal.dtw_join(trajs, pairs).collect()
+    }
+    ts = {1: t1, 2: t2, 3: t3}
+    for a, b in [(1, 2), (1, 3), (2, 3)]:
+        assert got[(a, b)] == (len(ts[a]), len(ts[b]), _dtw_ref(ts[a], ts[b]))
