@@ -344,3 +344,55 @@ def sssp_bounded(
             .localCheckpoint(eager=False)
         )
     return dist
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """``rounds`` iterations of k-core peeling over an undirected graph
+    (Seidman 1983; the degeneracy-ordering building block of community
+    and spam detection): each round drops every node whose degree in
+    the SURVIVING subgraph is < k, then the edges touching it. Once no
+    node drops, the survivors ARE the k-core and further rounds are
+    no-ops — the fixed ``rounds`` contract (the q148 SSSP discipline:
+    zero in-loop actions, the round count IS the spec, and an oracle
+    unrolls the identical rounds; callers size ``rounds`` to their
+    graph's peel depth — dense web/co-occurrence graphs peel in a
+    handful). Returns surviving (id, deg) after the last round.
+
+    Each round: one symmetrize union + one map-side-combinable degree
+    count + one semi-join filter of the edge list — the frontier
+    never leaves the cluster."""
+    if k < 1 or rounds < 0:
+        raise ValueError(f"need k >= 1, rounds >= 0, got k={k} rounds={rounds}")
+
+    def degrees(ed: DataFrame) -> DataFrame:
+        return (
+            ed.select(F.col("u").alias("id"))
+            .unionAll(ed.select(F.col("v").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
+
+    e = (
+        edges.select(F.least(F.col(src), F.col(dst)).alias("u"),
+                     F.greatest(F.col(src), F.col(dst)).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        alive = degrees(e).filter(F.col("deg") >= F.lit(k))
+        e = (
+            e.join(alive.select(F.col("id").alias("u")), "u", "left_semi")
+            .join(alive.select(F.col("id").alias("v")), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+    # degrees w.r.t. the SURVIVING edge set, so (id, deg) is
+    # self-consistent after the last filter
+    return degrees(e)

@@ -176,3 +176,84 @@ def ewma_dyadic(
         F.col(value_col).cast("long").alias("x"),
         F.col("_ewma").alias("ewma"),
     )
+
+
+def rolling_median(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    window: int = 5,
+) -> DataFrame:
+    """Exact rolling median over the last ``window`` rows per key — the
+    robust smoother (a rolling MEAN chases every outlier; the median
+    ignores them until they are half the frame). Runs Spark's exact
+    ``percentile`` as a windowed aggregate over a bounded ROWS frame:
+    integer-valued inputs keep the even-count interpolation dyadic-
+    exact (the q67/q151 discipline), so DuckDB's windowed
+    quantile_cont replays it bit-for-bit. Requires a unique
+    (key, order) — the q68 contract. Leading rows use the shorter
+    available frame (standard SQL frame semantics, identical in both
+    engines)."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(-(window - 1), 0)
+    )
+    return df.select(
+        F.col(key_col).alias("key"),
+        F.col(order_col).alias("t"),
+        F.col(value_col).cast("long").alias("x"),
+        F.round(F.expr(f"percentile({value_col}, 0.5)").over(w), 6).alias("roll_med"),
+    )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) interval build from a change
+    log: per key, consecutive rows whose tracked attributes all equal
+    the previous row's collapse into one VERSION; each version gets
+    [valid_from_us, valid_to_us) (epoch MICROseconds, the q84 rule;
+    open version -> NULL valid_to_us), a 1-based version number and an
+    is_current flag — the standard warehouse dimension-history shape.
+
+    Pure window composition, one shuffle on the key: change detection
+    is a lag over (ts, tiebreak); version id is the running sum of
+    change flags; the version interval is a grouped min + a lead.
+    Equal-timestamp changes order by the tiebreak (callers pass the
+    log's unique sequence column)."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # null-safe per-attr change flags OR'd together (IS DISTINCT FROM —
+    # a plain != is NULL against a NULL side and a coalesce over the
+    # flags would pick the FIRST non-null, not ANY); the lag(ts)-is-null
+    # term starts version 1 on each key's first row even when every
+    # attribute is NULL there.
+    any_changed = F.lag(ts_col).over(w).isNull()
+    for c in attr_cols:
+        any_changed = any_changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    changed = F.when(any_changed, F.lit(1)).otherwise(F.lit(0))
+    seg = df.withColumn("_chg", changed).withColumn(
+        "_ver", F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    ver = seg.groupBy(F.col(key_col).alias("key"), F.col("_ver").alias("version")).agg(
+        F.min(us).alias("valid_from_us"),
+        *[F.first(c).alias(c) for c in attr_cols],
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    w2 = Window.partitionBy("key").orderBy("version")
+    return ver.select(
+        "key",
+        F.col("version").cast("long").alias("version"),
+        "valid_from_us",
+        F.lead("valid_from_us").over(w2).alias("valid_to_us"),
+        *attr_cols,
+        "n_rows",
+    ).withColumn("is_current", F.col("valid_to_us").isNull())

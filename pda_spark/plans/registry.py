@@ -5907,6 +5907,134 @@ WHERE c.i = la.l AND c.j = lb.l
 """
 
 
+def q157_rolling_median(spark, sf_dir):
+    """Exact rolling median (last 5 rows) of event cents per user
+    bucket — the robust smoother on the q67 exact-percentile path;
+    DuckDB's windowed quantile_cont replays the bounded-frame
+    interpolation bit-for-bit."""
+    from pda_spark.operators import timeseries
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.pmod(F.col("user_id"), F.lit(50)).alias("k"),
+        "event_id",
+        F.floor(F.col("value") * 100).alias("xv"),
+    )
+    return timeseries.rolling_median(ev, "k", "event_id", "xv", window=5)
+
+
+Q157_SQL = """
+WITH b AS (
+  SELECT user_id % 50 AS key, event_id AS t,
+         CAST(floor(value * 100) AS BIGINT) AS x
+  FROM events
+)
+SELECT key, t, x,
+       round(quantile_cont(x, 0.5) OVER (
+         PARTITION BY key ORDER BY t
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS roll_med
+FROM b
+"""
+
+
+def q158_scd2(spark, sf_dir):
+    """SCD type-2 interval build over each user's event_type change
+    log: consecutive equal types collapse into versions with
+    [valid_from_us, valid_to_us) validity (epoch micros, q84 rule),
+    version numbers and an is_current flag — the warehouse
+    dimension-history op."""
+    from pda_spark.operators import timeseries
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    return timeseries.scd2_intervals(ev, "user_id", "ts", ["event_type"], "event_id")
+
+
+Q158_SQL = """
+WITH b AS (
+  SELECT user_id AS key, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR event_type IS DISTINCT FROM lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT key, ts, event_type, chg,
+         sum(chg) OVER (PARTITION BY key ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ver
+  FROM b
+), v AS (
+  SELECT key, ver, min(epoch_us(ts::TIMESTAMP)) AS valid_from_us,
+         any_value(event_type) AS event_type,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM s GROUP BY 1, 2
+)
+SELECT key, CAST(ver AS BIGINT) AS version, valid_from_us,
+       lead(valid_from_us) OVER (PARTITION BY key ORDER BY ver) AS valid_to_us,
+       event_type, n_rows,
+       (lead(valid_from_us) OVER (PARTITION BY key ORDER BY ver) IS NULL) AS is_current
+FROM v
+"""
+
+
+_KCORE_K = 80
+_KCORE_ROUNDS = 6
+_KCORE_CAP = 2000
+
+
+def q159_kcore(spark, sf_dir):
+    """6 rounds of 80-core peeling over the bounded co-purchase
+    graph (parts < 2000): survivors + degrees in the surviving
+    subgraph. The oracle unrolls the identical 6 peel rounds (the q148
+    discipline); extra rounds past convergence are no-ops, so the
+    fixed count is the spec in both engines. k = 110 sits mid-
+    distribution at sf0.01 (median degree 115), so the peel CASCADES
+    there; at sf0.1 the parts cap keeps only 1/10 of lineitems and the
+    whole graph (max degree 30) peels away — the gate still replays
+    parity on the empty result, and the cascade semantics are pinned
+    by the kcore pytest."""
+    from pda_spark.functions import graph
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < _KCORE_CAP)
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .distinct()
+    )
+    return graph.kcore_peel(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+def _kcore_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS, cap: int = _KCORE_CAP) -> str:
+    ctes = [
+        f"""e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_partkey < {cap} AND b.l_partkey < {cap}
+)"""
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT id FROM (SELECT u AS id FROM e{r} UNION ALL SELECT v FROM e{r})
+  GROUP BY id HAVING count(*) >= {k}
+)"""
+        )
+        ctes.append(
+            f"""e{r + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{r} e
+  JOIN d{r} da ON da.id = e.u
+  JOIN d{r} db ON db.id = e.v
+)"""
+        )
+    return f"""
+WITH {",".join(ctes)}
+SELECT id, CAST(count(*) AS BIGINT) AS deg
+FROM (SELECT u AS id FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+GROUP BY id
+"""
+
+
 # Ordering contract (VERDICT r05 #1): the driver correctness artifact
 # records only the FIRST 50 keys of this dict.  Rotation rule, recorded in
 # CLAUDE.md: each round, queries WITHOUT a green row in any prior
@@ -6016,6 +6144,9 @@ QUERIES: dict[str, tuple] = {
     "q154_theil_sen": (q154_theil_sen, Q154_SQL),
     "q155_sorted_neighborhood": (q155_sorted_neighborhood, Q155_SQL),
     "q156_dtw": (q156_dtw, _dtw_sql()),
+    "q157_rolling_median": (q157_rolling_median, Q157_SQL),
+    "q158_scd2": (q158_scd2, Q158_SQL),
+    "q159_kcore": (q159_kcore, _kcore_sql()),
     # --- long driver-proven queries (green rows in DRIVER_LEDGER.json) ---
     "q41_pip_join": (q41_pip_join, Q41_SQL),
     "q42_knn": (q42_knn, Q42_SQL),

@@ -285,3 +285,92 @@ def test_dtw_join_vs_reference(spark):
     ts = {1: t1, 2: t2, 3: t3}
     for a, b in [(1, 2), (1, 3), (2, 3)]:
         assert got[(a, b)] == (len(ts[a]), len(ts[b]), _dtw_ref(ts[a], ts[b]))
+
+
+# ---------------------------------------------------------------- k-core
+def _kcore_ref(edges, k):
+    """Reference full k-core (peel to fixed point)."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+                changed = True
+    return {n: len(ns) for n, ns in adj.items()}
+
+
+def test_kcore_peel_cascade(spark):
+    """A chain hung off a clique cascades away node by node; the clique
+    survives. Enough rounds == the true k-core."""
+    from pda_spark.functions import graph
+
+    clique = [(a, b) for a in range(5) for b in range(5) if a < b]  # K5, deg 4
+    # K4-minus-an-edge hung off the clique: 12/13 peel first (deg 2),
+    # THEN 10/11 lose support — a genuine multi-round cascade
+    cascade = [(10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (4, 10)]
+    tri = [(20, 21), (21, 22), (22, 20)]  # triangle, deg 2 < 3
+    edges = clique + cascade + tri
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.id: r.deg for r in graph.kcore_peel(df, k=3, rounds=8).collect()}
+    assert got == _kcore_ref(edges, 3)
+    assert set(got) == {0, 1, 2, 3, 4}  # the K5 only; cascade peeled off
+    # too few rounds = partial peel (the documented contract)
+    partial = {r.id: r.deg for r in graph.kcore_peel(df, k=3, rounds=1).collect()}
+    assert 10 in partial and 11 in partial  # not fully cascaded after 1 round
+
+
+# ------------------------------------------------------------------ scd2
+def test_scd2_intervals_semantics(spark):
+    from datetime import datetime
+
+    from pda_spark.operators import timeseries
+
+    T = datetime
+    rows = [
+        (1, T(2024, 1, 1), 1, "a"),
+        (1, T(2024, 1, 2), 2, "a"),   # same attr -> same version
+        (1, T(2024, 1, 3), 3, "b"),   # change -> v2
+        (1, T(2024, 1, 4), 4, "a"),   # back to a -> v3 (not merged with v1)
+        (2, T(2024, 1, 1), 5, None),  # NULL attr opens v1
+        (2, T(2024, 1, 2), 6, None),  # NULL == NULL -> same version
+        (2, T(2024, 1, 3), 7, "x"),   # NULL -> x is a change
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "seq", "attr"])
+    out = {
+        (r.key, r.version): (r.attr, r.n_rows, r.is_current, r.valid_to_us)
+        for r in timeseries.scd2_intervals(df, "k", "ts", ["attr"], "seq").collect()
+    }
+    assert out[(1, 1)][0] == "a" and out[(1, 1)][1] == 2 and not out[(1, 1)][2]
+    assert out[(1, 2)][0] == "b" and out[(1, 2)][1] == 1
+    assert out[(1, 3)] == ("a", 1, True, None)
+    assert out[(2, 1)][0] is None and out[(2, 1)][1] == 2
+    assert out[(2, 2)] == ("x", 1, True, None)
+    # adjacent versions tile: v1.valid_to == v2.valid_from
+    rowsd = {
+        (r.key, r.version): r
+        for r in timeseries.scd2_intervals(df, "k", "ts", ["attr"], "seq").collect()
+    }
+    assert rowsd[(1, 1)].valid_to_us == rowsd[(1, 2)].valid_from_us
+
+
+# -------------------------------------------------------- rolling median
+def test_rolling_median_frames(spark):
+    from pda_spark.operators import timeseries
+
+    vals = [5, 1, 100, 3, 2, 2, 9]
+    df = spark.createDataFrame([(1, t, v) for t, v in enumerate(vals)], ["k", "t", "v"])
+    got = {r.t: r.roll_med for r in timeseries.rolling_median(df, "k", "t", "v", window=3).collect()}
+    import statistics
+
+    for t in range(len(vals)):
+        frame = vals[max(0, t - 2) : t + 1]
+        assert got[t] == round(statistics.median(frame), 6), t
