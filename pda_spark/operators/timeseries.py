@@ -257,3 +257,81 @@ def scd2_intervals(
         *attr_cols,
         "n_rows",
     ).withColumn("is_current", F.col("valid_to_us").isNull())
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Time-weighted average per key for IRREGULARLY sampled series —
+    the sensor/billing metric a plain mean gets wrong (a value held
+    for an hour must weigh 3600x one held for a second): step-function
+    semantics, value holds from its timestamp until the next sample,
+    twa = sum(x_i * (t_{i+1} - t_i)) / (t_last - t_first). Both sums
+    are exact int64 — t is epoch MICROseconds (the q84 rule; a
+    seconds-based variant hit the Spark-floors-vs-DuckDB-rounds cast
+    divergence on fractional timestamps); overflow contract
+    |x| * span_us < 2^63 per key (the q150 discipline); the emitted ``twa``
+    is the one final division (round 6). Keys with a single sample
+    (zero span) emit NULL twa. One window (lead) + one grouped
+    aggregate; the last sample carries no weight — the standard
+    right-open step convention."""
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_t"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    w = Window.partitionBy("key").orderBy("_t", "_x")
+    stepped = base.withColumn("_nxt", F.lead("_t").over(w))
+    g = stepped.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum(F.col("_x") * (F.col("_nxt") - F.col("_t"))), F.lit(0))
+        .cast("long")
+        .alias("twa_num"),
+        (F.max("_t") - F.min("_t")).cast("long").alias("twa_den"),
+    )
+    return g.select(
+        "key",
+        "n",
+        "twa_num",
+        "twa_den",
+        F.round(
+            F.when(
+                F.col("twa_den") > 0,
+                F.col("twa_num").cast("double") / F.col("twa_den").cast("double"),
+            ),
+            6,
+        ).alias("twa"),
+    )
+
+
+def gaps_islands(
+    df: DataFrame,
+    key_col: str,
+    seq_col: str,
+) -> DataFrame:
+    """Gaps-and-islands over an integer sequence per key (the SQL
+    classic): maximal runs of CONSECUTIVE distinct values collapse to
+    one row (key, island_start, island_end, island_len) — consecutive
+    active days, unbroken sensor sequences, contiguous id ranges. The
+    rn-difference trick: within a key, seq - row_number() over
+    (ORDER BY seq) is constant exactly on each island (both advance by
+    1 inside a run). Duplicates are collapsed FIRST (distinct) so a
+    repeated day cannot break the arithmetic. One shuffle on the key;
+    the window is per-key (the sessionize contract)."""
+    d = df.select(
+        F.col(key_col).alias("key"), F.col(seq_col).cast("long").alias("seq")
+    ).distinct()
+    w = Window.partitionBy("key").orderBy("seq")
+    grp = d.withColumn("_g", F.col("seq") - F.row_number().over(w))
+    return (
+        grp.groupBy("key", "_g")
+        .agg(
+            F.min("seq").alias("island_start"),
+            F.max("seq").alias("island_end"),
+            F.count(F.lit(1)).cast("long").alias("island_len"),
+        )
+        .drop("_g")
+    )

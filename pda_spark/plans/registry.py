@@ -6035,6 +6035,102 @@ GROUP BY id
 """
 
 
+def q160_bloom_pruned_join(spark, sf_dir):
+    """Bloom-pruned fact-dim join (the 100 TB pre-join pruning
+    pattern): the dim-key bit table collapses to a codegen'd literal
+    bitstring filter on the fact scan; false positives die in the
+    join, false negatives cannot exist — so the result is provably the
+    plain join, and the oracle IS the plain join (the whole sketch
+    path is under end-to-end test). Aggregated per supplier to bound
+    the gate rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 5)
+    joined = sketch.bloom_pruned_join(li, sup, "l_suppkey", "s_suppkey")
+    return (
+        joined.groupBy("s_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+        )
+        .withColumnRenamed("s_suppkey", "suppkey")
+    )
+
+
+Q160_SQL = """
+SELECT s_suppkey AS suppkey, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+WHERE s_nationkey < 5
+GROUP BY 1
+"""
+
+
+def q161_time_weighted_avg(spark, sf_dir):
+    """Per-user-bucket time-weighted average of event cents (step
+    function, right-open): exact int64 num/den + one final division.
+    The (t, x) window tiebreak keeps same-instant samples
+    deterministic in both engines."""
+    from pda_spark.operators import timeseries
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.pmod(F.col("user_id"), F.lit(50)).alias("k"),
+        "ts",
+        F.floor(F.col("value") * 100).alias("cents"),
+    )
+    return timeseries.time_weighted_avg(ev, "k", "ts", "cents")
+
+
+Q161_SQL = """
+WITH b AS (
+  SELECT user_id % 50 AS key, epoch_us(ts::TIMESTAMP) AS t,
+         CAST(floor(value * 100) AS BIGINT) AS x
+  FROM events
+), s AS (
+  SELECT key, t, x, lead(t) OVER (PARTITION BY key ORDER BY t, x) AS nxt
+  FROM b
+), g AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n,
+         CAST(coalesce(sum(x * (nxt - t)), 0) AS BIGINT) AS twa_num,
+         CAST(max(t) - min(t) AS BIGINT) AS twa_den
+  FROM s GROUP BY key
+)
+SELECT key, n, twa_num, twa_den,
+       round(CASE WHEN twa_den > 0
+             THEN CAST(twa_num AS DOUBLE) / CAST(twa_den AS DOUBLE) END, 6) AS twa
+FROM g
+"""
+
+
+def q162_gaps_islands(spark, sf_dir):
+    """Gaps-and-islands over each user's DISTINCT active days (epoch
+    day): maximal consecutive runs via the rn-difference trick —
+    duplicates collapsed first so a repeated day can't break the
+    arithmetic."""
+    from pda_spark.operators import timeseries
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("day"),
+    )
+    return timeseries.gaps_islands(ev, "k", "day")
+
+
+Q162_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id AS key,
+         CAST(datediff('day', DATE '1970-01-01', ts::DATE) AS BIGINT) AS seq
+  FROM events
+), g AS (
+  SELECT key, seq,
+         seq - row_number() OVER (PARTITION BY key ORDER BY seq) AS grp
+  FROM d
+)
+SELECT key, min(seq) AS island_start, max(seq) AS island_end,
+       CAST(count(*) AS BIGINT) AS island_len
+FROM g GROUP BY key, grp
+"""
+
+
 # Ordering contract (VERDICT r05 #1): the driver correctness artifact
 # records only the FIRST 50 keys of this dict.  Rotation rule, recorded in
 # CLAUDE.md: each round, queries WITHOUT a green row in any prior
@@ -6147,6 +6243,9 @@ QUERIES: dict[str, tuple] = {
     "q157_rolling_median": (q157_rolling_median, Q157_SQL),
     "q158_scd2": (q158_scd2, Q158_SQL),
     "q159_kcore": (q159_kcore, _kcore_sql()),
+    "q160_bloom_pruned_join": (q160_bloom_pruned_join, Q160_SQL),
+    "q161_time_weighted_avg": (q161_time_weighted_avg, Q161_SQL),
+    "q162_gaps_islands": (q162_gaps_islands, Q162_SQL),
     # --- long driver-proven queries (green rows in DRIVER_LEDGER.json) ---
     "q41_pip_join": (q41_pip_join, Q41_SQL),
     "q42_knn": (q42_knn, Q42_SQL),

@@ -374,3 +374,64 @@ def test_rolling_median_frames(spark):
     for t in range(len(vals)):
         frame = vals[max(0, t - 2) : t + 1]
         assert got[t] == round(statistics.median(frame), 6), t
+
+
+# ------------------------------------------------- bloom-pruned join
+def test_bloom_pruned_join_equals_plain_join(spark):
+    from pda_spark.functions import sketch
+
+    fact = spark.createDataFrame(
+        [(i, i % 37) for i in range(2000)] + [(9999, None)], "fid long, fk long"
+    )
+    dim = spark.createDataFrame([(j, f"d{j}") for j in range(0, 37, 3)], "dk long, name string")
+    got = sorted(
+        (r.fid, r.dk)
+        for r in sketch.bloom_pruned_join(fact, dim, "fk", "dk", k=4, m=256).collect()
+    )
+    want = sorted((i, i % 37) for i in range(2000) if (i % 37) % 3 == 0)
+    assert got == want  # identical to the plain join; NULL key dropped
+
+
+# ------------------------------------------------------------------ twa
+def test_time_weighted_avg_step_semantics(spark):
+    from datetime import datetime
+
+    from pda_spark.operators import timeseries
+
+    T = datetime
+    rows = [
+        # key 1: 10 held 30s, then 20 held 70s -> twa = (10*30+20*70)/100
+        (1, T(2024, 1, 1, 0, 0, 0), 10),
+        (1, T(2024, 1, 1, 0, 0, 30), 20),
+        (1, T(2024, 1, 1, 0, 1, 40), 99),  # last sample: no weight
+        (2, T(2024, 1, 1), 5),  # single sample -> NULL twa
+        # key 3: two samples at the SAME instant (tie) then one later
+        (3, T(2024, 1, 1, 0, 0, 0), 4),
+        (3, T(2024, 1, 1, 0, 0, 0), 2),
+        (3, T(2024, 1, 1, 0, 0, 10), 0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    got = {r.key: r for r in timeseries.time_weighted_avg(df, "k", "ts", "v").collect()}
+    M = 1_000_000  # t is epoch MICROseconds (q84 rule)
+    assert got[1].twa_num == (10 * 30 + 20 * 70) * M and got[1].twa_den == 100 * M
+    assert got[1].twa == 17.0
+    assert got[2].twa is None and got[2].twa_den == 0
+    # tie order (t, x): x=2 first (gap 0), x=4 carries the 10s gap
+    assert got[3].twa_num == 4 * 10 * M and got[3].twa_den == 10 * M
+
+
+# --------------------------------------------------------- gaps/islands
+def test_gaps_islands(spark):
+    from pda_spark.operators import timeseries
+
+    rows = (
+        [(1, d) for d in [5, 6, 7, 10, 12, 13]]
+        + [(1, 6)]  # duplicate must not split the island
+        + [(2, 100)]
+    )
+    df = spark.createDataFrame(rows, ["k", "d"])
+    got = sorted(
+        (r.key, r.island_start, r.island_end, r.island_len)
+        for r in timeseries.gaps_islands(df, "k", "d").collect()
+    )
+    assert got == [(1, 5, 7, 3), (1, 10, 10, 1), (1, 12, 13, 2), (2, 100, 100, 1)]
