@@ -796,3 +796,52 @@ def chunk_text(
     return out.select(
         "doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx"), chunk.alias("chunk")
     )
+
+
+def bpe_merge_tokenize(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Subword tokenization by RANKED GREEDY MERGES — the BPE-encode
+    step as a pure Catalyst expression chain, replacing the q20-class
+    whitespace/regex token-count heuristics with real merge-table
+    tokenization. Each word is exploded to space-separated characters,
+    then every merge rule (l, r), in rank order, rewrites ``l r`` ->
+    ``lr`` across the word (non-overlapping, left-to-right — exactly
+    the semantics of ``replace()`` in every engine, which is what
+    makes this oracle-replayable; canonical BPE re-scans for the
+    lowest-rank pair after every single merge and differs only on
+    overlapping-pair corner cases — documented deviation, the same
+    greedy-ranked scheme fast tokenizers use for their merge passes).
+    The merge table is an input (trained offline); tokens are the
+    space-separated pieces that remain.
+
+    Returns one row per doc: (doc_id, n_words, n_tokens, n_chars) —
+    all exact integers; n_tokens strictly decreases as merges apply,
+    n_tokens == n_chars with an empty merge table. Zero Python, zero
+    shuffle beyond the final per-doc aggregate: explode + codegen'd
+    replace chain + map-side-combinable sums."""
+    for left, right in merges:
+        if not left or not right or " " in left or " " in right:
+            raise ValueError(f"bad merge pair ({left!r}, {right!r})")
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    tok = df.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("_w"))
+    # 'abc' -> 'a b c' (insert a space after every char, trim the tail)
+    spaced = F.trim(F.regexp_replace(F.col("_w"), "(.)", "$1 "))
+    merged = spaced
+    for left, right in merges:
+        merged = F.replace(merged, F.lit(f"{left} {right}"), F.lit(f"{left}{right}"))
+    per_word = tok.select(
+        "doc_id",
+        F.size(F.split(merged, " ")).alias("_nt"),
+        F.length("_w").alias("_nc"),
+    )
+    return per_word.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("_nt").cast("long").alias("n_tokens"),
+        F.sum("_nc").cast("long").alias("n_chars"),
+    )

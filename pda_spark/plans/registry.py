@@ -6131,6 +6131,46 @@ FROM g GROUP BY key, grp
 """
 
 
+# Ranked BPE merge table (trained offline; rank order matters — later
+# rules consume earlier rules' outputs)
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("in", "g"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"),
+    ("e", "n"), ("o", "r"), ("e", "s"), ("t", "i"), ("o", "u"),
+    ("a", "l"), ("s", "t"), ("o", "f"), ("e", "d"), ("a", "r"),
+]
+
+
+def q163_bpe_tokenize(spark, sf_dir):
+    """Ranked-greedy-merge subword tokenization (the BPE encode pass as
+    a pure Catalyst replace chain): per-doc word/token/char counts
+    under the fixed 20-rule merge table. Both engines share replace()'s
+    non-overlapping left-to-right semantics, so the oracle replays the
+    identical merge pass."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bpe_merge_tokenize(docs, _BPE_MERGES)
+
+
+def _bpe_sql(merges=None) -> str:
+    merges = merges if merges is not None else _BPE_MERGES
+    expr = r"trim(regexp_replace(w, '(.)', '\1 ', 'g'))"
+    for left, right in merges:
+        expr = f"replace({expr}, '{left} {right}', '{left}{right}')"
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest([t for t in regexp_split_to_array(lower(text), '[^a-z0-9]+') if t <> '']) AS w
+  FROM documents
+), t AS (
+  SELECT doc_id, len(string_split({expr}, ' ')) AS nt, length(w) AS nc FROM w
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       CAST(sum(nc) AS BIGINT) AS n_chars
+FROM t GROUP BY doc_id
+"""
+
+
 # Ordering contract (VERDICT r05 #1): the driver correctness artifact
 # records only the FIRST 50 keys of this dict.  Rotation rule, recorded in
 # CLAUDE.md: each round, queries WITHOUT a green row in any prior
@@ -6246,6 +6286,7 @@ QUERIES: dict[str, tuple] = {
     "q160_bloom_pruned_join": (q160_bloom_pruned_join, Q160_SQL),
     "q161_time_weighted_avg": (q161_time_weighted_avg, Q161_SQL),
     "q162_gaps_islands": (q162_gaps_islands, Q162_SQL),
+    "q163_bpe_tokenize": (q163_bpe_tokenize, _bpe_sql()),
     # --- long driver-proven queries (green rows in DRIVER_LEDGER.json) ---
     "q41_pip_join": (q41_pip_join, Q41_SQL),
     "q42_knn": (q42_knn, Q42_SQL),

@@ -435,3 +435,27 @@ def test_gaps_islands(spark):
         for r in timeseries.gaps_islands(df, "k", "d").collect()
     )
     assert got == [(1, 5, 7, 3), (1, 10, 10, 1), (1, 12, 13, 2), (2, 100, 100, 1)]
+
+
+# ------------------------------------------------------------------ bpe
+def test_bpe_merge_tokenize_semantics(spark):
+    from pda_spark.functions import text as text_fns
+
+    merges = [("t", "h"), ("th", "e"), ("i", "n"), ("in", "g")]
+    rows = [(1, "the thing"), (2, "aaa"), (3, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens, r.n_chars)
+        for r in text_fns.bpe_merge_tokenize(df, merges).collect()
+    }
+    # 'the' -> 't h e' -> 'th e' -> 'the' = 1 token
+    # 'thing' -> 'th i n g' -> 'th in g' -> 'th ing' = 2 tokens
+    assert got[1] == (2, 3, 8)
+    assert got[2] == (1, 3, 3)  # no rules apply
+    assert 3 not in got  # empty text -> zero words -> no row
+    # empty merge table: n_tokens == n_chars
+    raw = {
+        r.doc_id: (r.n_tokens, r.n_chars)
+        for r in text_fns.bpe_merge_tokenize(df, []).collect()
+    }
+    assert raw[1] == (8, 8)
