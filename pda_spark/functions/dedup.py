@@ -908,8 +908,17 @@ def global_rank(
     whole table through ONE task — and the building block
     ``sorted_neighborhood_pairs`` blocks on."""
     cols = [F.col(c) for c in order_cols]
-    ranged = df.repartitionByRange(num_ranges, *cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # localCheckpoint pins ONE materialization of the range exchange:
+    # the counts branch and the local-rank branch below both read this
+    # frame, and without the checkpoint their consistency hangs on
+    # Spark's ReuseExchange collapsing two plan subtrees onto one
+    # physical exchange — repartitionByRange SAMPLES its boundaries,
+    # so two independent evaluations could disagree and offsets would
+    # no longer match local ranks (round-6 review finding).
+    ranged = (
+        df.repartitionByRange(num_ranges, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     wloc = Window.partitionBy("_pid").orderBy(*cols)
     local = ranged.withColumn("_lrank", F.row_number().over(wloc))

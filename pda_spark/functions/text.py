@@ -808,13 +808,22 @@ def bpe_merge_tokenize(
     step as a pure Catalyst expression chain, replacing the q20-class
     whitespace/regex token-count heuristics with real merge-table
     tokenization. Each word is exploded to space-separated characters,
-    then every merge rule (l, r), in rank order, rewrites ``l r`` ->
-    ``lr`` across the word (non-overlapping, left-to-right — exactly
-    the semantics of ``replace()`` in every engine, which is what
-    makes this oracle-replayable; canonical BPE re-scans for the
-    lowest-rank pair after every single merge and differs only on
-    overlapping-pair corner cases — documented deviation, the same
-    greedy-ranked scheme fast tokenizers use for their merge passes).
+    then every merge rule (l, r), in rank order, rewrites the
+    TOKEN-ADJACENT pair ``l r`` -> ``lr`` across the word
+    (non-overlapping, left-to-right — the semantics of ``replace()``
+    in every engine, which is what makes this oracle-replayable;
+    canonical BPE re-scans for the lowest-rank pair after every
+    single merge and differs only on overlapping-pair corner cases —
+    documented deviation). Token adjacency is enforced by SENTINEL
+    SPACES: the spaced word is wrapped " a b c " and rules match
+    " l r " with the delimiters included — a bare ``l r`` match would
+    cross token boundaries (rule (e, r) on "o the r" would eat the
+    trailing e OF "the"; round-6 review finding, regression-tested).
+    Within a run of identical pairs ("a a a a" under rule (a, a))
+    the consumed delimiter makes the pass merge pairs 1-2 and 3-4 the
+    way replace() scans, leaving fewer merges than a re-scanning
+    tokenizer — a conservative UNDER-merge, precisely defined and
+    identical in both engines (second documented deviation).
     The merge table is an input (trained offline); tokens are the
     space-separated pieces that remain.
 
@@ -830,14 +839,17 @@ def bpe_merge_tokenize(
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
     )
     tok = df.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("_w"))
-    # 'abc' -> 'a b c' (insert a space after every char, trim the tail)
-    spaced = F.trim(F.regexp_replace(F.col("_w"), "(.)", "$1 "))
+    # 'abc' -> ' a b c ' (space after every char + leading sentinel:
+    # every token is then delimited by spaces on BOTH sides)
+    spaced = F.concat(F.lit(" "), F.regexp_replace(F.col("_w"), "(.)", "$1 "))
     merged = spaced
     for left, right in merges:
-        merged = F.replace(merged, F.lit(f"{left} {right}"), F.lit(f"{left}{right}"))
+        merged = F.replace(
+            merged, F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
+        )
     per_word = tok.select(
         "doc_id",
-        F.size(F.split(merged, " ")).alias("_nt"),
+        F.size(F.split(F.trim(merged), " ")).alias("_nt"),
         F.length("_w").alias("_nc"),
     )
     return per_word.groupBy("doc_id").agg(

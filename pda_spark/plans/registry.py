@@ -5984,12 +5984,15 @@ def q159_kcore(spark, sf_dir):
     graph (parts < 2000): survivors + degrees in the surviving
     subgraph. The oracle unrolls the identical 6 peel rounds (the q148
     discipline); extra rounds past convergence are no-ops, so the
-    fixed count is the spec in both engines. k = 110 sits mid-
-    distribution at sf0.01 (median degree 115), so the peel CASCADES
-    there; at sf0.1 the parts cap keeps only 1/10 of lineitems and the
-    whole graph (max degree 30) peels away — the gate still replays
-    parity on the empty result, and the cascade semantics are pinned
-    by the kcore pytest."""
+    fixed count is the spec in both engines. k = 80 sits below the
+    sf0.01 median degree (115) but above its min (42), so the peel
+    drops a real 143-node tail AND keeps a 1857-node core (k >= 90
+    collapses the WHOLE graph — the sharp core-collapse transition;
+    tune k against the degree distribution or the gate is vacuous).
+    At sf0.1 the parts cap keeps only 1/10 of lineitems and the whole
+    graph (max degree 30) peels away — the gate still replays parity
+    on the empty result, and the cascade semantics are pinned by the
+    kcore pytest."""
     from pda_spark.functions import graph
 
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < _KCORE_CAP)
@@ -6153,9 +6156,12 @@ def q163_bpe_tokenize(spark, sf_dir):
 
 def _bpe_sql(merges=None) -> str:
     merges = merges if merges is not None else _BPE_MERGES
-    expr = r"trim(regexp_replace(w, '(.)', '\1 ', 'g'))"
+    # sentinel-space delimiting (the engine's boundary-safe form):
+    # ' a b c ' with rules matching ' l r ' including both delimiters
+    expr = r"' ' || regexp_replace(w, '(.)', '\1 ', 'g')"
     for left, right in merges:
-        expr = f"replace({expr}, '{left} {right}', '{left}{right}')"
+        expr = f"replace({expr}, ' {left} {right} ', ' {left}{right} ')"
+    expr = f"trim({expr})"
     return f"""
 WITH w AS (
   SELECT doc_id,

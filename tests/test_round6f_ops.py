@@ -459,3 +459,21 @@ def test_bpe_merge_tokenize_semantics(spark):
         for r in text_fns.bpe_merge_tokenize(df, []).collect()
     }
     assert raw[1] == (8, 8)
+
+
+def test_bpe_merge_no_boundary_crossing(spark):
+    """Round-6 review regression: rule (e, r) must NOT consume the
+    trailing e OF token 'the' in 'o the r' — merges apply only to
+    token-ADJACENT pairs (sentinel-space delimiting)."""
+    from pda_spark.functions import text as text_fns
+
+    merges = [("t", "h"), ("th", "e"), ("e", "r")]
+    df = spark.createDataFrame([(1, "other")], ["doc_id", "text"])
+    r = text_fns.bpe_merge_tokenize(df, merges).collect()[0]
+    # 'other' -> [o, th, e, r] -> [o, the, r]: the (e, r) rule finds no
+    # adjacent pair (e is inside 'the'); buggy boundary-crossing gave 2
+    assert (r.n_words, r.n_tokens, r.n_chars) == (1, 3, 5)
+    # documented under-merge on identical-pair runs: 'aaaa' -> [aa a a]
+    df2 = spark.createDataFrame([(1, "aaaa")], ["doc_id", "text"])
+    r2 = text_fns.bpe_merge_tokenize(df2, [("a", "a")]).collect()[0]
+    assert r2.n_tokens == 3
