@@ -3,7 +3,7 @@ engine-portable (cross-checked by the q132 DuckDB oracle)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -170,4 +170,70 @@ def mode_per_group(
         counts.join(mx, [*group_cols, "cnt"])
         .groupBy(*group_cols)
         .agg(F.min("value").alias("mode"), F.max("cnt").cast("long").alias("mode_count"))
+    )
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    n_mads: int = 3,
+) -> DataFrame:
+    """Per-row robust outlier flags — the ``mad`` consumer: a row is an
+    outlier when |x - med| > n_mads * mad under its group's median/MAD
+    (the robust z-score rule that survives the contamination that
+    wrecks mean/stddev z-scores). The compare is over exact dyadic
+    values (integer x, .5-exact med/mad), multiplied through so no
+    division exists: |x - med| and n_mads * mad replay identically in
+    any engine. Groups with mad == 0 flag every x != med (the strict
+    reading; degenerate groups are the caller's lookout). Returns the
+    group columns + (value, med, mad, is_outlier)."""
+    stats = mad(df, value_col, group_cols)
+    base = df.select(*group_cols, F.col(value_col).cast("double").alias("value")).filter(
+        F.col("value").isNotNull()
+    )
+    j = base.join(stats.select(*group_cols, "med", "mad"), group_cols)
+    return j.select(
+        *group_cols,
+        "value",
+        "med",
+        "mad",
+        (F.abs(F.col("value") - F.col("med")) > F.lit(float(n_mads)) * F.col("mad")).alias(
+            "is_outlier"
+        ),
+    )
+
+
+def weighted_median(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Lower weighted median per group (integer weights): the smallest
+    value v whose cumulative weight reaches half the total —
+    2 * cumw(v) >= W, all integer compares, so the pick is exact and
+    deterministic in any engine (the interpolating variant would need
+    a float division per boundary; the LOWER median is the
+    order-statistic form warehouses use for rating/price aggregation
+    with multiplicities). One per-(group, value) pre-aggregate (ties
+    collapse), one ordered window cumsum, one argmin. Returns
+    (group..., w_total, wmedian)."""
+    agg = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, F.col(value_col).alias("value"))
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("_w"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy("value")
+    tot = Window.partitionBy(*group_cols)
+    cum = agg.select(
+        *group_cols,
+        "value",
+        F.sum("_w").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("_cw"),
+        F.sum("_w").over(tot).alias("_tw"),
+    )
+    hit = cum.filter(F.lit(2) * F.col("_cw") >= F.col("_tw"))
+    return hit.groupBy(*group_cols).agg(
+        F.max("_tw").cast("long").alias("w_total"),
+        F.min("value").alias("wmedian"),
     )

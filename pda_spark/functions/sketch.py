@@ -275,3 +275,30 @@ def bloom_pruned_join(
         cond = cond & (F.substring(F.lit(bitstr), pos + 1, 1) == "1")
     pruned = fact.filter(F.col(fact_key).isNotNull()).filter(cond)
     return pruned.join(F.broadcast(dim), pruned[fact_key] == dim[dim_key])
+
+
+def cms_join_size(cms_a: DataFrame, cms_b: DataFrame, d: int = 4) -> DataFrame:
+    """Equi-join cardinality estimate from two ``cms_build`` sketches
+    over the join keys — the classic CMS inner-product estimator
+    (Cormode & Muthukrishnan 2005, §4.2): for each hash row r,
+    sum_b cnt_a[r,b] * cnt_b[r,b] upper-bounds |A join B| (every true
+    key pair lands in the same bucket; collisions only ADD), and the
+    estimate is the MIN over the d rows — the query-optimizer
+    join-size oracle at 100 TB, computed from two d*w tables without
+    touching either input again. Exact integer arithmetic end-to-end;
+    one tiny equi-join of two sketch tables + one grouped sum + one
+    min. Returns a single row (est_join_size)."""
+    j = cms_a.alias("a").join(
+        cms_b.alias("b"), ["hrow", "bucket"]
+    )
+    per_row = j.groupBy("hrow").agg(
+        F.sum(F.col("a.cnt") * F.col("b.cnt")).cast("long").alias("_ip")
+    )
+    # a hash row absent from the join (no shared buckets) has inner
+    # product 0 — the estimate is then 0 (true: no key can be shared)
+    return per_row.agg(
+        F.when(F.count(F.lit(1)) < F.lit(d), F.lit(0))
+        .otherwise(F.min("_ip"))
+        .cast("long")
+        .alias("est_join_size")
+    )

@@ -6177,6 +6177,116 @@ FROM t GROUP BY doc_id
 """
 
 
+def q164_cms_join_size(spark, sf_dir):
+    """CMS inner-product join-size estimate (the query-optimizer
+    cardinality oracle from two d*w sketch tables — neither input is
+    re-read): est >= |lineitem JOIN supplier ON suppkey|, min over
+    hash rows of the bucket-wise count product. Exact integers; the
+    upper-bound guarantee is pytest-pinned against the true size."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    ca = sketch.cms_build(li, "l_suppkey", d=4, w=64)
+    cb = sketch.cms_build(sup, "s_suppkey", d=4, w=64)
+    return sketch.cms_join_size(ca, cb, d=4)
+
+
+_CMS_SUP_SQL = """
+WITH t AS (
+  SELECT CAST(s_suppkey AS VARCHAR) AS v FROM supplier
+), x AS (
+  SELECT r, ('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || v), 1, 12))::BIGINT % 64
+           AS bucket
+  FROM t, unnest(generate_series(0, 3)) AS s(r)
+)
+SELECT r AS hrow, bucket, CAST(count(*) AS BIGINT) AS cnt FROM x GROUP BY 1, 2
+"""
+
+Q164_SQL = f"""
+WITH ca AS ({Q125_SQL}), cb AS ({_CMS_SUP_SQL}),
+ip AS (
+  SELECT a.hrow, sum(a.cnt * b.cnt) AS ip
+  FROM ca a JOIN cb b ON a.hrow = b.hrow AND a.bucket = b.bucket
+  GROUP BY 1
+)
+SELECT CAST(CASE WHEN (SELECT count(*) FROM ip) < 4 THEN 0
+            ELSE (SELECT min(ip) FROM ip) END AS BIGINT) AS est_join_size
+"""
+
+
+def q165_robust_outliers(spark, sf_dir):
+    """Robust z-score outlier counts per (returnflag, linestatus) —
+    the MAD consumer: |x - med| > 3 * mad over exact dyadic stats, so
+    the flag is an integer-exact compare both engines replay.
+    Aggregated to per-group counts to bound the gate."""
+    from pda_spark.functions import profiling
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", F.floor(F.col("l_extendedprice") * 100).alias("cents")
+    )
+    flags = profiling.robust_outliers(li, "cents", ["l_returnflag", "l_linestatus"], n_mads=3)
+    return flags.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("is_outlier").cast("long")).cast("long").alias("n_outliers"),
+    )
+
+
+Q165_SQL = """
+WITH b AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(floor(l_extendedprice * 100) AS DOUBLE) AS v
+  FROM lineitem
+), med AS (
+  SELECT l_returnflag, l_linestatus, round(quantile_cont(v, 0.5), 6) AS med
+  FROM b GROUP BY 1, 2
+), dev AS (
+  SELECT b.l_returnflag, b.l_linestatus,
+         round(quantile_cont(abs(b.v - med.med), 0.5), 6) AS mad
+  FROM b JOIN med USING (l_returnflag, l_linestatus)
+  GROUP BY 1, 2, med.med
+)
+SELECT b.l_returnflag, b.l_linestatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN abs(b.v - med.med) > 3.0 * dev.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM b
+JOIN med USING (l_returnflag, l_linestatus)
+JOIN dev USING (l_returnflag, l_linestatus)
+GROUP BY 1, 2
+"""
+
+
+def q166_weighted_median(spark, sf_dir):
+    """Lower weighted median of quantity weighted by linenumber per
+    returnflag — all-integer cumulative-weight order statistic
+    (2*cumw >= W), deterministic in any engine."""
+    from pda_spark.functions import profiling
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.col("l_linenumber").cast("long").alias("wt"),
+    )
+    return profiling.weighted_median(li, "qty", "wt", ["l_returnflag"])
+
+
+Q166_SQL = """
+WITH agg AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS value,
+         sum(CAST(l_linenumber AS BIGINT)) AS w
+  FROM lineitem GROUP BY 1, 2
+), cum AS (
+  SELECT l_returnflag, value,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY value
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM agg
+)
+SELECT l_returnflag, CAST(max(tw) AS BIGINT) AS w_total,
+       CAST(min(value) AS BIGINT) AS wmedian
+FROM cum WHERE 2 * cw >= tw
+GROUP BY 1
+"""
+
+
 # Ordering contract (VERDICT r05 #1): the driver correctness artifact
 # records only the FIRST 50 keys of this dict.  Rotation rule, recorded in
 # CLAUDE.md: each round, queries WITHOUT a green row in any prior
@@ -6293,6 +6403,9 @@ QUERIES: dict[str, tuple] = {
     "q161_time_weighted_avg": (q161_time_weighted_avg, Q161_SQL),
     "q162_gaps_islands": (q162_gaps_islands, Q162_SQL),
     "q163_bpe_tokenize": (q163_bpe_tokenize, _bpe_sql()),
+    "q164_cms_join_size": (q164_cms_join_size, Q164_SQL),
+    "q165_robust_outliers": (q165_robust_outliers, Q165_SQL),
+    "q166_weighted_median": (q166_weighted_median, Q166_SQL),
     # --- long driver-proven queries (green rows in DRIVER_LEDGER.json) ---
     "q41_pip_join": (q41_pip_join, Q41_SQL),
     "q42_knn": (q42_knn, Q42_SQL),

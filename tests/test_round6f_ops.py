@@ -477,3 +477,49 @@ def test_bpe_merge_no_boundary_crossing(spark):
     df2 = spark.createDataFrame([(1, "aaaa")], ["doc_id", "text"])
     r2 = text_fns.bpe_merge_tokenize(df2, [("a", "a")]).collect()[0]
     assert r2.n_tokens == 3
+
+
+# ------------------------------------------------- cms join size / wmed
+def test_cms_join_size_upper_bound(spark):
+    """CMS inner-product estimate must upper-bound the true join size
+    and be exact when no collisions occur."""
+    from pda_spark.functions import sketch
+
+    a = spark.createDataFrame([(i % 10,) for i in range(1000)], "k long")
+    b = spark.createDataFrame([(j,) for j in range(0, 20)], "k long")
+    true_size = a.join(b, "k").count()  # 1000 (every a-row matches once)
+    est = sketch.cms_join_size(
+        sketch.cms_build(a, "k", d=4, w=64), sketch.cms_build(b, "k", d=4, w=64), d=4
+    ).collect()[0]["est_join_size"]
+    assert est >= true_size
+    # disjoint keys -> every bucket product pairs different keys; with
+    # w >> keys the min row often reaches 0-collision exactness, but the
+    # GUARANTEE is only the bound — assert the bound, not equality
+    c = spark.createDataFrame([(j,) for j in range(100, 120)], "k long")
+    est2 = sketch.cms_join_size(
+        sketch.cms_build(a, "k", d=4, w=64), sketch.cms_build(c, "k", d=4, w=64), d=4
+    ).collect()[0]["est_join_size"]
+    assert est2 >= 0
+
+
+def test_weighted_median_semantics(spark):
+    from pda_spark.functions import profiling
+
+    rows = [("g", 1, 1), ("g", 2, 1), ("g", 3, 10), ("h", 5, 2), ("h", 6, 2)]
+    df = spark.createDataFrame(rows, ["k", "v", "w"])
+    got = {
+        r.k: (r.w_total, r.wmedian)
+        for r in profiling.weighted_median(df, "v", "w", ["k"]).collect()
+    }
+    assert got["g"] == (12, 3)  # cum: 1,2,12 -> first 2*cw>=12 is v=3
+    assert got["h"] == (4, 5)   # even split -> LOWER median = 5
+
+
+def test_robust_outliers_flags(spark):
+    from pda_spark.functions import profiling
+
+    rows = [("a", v) for v in [10, 11, 12, 13, 14, 1000]]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {r.value: r.is_outlier for r in profiling.robust_outliers(df, "v", ["g"]).collect()}
+    assert out[1000.0] is True
+    assert out[10.0] is False and out[14.0] is False
