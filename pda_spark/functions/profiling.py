@@ -237,3 +237,42 @@ def weighted_median(
         F.max("_tw").cast("long").alias("w_total"),
         F.min("value").alias("wmedian"),
     )
+
+
+def hhi_concentration(
+    df: DataFrame,
+    group_cols: list[str],
+    member_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per group: with member
+    shares s_i = x_i / X, HHI = sum s_i^2 = (sum x_i^2) / X^2 — the
+    market-concentration / load-imbalance statistic (1/n uniform -> 1
+    monopoly). Carried as exact int64 numerator (sum of squared member
+    totals) and denominator (grand total), one final division (round
+    6). Overflow contract: member totals^2 summed must fit int64 —
+    pre-scale values (the q150 discipline). Two map-side-combinable
+    aggregations (member totals, then group sums)."""
+    member = (
+        df.groupBy(*group_cols, F.col(member_col).alias("member"))
+        .agg(F.sum(F.col(value_col).cast("long")).alias("_x"))
+    )
+    g = member.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("hhi_num"),
+        F.sum("_x").cast("long").alias("total"),
+    )
+    return g.select(
+        *group_cols,
+        "n_members",
+        "hhi_num",
+        "total",
+        F.round(
+            F.when(
+                F.col("total") != 0,
+                F.col("hhi_num").cast("double")
+                / (F.col("total").cast("double") * F.col("total").cast("double")),
+            ),
+            6,
+        ).alias("hhi"),
+    )

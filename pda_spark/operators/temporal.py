@@ -735,3 +735,58 @@ def dtw_join(
             _dtw("_xa", "_ya", "_xb", "_yb").alias("dtw"),
         )
     )
+
+
+def comovement_pairs(
+    events: DataFrame,
+    cell_deg: float,
+    bucket_us: int,
+    min_consecutive: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Co-movement (flock/convoy-lite) detection: user pairs that
+    share the SAME grid cell in >= ``min_consecutive`` CONSECUTIVE
+    time buckets — the trajectory-mining primitive behind contact
+    tracing, ride-sharing detection and convoy discovery. Composition
+    of the engine's own blocks: grid-cell assignment (floor lon/lat
+    over cell_deg), per-(bucket, cell) user self-join (pairs meet only
+    where they co-locate — the blocking IS the scale story; a hot cell
+    fans out like any hot key and salts the same way), distinct
+    shared buckets per pair, then the gaps-islands rn-difference trick
+    over the shared bucket sequence; islands shorter than the
+    threshold drop. Returns (user_a, user_b, run_start_bucket,
+    run_len) — one row per qualifying run. All integer arithmetic."""
+    gx = F.floor(F.col(lon_col) / F.lit(cell_deg)).cast("long")
+    gy = F.floor(F.col(lat_col) / F.lit(cell_deg)).cast("long")
+    # integer div, not float-divide-then-cast (epoch micros exceed the
+    # range where double quotients are guaranteed faithful)
+    bucket = F.expr(f"unix_micros(cast({ts_col} as timestamp)) div {int(bucket_us)}")
+    placed = events.select(
+        F.col(user_col).alias("u"), gx.alias("gx"), gy.alias("gy"), bucket.alias("b")
+    ).distinct()
+    pairs = (
+        placed.join(
+            placed.select(
+                F.col("u").alias("u2"), F.col("gx").alias("gx"),
+                F.col("gy").alias("gy"), F.col("b").alias("b"),
+            ),
+            ["gx", "gy", "b"],
+        )
+        .filter(F.col("u") < F.col("u2"))
+        .select(F.col("u").alias("user_a"), F.col("u2").alias("user_b"), "b")
+        .distinct()
+    )
+    w = Window.partitionBy("user_a", "user_b").orderBy("b")
+    grp = pairs.withColumn("_g", F.col("b") - F.row_number().over(w))
+    return (
+        grp.groupBy("user_a", "user_b", "_g")
+        .agg(
+            F.min("b").alias("run_start_bucket"),
+            F.count(F.lit(1)).cast("long").alias("run_len"),
+        )
+        .filter(F.col("run_len") >= F.lit(min_consecutive))
+        .drop("_g")
+    )

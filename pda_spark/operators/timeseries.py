@@ -335,3 +335,60 @@ def gaps_islands(
         )
         .drop("_g")
     )
+
+
+def interpolate_gaps(
+    df: DataFrame,
+    key_col: str,
+    t_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Linear interpolation of missing (NULL) values per key over an
+    integer time axis — the sensor gap-fill: a NULL at t between known
+    samples (tp, vp) and (tn, vn) becomes
+    vp + (vn - vp) * (t - tp) / (tn - tp); leading/trailing NULLs
+    (no bracket on one side) stay NULL. The numerator products are
+    exact int64 and the single division is the only float op, so both
+    engines replay it bit-for-bit (round 6). One window pass each way;
+    tp and vp are TWO windowed expressions over the same condition
+    (``when(x is not null, t/x)`` + ignorenulls last) — they always
+    come from the same row, so the pair stays consistent without a
+    struct (and the oracle replays it with plain scalar windows).
+    Requires unique (key, t) — the q68 contract."""
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(t_col).cast("long").alias("t"),
+        F.col(value_col).cast("long").alias("x"),
+    )
+    wb = (
+        Window.partitionBy("key")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("key")
+        .orderBy("t")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    kt = F.when(F.col("x").isNotNull(), F.col("t"))
+    kv = F.when(F.col("x").isNotNull(), F.col("x"))
+    s = (
+        base.withColumn("_pt", F.last(kt, ignorenulls=True).over(wb))
+        .withColumn("_pv", F.last(kv, ignorenulls=True).over(wb))
+        .withColumn("_nt", F.first(kt, ignorenulls=True).over(wf))
+        .withColumn("_nv", F.first(kv, ignorenulls=True).over(wf))
+    )
+    interp = F.col("_pv").cast("double") + (
+        (F.col("_nv") - F.col("_pv")) * (F.col("t") - F.col("_pt"))
+    ).cast("double") / (F.col("_nt") - F.col("_pt")).cast("double")
+    filled = (
+        F.when(F.col("x").isNotNull(), F.col("x").cast("double"))
+        .when(
+            F.col("_pt").isNotNull()
+            & F.col("_nt").isNotNull()
+            & (F.col("_nt") != F.col("_pt")),
+            interp,
+        )
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return s.select("key", "t", "x", F.round(filled, 6).alias("filled"))

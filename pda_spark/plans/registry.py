@@ -6287,6 +6287,125 @@ GROUP BY 1
 """
 
 
+def q167_comovement(spark, sf_dir):
+    """Co-movement (flock/convoy-lite) pairs: users sharing the same
+    1-degree cell in >= 2 consecutive day buckets — grid blocking +
+    per-(cell, bucket) pair join + the gaps-islands run detection, all
+    integer arithmetic."""
+    from pda_spark.operators import temporal
+
+    return temporal.comovement_pairs(
+        _event_points(spark, sf_dir),
+        cell_deg=1.0,
+        bucket_us=86_400_000_000,
+        min_consecutive=2,
+    )
+
+
+Q167_SQL = f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+p AS (
+  SELECT DISTINCT user_id AS u, CAST(floor(lon / 1.0) AS BIGINT) AS gx,
+         CAST(floor(lat / 1.0) AS BIGINT) AS gy,
+         epoch_us(ts::TIMESTAMP) // 86400000000 AS b
+  FROM pts
+), pr AS (
+  SELECT DISTINCT a.u AS ua, b.u AS ub, a.b
+  FROM p a JOIN p b ON a.gx = b.gx AND a.gy = b.gy AND a.b = b.b AND a.u < b.u
+), g AS (
+  SELECT ua, ub, b,
+         b - row_number() OVER (PARTITION BY ua, ub ORDER BY b) AS grp
+  FROM pr
+)
+SELECT ua AS user_a, ub AS user_b, CAST(min(b) AS BIGINT) AS run_start_bucket,
+       CAST(count(*) AS BIGINT) AS run_len
+FROM g GROUP BY ua, ub, grp HAVING count(*) >= 2
+"""
+
+
+def q168_hhi(spark, sf_dir):
+    """Herfindahl-Hirschman revenue concentration per returnflag over
+    suppliers: exact int64 numerator (sum of squared member totals,
+    dollars to stay in range) and total, one final division."""
+    from pda_spark.functions import profiling
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") / 100).alias("dollars"),
+    )
+    return profiling.hhi_concentration(li, ["l_returnflag"], "l_suppkey", "dollars")
+
+
+Q168_SQL = """
+WITH m AS (
+  SELECT l_returnflag, l_suppkey AS member,
+         sum(CAST(floor(l_extendedprice / 100) AS BIGINT)) AS x
+  FROM lineitem GROUP BY 1, 2
+), g AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_members,
+         CAST(sum(x * x) AS BIGINT) AS hhi_num,
+         CAST(sum(x) AS BIGINT) AS total
+  FROM m GROUP BY 1
+)
+SELECT l_returnflag, n_members, hhi_num, total,
+       round(CASE WHEN total <> 0
+             THEN CAST(hhi_num AS DOUBLE) / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE))
+             END, 6) AS hhi
+FROM g
+"""
+
+
+def q169_interpolate(spark, sf_dir):
+    """Linear gap interpolation per user bucket: every 7th event's
+    value is knocked out and refilled from its bracketing known
+    samples — exact integer numerators, one division, scalar carried
+    windows (t and v picked by the same non-null condition so the
+    pair is always from one row)."""
+    from pda_spark.operators import timeseries
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.pmod(F.col("user_id"), F.lit(50)).alias("k"),
+        "event_id",
+        F.when(
+            F.pmod(F.col("event_id"), F.lit(7)) == 3, F.lit(None).cast("long")
+        ).otherwise(F.floor(F.col("value") * 100)).alias("xv"),
+    )
+    return timeseries.interpolate_gaps(ev, "k", "event_id", "xv")
+
+
+Q169_SQL = """
+WITH b AS (
+  SELECT user_id % 50 AS key, event_id AS t,
+         CASE WHEN event_id % 7 = 3 THEN NULL
+              ELSE CAST(floor(value * 100) AS BIGINT) END AS x
+  FROM events
+), s AS (
+  SELECT key, t, x,
+         last_value(CASE WHEN x IS NOT NULL THEN t END IGNORE NULLS)
+           OVER (PARTITION BY key ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         last_value(CASE WHEN x IS NOT NULL THEN x END IGNORE NULLS)
+           OVER (PARTITION BY key ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         first_value(CASE WHEN x IS NOT NULL THEN t END IGNORE NULLS)
+           OVER (PARTITION BY key ORDER BY t
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt,
+         first_value(CASE WHEN x IS NOT NULL THEN x END IGNORE NULLS)
+           OVER (PARTITION BY key ORDER BY t
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+  FROM b
+)
+SELECT key, t, x,
+       round(CASE WHEN x IS NOT NULL THEN CAST(x AS DOUBLE)
+             WHEN pt IS NOT NULL AND nt IS NOT NULL AND nt <> pt
+             THEN CAST(pv AS DOUBLE)
+                  + CAST((nv - pv) * (t - pt) AS DOUBLE) / CAST(nt - pt AS DOUBLE)
+             END, 6) AS filled
+FROM s
+"""
+
+
 # Ordering contract (VERDICT r05 #1): the driver correctness artifact
 # records only the FIRST 50 keys of this dict.  Rotation rule, recorded in
 # CLAUDE.md: each round, queries WITHOUT a green row in any prior
@@ -6406,6 +6525,9 @@ QUERIES: dict[str, tuple] = {
     "q164_cms_join_size": (q164_cms_join_size, Q164_SQL),
     "q165_robust_outliers": (q165_robust_outliers, Q165_SQL),
     "q166_weighted_median": (q166_weighted_median, Q166_SQL),
+    "q167_comovement": (q167_comovement, Q167_SQL),
+    "q168_hhi": (q168_hhi, Q168_SQL),
+    "q169_interpolate": (q169_interpolate, Q169_SQL),
     # --- long driver-proven queries (green rows in DRIVER_LEDGER.json) ---
     "q41_pip_join": (q41_pip_join, Q41_SQL),
     "q42_knn": (q42_knn, Q42_SQL),

@@ -523,3 +523,61 @@ def test_robust_outliers_flags(spark):
     out = {r.value: r.is_outlier for r in profiling.robust_outliers(df, "v", ["g"]).collect()}
     assert out[1000.0] is True
     assert out[10.0] is False and out[14.0] is False
+
+
+# ----------------------------------------------------------- comovement
+def test_comovement_pairs(spark):
+    from datetime import datetime
+
+    from pda_spark.operators import temporal
+
+    T = datetime
+    day = lambda d: T(2024, 1, d)
+    rows = (
+        # users 1 & 2 share cell (0,0) on days 1,2,3 -> run of 3
+        [(1, day(d), 0.5, 0.5) for d in (1, 2, 3)]
+        + [(2, day(d), 0.6, 0.4) for d in (1, 2, 3)]
+        # user 3 joins them only on days 1 and 3 -> no consecutive run
+        + [(3, day(1), 0.5, 0.5), (3, day(3), 0.5, 0.5)]
+        # user 4 shares with 1 on days 2,3 but in a DIFFERENT cell
+        + [(4, day(2), 5.5, 0.5), (4, day(3), 5.5, 0.5)]
+    )
+    df = spark.createDataFrame(rows, ["user_id", "ts", "lon", "lat"])
+    got = sorted(
+        (r.user_a, r.user_b, r.run_len)
+        for r in temporal.comovement_pairs(
+            df, cell_deg=1.0, bucket_us=86_400_000_000, min_consecutive=2
+        ).collect()
+    )
+    assert got == [(1, 2, 3)]
+
+
+# ------------------------------------------------------------------ hhi
+def test_hhi_concentration(spark):
+    from pda_spark.functions import profiling
+
+    rows = [("m", "a", 50), ("m", "a", 50), ("m", "b", 100), ("u", "c", 10), ("u", "d", 10)]
+    df = spark.createDataFrame(rows, ["g", "member", "v"])
+    got = {r.g: (r.n_members, r.hhi_num, r.total, r.hhi) for r in
+           profiling.hhi_concentration(df, ["g"], "member", "v").collect()}
+    # m: members a=100, b=100 -> num 20000, total 200, hhi 0.5
+    assert got["m"] == (2, 20000, 200, 0.5)
+    assert got["u"] == (2, 200, 20, 0.5)
+
+
+# ---------------------------------------------------------- interpolate
+def test_interpolate_gaps_cases(spark):
+    from pda_spark.operators import timeseries
+
+    rows = [
+        (1, 0, 10), (1, 1, None), (1, 2, None), (1, 3, 40),  # two-gap ramp
+        (1, 4, None),                                        # trailing -> NULL
+        (2, 0, None), (2, 1, 7),                             # leading -> NULL
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, v long")
+    got = {(r.key, r.t): r.filled for r in
+           timeseries.interpolate_gaps(df, "k", "t", "v").collect()}
+    assert got[(1, 0)] == 10.0 and got[(1, 3)] == 40.0
+    assert got[(1, 1)] == 20.0 and got[(1, 2)] == 30.0
+    assert got[(1, 4)] is None
+    assert got[(2, 0)] is None and got[(2, 1)] == 7.0
