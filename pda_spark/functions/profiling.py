@@ -276,3 +276,64 @@ def hhi_concentration(
             6,
         ).alias("hhi"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Relational diff between two table versions (the change-data-feed
+    primitive: what a Delta/Iceberg CDF emits, computed from plain
+    snapshots): one row per key that was ADDED (new only), REMOVED
+    (old only) or CHANGED (present in both, any compared column
+    differing under null-safe IS DISTINCT FROM — the q158 lesson).
+    Unchanged keys emit nothing. One full outer join on the keys; the
+    change tag is pure Catalyst. Keys must be unique per side (the
+    caller's version contract — dedup first if not)."""
+    o = old.select(*key_cols, *[F.col(c).alias(f"_o_{c}") for c in compare_cols]).withColumn(
+        "_in_old", F.lit(1)
+    )
+    n = new.select(*key_cols, *[F.col(c).alias(f"_n_{c}") for c in compare_cols]).withColumn(
+        "_in_new", F.lit(1)
+    )
+    j = o.join(n, key_cols, "full_outer")
+    differs = F.lit(False)
+    for c in compare_cols:
+        differs = differs | ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(*key_cols, "change")
+    )
+
+
+def benford_digits(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """First-significant-digit histogram per group (Benford's-law
+    screening — the fraud/fabrication smell test for naturally-grown
+    magnitudes): counts of leading digits 1..9 over POSITIVE integer
+    values (zeros/negatives/NULLs are excluded — they have no Benford
+    digit). The digit comes from the decimal string head (pure
+    Catalyst, no log10 — libm-free and engine-exact). Returns
+    (group..., digit, n) — the consumer compares against
+    log10(1 + 1/d) expectations."""
+    gcols = list(group_cols or [])
+    base = df.select(
+        *gcols, F.col(value_col).cast("long").alias("_v")
+    ).filter(F.col("_v") > 0)
+    digit = F.substring(F.col("_v").cast("string"), 1, 1).cast("long")
+    return (
+        base.select(*gcols, digit.alias("digit"))
+        .groupBy(*gcols, "digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

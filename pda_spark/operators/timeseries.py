@@ -392,3 +392,60 @@ def interpolate_gaps(
         .otherwise(F.lit(None).cast("double"))
     )
     return s.select("key", "t", "x", F.round(filled, 6).alias("filled"))
+
+
+def sax_symbols(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    frame: int = 4,
+    breakpoints: tuple = (-1.0, 0.0, 1.0),
+    alphabet: str = "abcd",
+) -> DataFrame:
+    """SAX symbolization (Lin et al. 2003 — the time-series-mining
+    discretization behind motif/anomaly search): each key's series is
+    cut into fixed-width frames, each frame reduces to its mean (PAA)
+    and the mean maps to an alphabet symbol by fixed breakpoints; the
+    per-key SAX WORD is the frame symbols in order. Determinism
+    contract: integer values, so the PAA mean is one exact-int sum +
+    one division; breakpoints are exact literals compared against that
+    one quotient — both engines replay every compare. (Canonical SAX
+    z-normalizes first — mean/stddev floats no oracle can replay;
+    callers wanting it pre-scale with winsorize/mad stats instead.)
+    Returns (key, n_frames, word). Partial trailing frames are
+    DROPPED (standard PAA; a short frame's mean is not comparable).
+    Requires unique (key, order) — the q68 contract."""
+    if frame < 1:
+        raise ValueError(f"frame must be >= 1, got {frame}")
+    if len(alphabet) != len(breakpoints) + 1:
+        raise ValueError("need len(alphabet) == len(breakpoints) + 1")
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    rn = F.row_number().over(w) - F.lit(1)
+    framed = df.select(
+        F.col(key_col).alias("key"),
+        F.col(value_col).cast("long").alias("x"),
+        (rn / F.lit(frame)).cast("long").alias("_f"),
+        rn.alias("_rn"),
+    )
+    paa = (
+        framed.groupBy("key", "_f")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("x").alias("_s"))
+        .filter(F.col("_n") == F.lit(frame))
+        .select(
+            "key", "_f", (F.col("_s").cast("double") / F.lit(float(frame))).alias("_paa")
+        )
+    )
+    sym = F.lit(alphabet[0])
+    for i, b in enumerate(breakpoints):
+        sym = F.when(F.col("_paa") >= F.lit(float(b)), F.lit(alphabet[i + 1])).otherwise(sym)
+    lab = paa.withColumn("_sym", sym)
+    return lab.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_f", "_sym"))), lambda s: s["_sym"]
+            ),
+            "",
+        ).alias("word"),
+    )

@@ -6406,6 +6406,109 @@ FROM s
 """
 
 
+def q170_snapshot_diff(spark, sf_dir):
+    """Change-data-feed diff between two derived event snapshots (old
+    excludes user%10==3, new excludes user%10==7 and bumps every 5th
+    event's cents): added/removed/changed per key via one full outer
+    join + null-safe compares."""
+    from pda_spark.functions import profiling
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100)
+    old = ev.filter(F.pmod(F.col("user_id"), F.lit(10)) != 3).select(
+        "event_id", cents.alias("v")
+    )
+    new = ev.filter(F.pmod(F.col("user_id"), F.lit(10)) != 7).select(
+        "event_id",
+        (cents + F.when(F.pmod(F.col("event_id"), F.lit(5)) == 0, 1).otherwise(0)).alias("v"),
+    )
+    return profiling.snapshot_diff(old, new, ["event_id"], ["v"])
+
+
+Q170_SQL = """
+WITH o AS (
+  SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events WHERE user_id % 10 <> 3
+), n AS (
+  SELECT event_id, CAST(floor(value * 100) AS BIGINT)
+         + CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END AS v
+  FROM events WHERE user_id % 10 <> 7
+), j AS (
+  SELECT coalesce(o.event_id, n.event_id) AS event_id,
+         CASE WHEN o.event_id IS NULL THEN 'added'
+              WHEN n.event_id IS NULL THEN 'removed'
+              WHEN o.v IS DISTINCT FROM n.v THEN 'changed' END AS change
+  FROM o FULL OUTER JOIN n ON o.event_id = n.event_id
+)
+SELECT event_id, change FROM j WHERE change IS NOT NULL
+"""
+
+
+def q171_benford(spark, sf_dir):
+    """First-significant-digit (Benford) histogram of whole-dollar
+    prices per returnflag — decimal-string head, no log10, libm-free
+    exact counts."""
+    from pda_spark.functions import profiling
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.floor(F.col("l_extendedprice")).alias("v")
+    )
+    return profiling.benford_digits(li, "v", ["l_returnflag"])
+
+
+Q171_SQL = """
+SELECT l_returnflag,
+       CAST(substring(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1)
+            AS BIGINT) AS digit,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+WHERE CAST(floor(l_extendedprice) AS BIGINT) > 0
+GROUP BY 1, 2
+"""
+
+
+def q172_sax(spark, sf_dir):
+    """SAX symbolization of event-cent series per user bucket (frame
+    4, fixed integer breakpoints, alphabet abcd): per-key PAA means
+    (one exact-int sum + one division each) mapped to symbols, joined
+    into the per-key SAX word in frame order."""
+    from pda_spark.operators import timeseries
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.pmod(F.col("user_id"), F.lit(50)).alias("k"),
+        "event_id",
+        F.floor(F.col("value") * 100).alias("cents"),
+    )
+    return timeseries.sax_symbols(
+        ev, "k", "event_id", "cents",
+        frame=4, breakpoints=(5000.0, 15000.0, 30000.0), alphabet="abcd",
+    )
+
+
+Q172_SQL = """
+WITH b AS (
+  SELECT user_id % 50 AS key, event_id AS t,
+         CAST(floor(value * 100) AS BIGINT) AS x
+  FROM events
+), r AS (
+  SELECT key, x, row_number() OVER (PARTITION BY key ORDER BY t) - 1 AS rn
+  FROM b
+), f AS (
+  SELECT key, rn // 4 AS fr, count(*) AS n, sum(x) AS s FROM r GROUP BY 1, 2
+), p AS (
+  SELECT key, fr, CAST(s AS DOUBLE) / 4.0 AS paa FROM f WHERE n = 4
+), sym AS (
+  SELECT key, fr,
+         CASE WHEN paa >= 30000.0 THEN 'd' WHEN paa >= 15000.0 THEN 'c'
+              WHEN paa >= 5000.0 THEN 'b' ELSE 'a' END AS s
+  FROM p
+)
+SELECT key, CAST(count(*) AS BIGINT) AS n_frames,
+       string_agg(s, '' ORDER BY fr) AS word
+FROM sym GROUP BY key
+"""
+
+
 # Ordering contract (VERDICT r05 #1): the driver correctness artifact
 # records only the FIRST 50 keys of this dict.  Rotation rule, recorded in
 # CLAUDE.md: each round, queries WITHOUT a green row in any prior
@@ -6528,6 +6631,9 @@ QUERIES: dict[str, tuple] = {
     "q167_comovement": (q167_comovement, Q167_SQL),
     "q168_hhi": (q168_hhi, Q168_SQL),
     "q169_interpolate": (q169_interpolate, Q169_SQL),
+    "q170_snapshot_diff": (q170_snapshot_diff, Q170_SQL),
+    "q171_benford": (q171_benford, Q171_SQL),
+    "q172_sax": (q172_sax, Q172_SQL),
     # --- long driver-proven queries (green rows in DRIVER_LEDGER.json) ---
     "q41_pip_join": (q41_pip_join, Q41_SQL),
     "q42_knn": (q42_knn, Q42_SQL),

@@ -581,3 +581,44 @@ def test_interpolate_gaps_cases(spark):
     assert got[(1, 1)] == 20.0 and got[(1, 2)] == 30.0
     assert got[(1, 4)] is None
     assert got[(2, 0)] is None and got[(2, 1)] == 7.0
+
+
+# --------------------------------------------------------- snapshot diff
+def test_snapshot_diff_change_types(spark):
+    from pda_spark.functions import profiling
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, "d", 40)],
+        "k long, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (3, "c", 30), (5, "e", 50)],
+        "k long, s string, v long",
+    )
+    got = {r.k: r.change for r in
+           profiling.snapshot_diff(old, new, ["k"], ["s", "v"]).collect()}
+    # 1 unchanged (absent), 2 changed (s), 3 changed (NULL -> 30), 4 removed, 5 added
+    assert got == {2: "changed", 3: "changed", 4: "removed", 5: "added"}
+
+
+# ---------------------------------------------------------------- benford
+def test_benford_digits(spark):
+    from pda_spark.functions import profiling
+
+    vals = [1, 19, 100, 23, 2, 911, 0, -5, None]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r.digit: r.n for r in profiling.benford_digits(df, "v").collect()}
+    assert got == {1: 3, 2: 2, 9: 1}  # 0/-5/NULL excluded
+
+
+# -------------------------------------------------------------------- sax
+def test_sax_symbols_word(spark):
+    from pda_spark.operators import timeseries
+
+    # frames of 4: means 10, 0, -10; trailing partial frame dropped
+    vals = [10] * 4 + [0] * 4 + [-10] * 4 + [99]
+    df = spark.createDataFrame([(1, t, v) for t, v in enumerate(vals)], "k long, t long, v long")
+    r = timeseries.sax_symbols(
+        df, "k", "t", "v", frame=4, breakpoints=(-5.0, 5.0), alphabet="abc"
+    ).collect()[0]
+    assert (r.n_frames, r.word) == (3, "cba")
