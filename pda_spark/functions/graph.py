@@ -396,3 +396,59 @@ def kcore_peel(
     # degrees w.r.t. the SURVIVING edge set, so (id, deg) is
     # self-consistent after the last filter
     return degrees(e)
+
+
+def tree_root_depth(
+    parent: DataFrame,
+    rounds: int,
+    id_col: str = "id",
+    parent_col: str = "parent",
+) -> DataFrame:
+    """Root and depth for every node of a parent-pointer FOREST (reply
+    chains, category trees, org charts): pointer doubling — each round
+    composes the ancestor map with itself, so a chain of depth d
+    resolves in ceil(log2(d)) rounds (the q142 flow-accumulation
+    technique as a reusable relational op). Roots are nodes absent
+    from ``parent``'s id side or with NULL parent; depth = #edges to
+    the root. ``rounds`` bounds the reachable depth at 2^rounds (the
+    q148 fixed-rounds contract — callers size it; 20 covers depth 1M).
+
+    Each round: ONE self-join of the (node -> ancestor, hops) map on
+    the ancestor key + a min-hop... no min needed: the doubled map is
+    a FUNCTION (one ancestor per node), so composition is exactly one
+    left join + coalesce — nodes whose ancestor is already the root
+    keep it. All integer; zero in-loop actions."""
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    m = parent.select(
+        F.col(id_col).alias("id"),
+        F.col(parent_col).alias("anc"),
+        F.lit(1).cast("long").alias("d"),
+    ).filter(F.col("anc").isNotNull())
+    # nodes table: everything appearing anywhere (ids + parents)
+    nodes = (
+        parent.select(F.col(id_col).alias("id"))
+        .unionAll(parent.select(F.col(parent_col).alias("id")))
+        .filter(F.col("id").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    m = m.localCheckpoint(eager=False)
+    for _ in range(rounds):
+        m2 = m.select(F.col("id").alias("_i"), F.col("anc").alias("_a"), F.col("d").alias("_d"))
+        j = m.join(
+            m2.select(F.col("_i").alias("anc"), F.col("_a"), F.col("_d")), "anc", "left"
+        )
+        m = j.select(
+            "id",
+            F.coalesce(F.col("_a"), F.col("anc")).alias("anc"),
+            (F.col("d") + F.coalesce(F.col("_d"), F.lit(0))).alias("d"),
+        ).localCheckpoint(eager=False)
+    return (
+        nodes.join(m, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("anc"), F.col("id")).alias("root"),
+            F.coalesce(F.col("d"), F.lit(0)).cast("long").alias("depth"),
+        )
+    )

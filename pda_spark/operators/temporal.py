@@ -790,3 +790,51 @@ def comovement_pairs(
         .filter(F.col("run_len") >= F.lit(min_consecutive))
         .drop("_g")
     )
+
+
+def pearson_exact(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-key Pearson correlation from EXACT int64 sums — the
+    determinism story Spark's own ``corr`` (streaming float
+    covariance, partition-order-dependent rounding) cannot give a
+    cross-engine gate: all five sums (n, Sx, Sy, Sxx, Syy, Sxy) are
+    exact integers (the q150 normal-equation discipline), and r =
+    (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2)) is a
+    fixed four-op float tail (two IEEE-exact sqrts, one multiply, one
+    divide) both engines replay bit-for-bit. Zero-variance keys emit
+    NULL r. Same overflow contract as ols_trend."""
+    g = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(x_col).cast("long").alias("_x"),
+            F.col(y_col).cast("long").alias("_y"),
+        )
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_x").alias("sx"),
+            F.sum("_y").alias("sy"),
+            F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+            F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+            F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+        )
+    )
+    num = g["n"] * g["sxy"] - g["sx"] * g["sy"]
+    dx = g["n"] * g["sxx"] - g["sx"] * g["sx"]
+    dy = g["n"] * g["syy"] - g["sy"] * g["sy"]
+    r = F.when(
+        (dx > 0) & (dy > 0),
+        num.cast("double") / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))),
+    )
+    return g.select(
+        "key",
+        F.col("n").cast("long").alias("n"),
+        num.cast("long").alias("r_num"),
+        dx.cast("long").alias("dx"),
+        dy.cast("long").alias("dy"),
+        F.round(r, 6).alias("r"),
+    )

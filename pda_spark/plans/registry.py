@@ -6509,6 +6509,94 @@ FROM sym GROUP BY key
 """
 
 
+def q173_tree_root(spark, sf_dir):
+    """Root + depth over the supplier binary-heap forest (parent =
+    (s-1) div 2, s >= 1) by pointer doubling — 5 rounds cover depth
+    2^5; the oracle unrolls the same 5 doubling compositions
+    (MATERIALIZED — the q156 CTE-inlining lesson)."""
+    from pda_spark.functions import graph
+
+    sup = _t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") >= 1)
+    parent = sup.select(
+        F.col("s_suppkey").alias("id"),
+        F.expr("(s_suppkey - 1) div 2").alias("parent"),
+    )
+    return graph.tree_root_depth(parent, rounds=5)
+
+
+def _tree_sql(rounds: int = 5) -> str:
+    ctes = [
+        """m0 AS MATERIALIZED (
+  SELECT s_suppkey AS id, (s_suppkey - 1) // 2 AS anc, CAST(1 AS BIGINT) AS d
+  FROM supplier WHERE s_suppkey >= 1
+)"""
+    ]
+    for k in range(rounds):
+        ctes.append(
+            f"""m{k + 1} AS MATERIALIZED (
+  SELECT m.id, coalesce(p._a, m.anc) AS anc, m.d + coalesce(p._d, 0) AS d
+  FROM m{k} m LEFT JOIN
+       (SELECT id AS anc, anc AS _a, d AS _d FROM m{k}) p USING (anc)
+)"""
+        )
+    return f"""
+WITH {",".join(ctes)},
+nodes AS (
+  SELECT DISTINCT id FROM (
+    SELECT s_suppkey AS id FROM supplier WHERE s_suppkey >= 1
+    UNION ALL
+    SELECT (s_suppkey - 1) // 2 FROM supplier WHERE s_suppkey >= 1
+  )
+)
+SELECT n.id, CAST(coalesce(m.anc, n.id) AS BIGINT) AS root,
+       CAST(coalesce(m.d, 0) AS BIGINT) AS depth
+FROM nodes n LEFT JOIN m{rounds} m USING (id)
+"""
+
+
+def q174_pearson(spark, sf_dir):
+    """Exact-integer-sums Pearson correlation of whole-dollar price vs
+    ship-day per supplier — the cross-engine-deterministic corr()
+    (Spark's streaming-covariance corr is partition-order-dependent).
+    Dollars, not cents: n*Syy must fit int64 (the q150 envelope)."""
+    from pda_spark.operators import temporal
+
+    li = _t(spark, sf_dir, "lineitem")
+    return temporal.pearson_exact(
+        li.select(
+            "l_suppkey",
+            F.datediff(F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date")).alias("_day"),
+            F.floor(F.col("l_extendedprice") / 100).alias("_dollars"),
+        ),
+        "l_suppkey",
+        "_day",
+        "_dollars",
+    )
+
+
+Q174_SQL = """
+WITH b AS (
+  SELECT l_suppkey AS key,
+         CAST(datediff('day', DATE '1992-01-01', l_shipdate::DATE) AS BIGINT) AS x,
+         CAST(floor(l_extendedprice / 100) AS BIGINT) AS y
+  FROM lineitem
+), g AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM b GROUP BY key
+)
+SELECT key, n, CAST(n * sxy - sx * sy AS BIGINT) AS r_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS dx,
+       CAST(n * syy - sy * sy AS BIGINT) AS dy,
+       round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+             THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+             END, 6) AS r
+FROM g
+"""
+
+
 # Ordering contract (VERDICT r05 #1): the driver correctness artifact
 # records only the FIRST 50 keys of this dict.  Rotation rule, recorded in
 # CLAUDE.md: each round, queries WITHOUT a green row in any prior
@@ -6634,6 +6722,8 @@ QUERIES: dict[str, tuple] = {
     "q170_snapshot_diff": (q170_snapshot_diff, Q170_SQL),
     "q171_benford": (q171_benford, Q171_SQL),
     "q172_sax": (q172_sax, Q172_SQL),
+    "q173_tree_root": (q173_tree_root, _tree_sql()),
+    "q174_pearson": (q174_pearson, Q174_SQL),
     # --- long driver-proven queries (green rows in DRIVER_LEDGER.json) ---
     "q41_pip_join": (q41_pip_join, Q41_SQL),
     "q42_knn": (q42_knn, Q42_SQL),

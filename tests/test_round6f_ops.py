@@ -622,3 +622,32 @@ def test_sax_symbols_word(spark):
         df, "k", "t", "v", frame=4, breakpoints=(-5.0, 5.0), alphabet="abc"
     ).collect()[0]
     assert (r.n_frames, r.word) == (3, "cba")
+
+
+# ------------------------------------------------------------- tree root
+def test_tree_root_depth_chain_and_forest(spark):
+    from pda_spark.functions import graph
+
+    # chain 1<-2<-3<-4<-5 (parent of k is k-1), plus star 10<-{11,12}
+    rows = [(k, k - 1) for k in range(2, 6)] + [(11, 10), (12, 10)]
+    df = spark.createDataFrame(rows, ["id", "parent"])
+    got = {r.id: (r.root, r.depth) for r in graph.tree_root_depth(df, rounds=4).collect()}
+    assert got[5] == (1, 4) and got[2] == (1, 1) and got[1] == (1, 0)
+    assert got[11] == (10, 1) and got[10] == (10, 0)
+    # insufficient rounds: depth-4 node cannot fully resolve at 2^1 hops
+    part = {r.id: r.depth for r in graph.tree_root_depth(df, rounds=1).collect()}
+    assert part[5] == 2  # resolved only 2 hops up
+
+
+# -------------------------------------------------------------- pearson
+def test_pearson_exact_known_values(spark):
+    from pda_spark.operators import temporal
+
+    rows = (
+        [(1, x, 2 * x + 1) for x in range(10)]          # perfect +1
+        + [(2, x, -3 * x) for x in range(5)]            # perfect -1
+        + [(3, 1, 5), (3, 2, 5), (3, 3, 5)]             # zero y-variance
+    )
+    df = spark.createDataFrame(rows, ["k", "x", "y"])
+    got = {r.key: r.r for r in temporal.pearson_exact(df, "k", "x", "y").collect()}
+    assert got[1] == 1.0 and got[2] == -1.0 and got[3] is None
