@@ -70,6 +70,10 @@ HEADLINE = [
     "q135_simhash_pairs",    # banded SimHash Hamming<=3 near-dup join
     "q136_snap_points",      # nearest-segment snap (map matching, pure JVM)
     "q137_d8_flow",          # D8 flow direction (scatter + struct argmax)
+    "q124_dbscan",           # exact DBSCAN (eps-grid + contracted CC)
+    "q147_jaccard_prefix",   # AllPairs/PPJoin exact set-similarity join
+    "q155_sorted_neighborhood",  # distributed global rank + sliding window
+    "q163_bpe_tokenize",     # ranked-merge BPE (codegen replace chain)
 ]
 
 
