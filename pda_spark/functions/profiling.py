@@ -337,3 +337,57 @@ def benford_digits(
         .groupBy(*gcols, "digit")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+def minmax_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group min-max feature scaling: (x - min) / (max - min) —
+    integer numerator and denominator, ONE division per row (round 6),
+    so both engines replay every output. Degenerate groups
+    (max == min) emit NULL (no scale exists — the caller decides the
+    fill; silently emitting 0 or 0.5 bakes in a policy). NULL x stays
+    NULL. One tiny grouped min/max broadcast-joined back — the
+    winsorize shape."""
+    gcols = list(group_cols or [])
+    v = F.col(value_col).cast("long")
+    agg = (df.groupBy(*gcols) if gcols else df.groupBy()).agg(
+        F.min(v).alias("_mn"), F.max(v).alias("_mx")
+    )
+    if gcols:
+        joined = df.join(F.broadcast(agg), gcols)
+    else:
+        joined = df.crossJoin(F.broadcast(agg))
+    norm = F.when(
+        v.isNotNull() & (F.col("_mx") > F.col("_mn")),
+        (v - F.col("_mn")).cast("double") / (F.col("_mx") - F.col("_mn")).cast("double"),
+    )
+    return joined.withColumn(out_col or f"{value_col}_norm", F.round(norm, 6)).drop(
+        "_mn", "_mx"
+    )
+
+
+def label_encode(
+    df: DataFrame,
+    value_col: str,
+    start: int = 0,
+) -> DataFrame:
+    """Deterministic categorical label encoding: every distinct
+    non-NULL value of ``value_col`` maps to a dense integer id in
+    VALUE SORT ORDER (the one total order every engine agrees on —
+    hash-order ids, like StringIndexer's frequency-then-arbitrary
+    ties, cannot be replayed cross-engine). Returns the (value,
+    label_id) DICTIONARY — callers broadcast-join it onto facts. The
+    ranking window runs over the DISTINCT values only (vocabulary-
+    bounded, the q60 contract — never over the fact table)."""
+    vals = df.select(F.col(value_col).alias("value")).filter(
+        F.col("value").isNotNull()
+    ).distinct()
+    w = Window.orderBy("value")
+    return vals.select(
+        "value",
+        (F.row_number().over(w) + F.lit(start - 1)).cast("long").alias("label_id"),
+    )

@@ -449,3 +449,34 @@ def sax_symbols(
             "",
         ).alias("word"),
     )
+
+
+def sliding_distinct_count(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    window: int = 10,
+) -> DataFrame:
+    """Exact distinct count over the last ``window`` rows per key —
+    the sliding-uniqueness signal (distinct items a user touched in
+    the last N events; a plain windowed count can't dedup and
+    count(DISTINCT) OVER is unsupported in most engines): collect the
+    frame as a list and count its distinct elements — deterministic
+    because only the COUNT survives (list order never escapes).
+    Bounded frame, so the per-row list is O(window). Requires unique
+    (key, order) — the q68 contract."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(-(window - 1), 0)
+    )
+    return df.select(
+        F.col(key_col).alias("key"),
+        F.col(order_col).alias("t"),
+        F.size(F.array_distinct(F.collect_list(F.col(value_col)).over(w)))
+        .cast("long")
+        .alias("n_distinct"),
+    )

@@ -6597,6 +6597,81 @@ FROM g
 """
 
 
+def q175_minmax_norm(spark, sf_dir):
+    """Per-returnflag min-max scaling of price cents: integer
+    numerator/denominator, one division per row. Aggregated (sum of
+    scaled values x 1e6 floored, per group) to bound the gate rows
+    while still pinning every division."""
+    from pda_spark.functions import profiling
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.floor(F.col("l_extendedprice") * 100).alias("cents")
+    )
+    normed = profiling.minmax_normalize(li, "cents", ["l_returnflag"])
+    return normed.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.floor(F.col("cents_norm") * 1_000_000)).cast("long").alias("sum_norm_micro"),
+    )
+
+
+Q175_SQL = """
+WITH b AS (
+  SELECT l_returnflag, CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+), agg AS (
+  SELECT l_returnflag, min(cents) AS mn, max(cents) AS mx FROM b GROUP BY 1
+), n AS (
+  SELECT b.l_returnflag,
+         round(CASE WHEN mx > mn
+               THEN CAST(cents - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE) END, 6) AS v
+  FROM b JOIN agg USING (l_returnflag)
+)
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(v * 1000000) AS BIGINT)) AS BIGINT) AS sum_norm_micro
+FROM n GROUP BY 1
+"""
+
+
+def q176_label_encode(spark, sf_dir):
+    """Deterministic label dictionary for part brands: dense ids in
+    value sort order (the only cross-engine-replayable assignment;
+    frequency-ordered StringIndexer ids are tie-arbitrary). Window
+    runs over DISTINCT values only — vocabulary-bounded."""
+    from pda_spark.functions import profiling
+
+    part = _t(spark, sf_dir, "part")
+    return profiling.label_encode(part.select(F.col("p_brand").alias("v")), "v", start=0)
+
+
+Q176_SQL = """
+SELECT v AS value,
+       CAST(row_number() OVER (ORDER BY v) - 1 AS BIGINT) AS label_id
+FROM (SELECT DISTINCT p_brand AS v FROM part WHERE p_brand IS NOT NULL)
+"""
+
+
+def q177_sliding_distinct(spark, sf_dir):
+    """Distinct event types per user over the last 10 events — the
+    sliding-uniqueness window (count(DISTINCT) OVER exists in no
+    mainstream engine; the bounded frame's list dedup is exact and
+    order-free because only the count escapes)."""
+    from pda_spark.operators import timeseries
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u"), "event_id", "event_type"
+    )
+    return timeseries.sliding_distinct_count(ev, "u", "event_id", "event_type", window=10)
+
+
+Q177_SQL = """
+SELECT user_id AS key, event_id AS t,
+       CAST(len(list_distinct(list(event_type) OVER (
+         PARTITION BY user_id ORDER BY event_id
+         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))) AS BIGINT) AS n_distinct
+FROM events
+"""
+
+
 # Ordering contract (VERDICT r05 #1): the driver correctness artifact
 # records only the FIRST 50 keys of this dict.  Rotation rule, recorded in
 # CLAUDE.md: each round, queries WITHOUT a green row in any prior
@@ -6724,6 +6799,9 @@ QUERIES: dict[str, tuple] = {
     "q172_sax": (q172_sax, Q172_SQL),
     "q173_tree_root": (q173_tree_root, _tree_sql()),
     "q174_pearson": (q174_pearson, Q174_SQL),
+    "q175_minmax_norm": (q175_minmax_norm, Q175_SQL),
+    "q176_label_encode": (q176_label_encode, Q176_SQL),
+    "q177_sliding_distinct": (q177_sliding_distinct, Q177_SQL),
     # --- long driver-proven queries (green rows in DRIVER_LEDGER.json) ---
     "q41_pip_join": (q41_pip_join, Q41_SQL),
     "q42_knn": (q42_knn, Q42_SQL),

@@ -651,3 +651,39 @@ def test_pearson_exact_known_values(spark):
     df = spark.createDataFrame(rows, ["k", "x", "y"])
     got = {r.key: r.r for r in temporal.pearson_exact(df, "k", "x", "y").collect()}
     assert got[1] == 1.0 and got[2] == -1.0 and got[3] is None
+
+
+# -------------------------------------------- normalize / encode / slide
+def test_minmax_normalize_cases(spark):
+    from pda_spark.functions import profiling
+
+    rows = [("a", 0), ("a", 50), ("a", 100), ("b", 7), ("b", 7), ("c", None)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = [
+        (r.g, r.v, r.v_norm)
+        for r in profiling.minmax_normalize(df, "v", ["g"]).collect()
+    ]
+    d = {(g, v): n for g, v, n in got}
+    assert d[("a", 0)] == 0.0 and d[("a", 50)] == 0.5 and d[("a", 100)] == 1.0
+    assert d[("b", 7)] is None  # degenerate group -> NULL, not 0
+    assert d[("c", None)] is None
+
+
+def test_label_encode_sorted_dense(spark):
+    from pda_spark.functions import profiling
+
+    df = spark.createDataFrame([("b",), ("a",), ("c",), ("a",), (None,)], "v string")
+    got = {r.value: r.label_id for r in profiling.label_encode(df, "v").collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def test_sliding_distinct_count(spark):
+    from pda_spark.operators import timeseries
+
+    vals = ["x", "y", "x", "z", "z", "y"]
+    df = spark.createDataFrame(
+        [(1, t, v) for t, v in enumerate(vals)], "k long, t long, v string"
+    )
+    got = {r.t: r.n_distinct for r in
+           timeseries.sliding_distinct_count(df, "k", "t", "v", window=3).collect()}
+    assert got == {0: 1, 1: 2, 2: 2, 3: 3, 4: 2, 5: 2}
