@@ -251,11 +251,14 @@ def bloom_pruned_join(
 ) -> DataFrame:
     """Inner equi-join with a Bloom-filter pre-prune on the fact side —
     THE 100 TB pre-join pattern the sketch family exists for: the dim
-    keys' bit table (<= m bits) collapses to a literal '0'/'1' STRING
-    baked into the fact-side filter, so pruning is pure whole-stage
-    codegen (k substring probes per row), touches the fact table in
-    its scan stage, and ships nothing but the final survivors to the
-    join. False positives are removed by the join itself; the Bloom
+    keys' bit table (<= m bits) collapses to a constant-folded literal
+    INT ARRAY baked into the fact-side filter, so pruning is pure
+    whole-stage codegen (k element_at probes per row), touches the
+    fact table in its scan stage, and ships nothing but the final
+    survivors to the join. (A '0'/'1' string literal probed with
+    substring() was 6x slower — 11.9 vs 1.8 s on the q160 shape;
+    Catalyst folds the array to one Literal, substring on a long
+    UTF8String constant does per-row work.) False positives are removed by the join itself; the Bloom
     no-false-negative guarantee makes the result provably IDENTICAL to
     the plain join — which is exactly what the q160 gate's plain-join
     oracle checks end-to-end.
@@ -265,14 +268,14 @@ def bloom_pruned_join(
     Join semantics: inner, on fact_key == dim_key; both key columns
     survive (Spark's different-name join keeps the pair)."""
     bits = {int(r["pos"]) for r in bloom_build(dim, dim_key, k=k, m=m).collect()}
-    bitstr = "".join("1" if i in bits else "0" for i in range(m))
+    arrlit = F.lit([1 if i in bits else 0 for i in range(m)])
     probe = F.col(fact_key).cast("string")
     cond = F.lit(True)
     for i in range(k):
         pos = F.pmod(
             hex_to_long(F.md5(F.concat(F.lit(f"{i}:"), probe))), F.lit(m)
         )
-        cond = cond & (F.substring(F.lit(bitstr), pos + 1, 1) == "1")
+        cond = cond & (F.element_at(arrlit, (pos + 1).cast("int")) == 1)
     pruned = fact.filter(F.col(fact_key).isNotNull()).filter(cond)
     return pruned.join(F.broadcast(dim), pruned[fact_key] == dim[dim_key])
 
