@@ -391,3 +391,110 @@ def label_encode(
         "value",
         (F.row_number().over(w) + F.lit(start - 1)).cast("long").alias("label_id"),
     )
+
+
+def auc_exact(
+    df: DataFrame,
+    key_col: str,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact ROC AUC per key from integer rank sums (the Mann-Whitney
+    U identity: AUC = U / (n_pos * n_neg)) — the model-evaluation
+    aggregate, computed without a single float until the one final
+    division. Ties get average ranks, carried DOUBLED so they stay
+    integer: for a score bucket with c rows starting after cum_before
+    smaller rows, 2 * avg_rank = 2 * cum_before + c + 1. Scores must
+    be integer-valued (pre-scale floats — the q150 discipline);
+    labels are 0/1. Keys with no positives or no negatives emit NULL
+    auc. One per-(key, score) pre-aggregate, one ordered window
+    cumsum (bounded by distinct scores per key), one grouped sum."""
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(score_col).cast("long").alias("_s"),
+        F.col(label_col).cast("long").alias("_y"),
+    )
+    per_score = base.groupBy("key", "_s").agg(
+        F.count(F.lit(1)).alias("_c"), F.sum("_y").alias("_pos")
+    )
+    w = Window.partitionBy("key").orderBy("_s")
+    cum = per_score.withColumn(
+        "_cb", F.coalesce(F.sum("_c").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0))
+    )
+    # sum over positive rows of doubled average rank
+    g = cum.groupBy("key").agg(
+        F.sum("_pos").cast("long").alias("n_pos"),
+        (F.sum("_c") - F.sum("_pos")).cast("long").alias("n_neg"),
+        F.sum(F.col("_pos") * (F.lit(2) * F.col("_cb") + F.col("_c") + F.lit(1)))
+        .cast("long")
+        .alias("rank2_pos"),
+    )
+    # 2U = rank2_pos - n_pos*(n_pos+1); AUC = 2U / (2 * n_pos * n_neg)
+    u2 = F.col("rank2_pos") - F.col("n_pos") * (F.col("n_pos") + 1)
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        u2.cast("double") / (F.lit(2.0) * F.col("n_pos").cast("double") * F.col("n_neg").cast("double")),
+    )
+    return g.select(
+        "key", "n_pos", "n_neg", u2.cast("long").alias("u2"), F.round(auc, 6).alias("auc")
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    key_col: str,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    score_max: int = 1000,
+) -> DataFrame:
+    """Reliability-diagram bins per key: scores in [0, score_max)
+    bucket into ``n_bins`` equal-width bins; each bin reports row and
+    positive counts (exact integers — the consumer divides for the
+    observed rate and compares with the bin midpoint). The q83
+    integer-sums discipline applied to model calibration."""
+    if n_bins < 1 or score_max < n_bins:
+        raise ValueError(f"bad bins: n_bins={n_bins}, score_max={score_max}")
+    width = score_max // n_bins
+    b = F.least(
+        F.expr(f"CAST({score_col} AS BIGINT) div {width}"), F.lit(n_bins - 1)
+    )
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            b.alias("bin"),
+            F.col(label_col).cast("long").alias("_y"),
+        )
+        .groupBy("key", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_y").cast("long").alias("n_pos"),
+        )
+    )
+
+
+def feature_hash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = 256,
+) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): word tokens map to
+    a fixed ``dim``-dimensional index by the md5 fold (the portable
+    hash both engines share), emitting the SPARSE (doc, feature_idx,
+    count) rows — the bag-of-words featurization that needs no
+    vocabulary pass, the property that makes it THE streaming/100 TB
+    featurizer. Exact integer counts; a signed-hash variant (+-1 to
+    debias) is the documented extension."""
+    from pda_spark.functions.dedup import hex_to_long
+
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    tok = df.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("_w"))
+    idx = F.pmod(hex_to_long(F.md5(F.col("_w"))), F.lit(dim))
+    return (
+        tok.select("doc_id", idx.alias("feature_idx"))
+        .groupBy("doc_id", "feature_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("count"))
+    )

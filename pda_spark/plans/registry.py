@@ -6672,6 +6672,98 @@ FROM events
 """
 
 
+_AUC_SCORE = "(event_id * 31 + user_id * 7) % 1000"
+_AUC_LABEL = f"CASE WHEN ({_AUC_SCORE} + event_id) % 3 = 0 THEN 1 ELSE 0 END"
+
+
+def _auc_base(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    score = F.pmod(F.col("event_id") * 31 + F.col("user_id") * 7, F.lit(1000))
+    label = F.when(F.pmod(score + F.col("event_id"), F.lit(3)) == 0, 1).otherwise(0)
+    return ev.select(
+        F.pmod(F.col("user_id"), F.lit(20)).alias("k"),
+        score.alias("s"),
+        label.alias("y"),
+    )
+
+
+def q178_auc(spark, sf_dir):
+    """Exact ROC AUC per user bucket via integer rank sums (the
+    Mann-Whitney U identity, doubled average ranks for exact tie
+    handling) — one division at the end, everything else int64."""
+    from pda_spark.functions import profiling
+
+    return profiling.auc_exact(_auc_base(spark, sf_dir), "k", "s", "y")
+
+
+Q178_SQL = f"""
+WITH b AS (
+  SELECT user_id % 20 AS key, {_AUC_SCORE} AS s, {_AUC_LABEL} AS y FROM events
+), ps AS (
+  SELECT key, s, count(*) AS c, sum(y) AS pos FROM b GROUP BY 1, 2
+), cum AS (
+  SELECT key, s, c, pos,
+         coalesce(sum(c) OVER (PARTITION BY key ORDER BY s
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM ps
+), g AS (
+  SELECT key, CAST(sum(pos) AS BIGINT) AS n_pos,
+         CAST(sum(c) - sum(pos) AS BIGINT) AS n_neg,
+         CAST(sum(pos * (2 * cb + c + 1)) AS BIGINT) AS r2
+  FROM cum GROUP BY key
+)
+SELECT key, n_pos, n_neg,
+       CAST(r2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+       round(CASE WHEN n_pos > 0 AND n_neg > 0
+             THEN CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+                  / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END, 6) AS auc
+FROM g
+"""
+
+
+def q179_calibration(spark, sf_dir):
+    """Reliability-diagram bins (10 equal-width score bins, exact
+    integer row/positive counts per bin per key) — the calibration
+    companion to q178."""
+    from pda_spark.functions import profiling
+
+    return profiling.calibration_bins(
+        _auc_base(spark, sf_dir), "k", "s", "y", n_bins=10, score_max=1000
+    )
+
+
+Q179_SQL = f"""
+WITH b AS (
+  SELECT user_id % 20 AS key, {_AUC_SCORE} AS s, {_AUC_LABEL} AS y FROM events
+)
+SELECT key, least(CAST(s AS BIGINT) // 100, 9) AS bin,
+       CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+FROM b GROUP BY 1, 2
+"""
+
+
+def q180_feature_hash(spark, sf_dir):
+    """Hashing-trick featurization of documents (dim 256, md5 fold):
+    sparse (doc, feature_idx, count) rows with exact occurrence
+    counts — the no-vocabulary streaming featurizer."""
+    from pda_spark.functions import profiling
+
+    docs = _t(spark, sf_dir, "documents")
+    return profiling.feature_hash(docs, "doc_id", "text", dim=256)
+
+
+Q180_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         unnest([t for t in regexp_split_to_array(lower(text), '[^a-z0-9]+') if t <> '']) AS w
+  FROM documents
+)
+SELECT doc_id, ('0x' || substring(md5(w), 1, 12))::BIGINT % 256 AS feature_idx,
+       CAST(count(*) AS BIGINT) AS count
+FROM w GROUP BY 1, 2
+"""
+
+
 # Ordering contract (VERDICT r05 #1): the driver correctness artifact
 # records only the FIRST 50 keys of this dict.  Rotation rule, recorded in
 # CLAUDE.md: each round, queries WITHOUT a green row in any prior
@@ -6802,6 +6894,9 @@ QUERIES: dict[str, tuple] = {
     "q175_minmax_norm": (q175_minmax_norm, Q175_SQL),
     "q176_label_encode": (q176_label_encode, Q176_SQL),
     "q177_sliding_distinct": (q177_sliding_distinct, Q177_SQL),
+    "q178_auc": (q178_auc, Q178_SQL),
+    "q179_calibration": (q179_calibration, Q179_SQL),
+    "q180_feature_hash": (q180_feature_hash, Q180_SQL),
     # --- long driver-proven queries (green rows in DRIVER_LEDGER.json) ---
     "q41_pip_join": (q41_pip_join, Q41_SQL),
     "q42_knn": (q42_knn, Q42_SQL),

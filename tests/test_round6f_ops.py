@@ -687,3 +687,44 @@ def test_sliding_distinct_count(spark):
     got = {r.t: r.n_distinct for r in
            timeseries.sliding_distinct_count(df, "k", "t", "v", window=3).collect()}
     assert got == {0: 1, 1: 2, 2: 2, 3: 3, 4: 2, 5: 2}
+
+
+# ------------------------------------------------------------- auc / fh
+def test_auc_exact_vs_sklearn_style(spark):
+    from pda_spark.functions import profiling
+
+    # hand-computable: scores [1,2,3,4], labels [0,0,1,1] -> AUC 1.0;
+    # ties: scores [5,5], labels [0,1] contribute 0.5
+    rows = (
+        [(1, 1, 0), (1, 2, 0), (1, 3, 1), (1, 4, 1)]
+        + [(2, 5, 0), (2, 5, 1)]
+        + [(3, 9, 1), (3, 9, 1)]  # no negatives -> NULL
+    )
+    df = spark.createDataFrame(rows, ["k", "s", "y"])
+    got = {r.key: r.auc for r in profiling.auc_exact(df, "k", "s", "y").collect()}
+    assert got[1] == 1.0
+    assert got[2] == 0.5
+    assert got[3] is None
+    # python reference on a messier series
+    import itertools, random
+    rnd = [(4, (i * 37) % 23, 1 if (i * 13) % 3 == 0 else 0) for i in range(60)]
+    df2 = spark.createDataFrame(rnd, ["k", "s", "y"])
+    r = profiling.auc_exact(df2, "k", "s", "y").collect()[0]
+    pos = [s for _, s, y in rnd if y == 1]
+    neg = [s for _, s, y in rnd if y == 0]
+    want = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg) / (
+        len(pos) * len(neg)
+    )
+    assert r.auc == round(want, 6)
+
+
+def test_feature_hash_counts(spark):
+    from pda_spark.functions import profiling
+
+    df = spark.createDataFrame([(1, "a b a"), (2, "")], ["doc_id", "text"])
+    rows = profiling.feature_hash(df, "doc_id", "text", dim=16).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, 0)
+        per_doc[r.doc_id] += r["count"]
+    assert per_doc == {1: 3}  # occurrences, not distinct; empty doc -> no rows
