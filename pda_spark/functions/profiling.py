@@ -192,7 +192,12 @@ def robust_outliers(
     base = df.select(*group_cols, F.col(value_col).cast("double").alias("value")).filter(
         F.col("value").isNotNull()
     )
-    j = base.join(stats.select(*group_cols, "med", "mad"), group_cols)
+    st = stats.select(*group_cols, "med", "mad")
+    cond = None
+    for g in group_cols:
+        c = base[g].eqNullSafe(st[g])
+        cond = c if cond is None else (cond & c)
+    j = base.join(st, cond).drop(*[st[g] for g in group_cols])
     return j.select(
         *group_cols,
         "value",
@@ -358,7 +363,14 @@ def minmax_normalize(
         F.min(v).alias("_mn"), F.max(v).alias("_mx")
     )
     if gcols:
-        joined = df.join(F.broadcast(agg), gcols)
+        # null-SAFE join (the winsorize lesson): a NULL group key has a
+        # stats row too, and a plain equi-join would silently DROP all
+        # its fact rows (round-6 review)
+        cond = None
+        for g in gcols:
+            c = df[g].eqNullSafe(agg[g])
+            cond = c if cond is None else (cond & c)
+        joined = df.join(F.broadcast(agg), cond).drop(*[agg[g] for g in gcols])
     else:
         joined = df.crossJoin(F.broadcast(agg))
     norm = F.when(
@@ -409,11 +421,15 @@ def auc_exact(
     labels are 0/1. Keys with no positives or no negatives emit NULL
     auc. One per-(key, score) pre-aggregate, one ordered window
     cumsum (bounded by distinct scores per key), one grouped sum."""
+    # NULL scores would rank NULLS FIRST (engine-defined) and NULL
+    # labels would count as negatives — both silently skew AUC; a
+    # scored-eval row without both fields carries no information
+    # (round-6 review).
     base = df.select(
         F.col(key_col).alias("key"),
         F.col(score_col).cast("long").alias("_s"),
         F.col(label_col).cast("long").alias("_y"),
-    )
+    ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
     per_score = base.groupBy("key", "_s").agg(
         F.count(F.lit(1)).alias("_c"), F.sum("_y").alias("_pos")
     )

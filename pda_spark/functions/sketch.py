@@ -280,28 +280,36 @@ def bloom_pruned_join(
     return pruned.join(F.broadcast(dim), pruned[fact_key] == dim[dim_key])
 
 
-def cms_join_size(cms_a: DataFrame, cms_b: DataFrame, d: int = 4) -> DataFrame:
+def cms_join_size(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
     """Equi-join cardinality estimate from two ``cms_build`` sketches
     over the join keys — the classic CMS inner-product estimator
     (Cormode & Muthukrishnan 2005, §4.2): for each hash row r,
     sum_b cnt_a[r,b] * cnt_b[r,b] upper-bounds |A join B| (every true
     key pair lands in the same bucket; collisions only ADD), and the
-    estimate is the MIN over the d rows — the query-optimizer
-    join-size oracle at 100 TB, computed from two d*w tables without
-    touching either input again. Exact integer arithmetic end-to-end;
-    one tiny equi-join of two sketch tables + one grouped sum + one
-    min. Returns a single row (est_join_size)."""
+    estimate is the MIN over the hash rows BOTH sketches carry — the
+    query-optimizer join-size oracle at 100 TB, computed from two d*w
+    tables without touching either input again. The row universe is
+    derived FROM the sketches (round-6 review: a caller-passed d
+    larger than the build d made the old count-based absence check
+    return 0, violating the upper-bound contract); a shared hash row
+    with no shared buckets has inner product 0 — correctly: no key
+    can be common. Exact integer arithmetic end-to-end. Returns a
+    single row (est_join_size); two genuinely empty sketches estimate
+    0."""
+    rows_both = (
+        cms_a.select("hrow").distinct().join(cms_b.select("hrow").distinct(), "hrow")
+    )
     j = cms_a.alias("a").join(
         cms_b.alias("b"), ["hrow", "bucket"]
     )
     per_row = j.groupBy("hrow").agg(
         F.sum(F.col("a.cnt") * F.col("b.cnt")).cast("long").alias("_ip")
     )
-    # a hash row absent from the join (no shared buckets) has inner
-    # product 0 — the estimate is then 0 (true: no key can be shared)
-    return per_row.agg(
-        F.when(F.count(F.lit(1)) < F.lit(d), F.lit(0))
-        .otherwise(F.min("_ip"))
-        .cast("long")
-        .alias("est_join_size")
+    return (
+        rows_both.join(per_row, "hrow", "left")
+        .agg(
+            F.coalesce(F.min(F.coalesce(F.col("_ip"), F.lit(0))), F.lit(0))
+            .cast("long")
+            .alias("est_join_size")
+        )
     )

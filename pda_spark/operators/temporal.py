@@ -779,16 +779,17 @@ def comovement_pairs(
         .select(F.col("u").alias("user_a"), F.col("u2").alias("user_b"), "b")
         .distinct()
     )
-    w = Window.partitionBy("user_a", "user_b").orderBy("b")
-    grp = pairs.withColumn("_g", F.col("b") - F.row_number().over(w))
-    return (
-        grp.groupBy("user_a", "user_b", "_g")
-        .agg(
-            F.min("b").alias("run_start_bucket"),
-            F.count(F.lit(1)).cast("long").alias("run_len"),
-        )
-        .filter(F.col("run_len") >= F.lit(min_consecutive))
-        .drop("_g")
+    # run detection = the ONE gaps-islands implementation (composite
+    # pair key; round-6 review folded the inline rn-difference copy
+    # back into timeseries.gaps_islands)
+    from pda_spark.operators.timeseries import gaps_islands
+
+    runs = gaps_islands(pairs, ["user_a", "user_b"], "b")
+    return runs.filter(F.col("island_len") >= F.lit(min_consecutive)).select(
+        "user_a",
+        "user_b",
+        F.col("island_start").alias("run_start_bucket"),
+        F.col("island_len").alias("run_len"),
     )
 
 

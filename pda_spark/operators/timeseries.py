@@ -309,25 +309,33 @@ def time_weighted_avg(
 
 def gaps_islands(
     df: DataFrame,
-    key_col: str,
+    key_col,
     seq_col: str,
 ) -> DataFrame:
     """Gaps-and-islands over an integer sequence per key (the SQL
     classic): maximal runs of CONSECUTIVE distinct values collapse to
-    one row (key, island_start, island_end, island_len) — consecutive
-    active days, unbroken sensor sequences, contiguous id ranges. The
-    rn-difference trick: within a key, seq - row_number() over
-    (ORDER BY seq) is constant exactly on each island (both advance by
-    1 inside a run). Duplicates are collapsed FIRST (distinct) so a
-    repeated day cannot break the arithmetic. One shuffle on the key;
-    the window is per-key (the sessionize contract)."""
-    d = df.select(
-        F.col(key_col).alias("key"), F.col(seq_col).cast("long").alias("seq")
-    ).distinct()
-    w = Window.partitionBy("key").orderBy("seq")
+    one row (key..., island_start, island_end, island_len) —
+    consecutive active days, unbroken sensor sequences, contiguous id
+    ranges. The rn-difference trick: within a key, seq - row_number()
+    over (ORDER BY seq) is constant exactly on each island (both
+    advance by 1 inside a run). Duplicates are collapsed FIRST
+    (distinct) so a repeated day cannot break the arithmetic. One
+    shuffle on the key; the window is per-key (the sessionize
+    contract). ``key_col`` may be one name (emitted as ``key``, the
+    original contract) or a LIST of names (composite keys, kept
+    verbatim — the co-movement pair key; round-6 review folded that
+    inline rn-difference copy back here)."""
+    if isinstance(key_col, str):
+        keys = ["key"]
+        base = df.select(F.col(key_col).alias("key"), F.col(seq_col).cast("long").alias("seq"))
+    else:
+        keys = list(key_col)
+        base = df.select(*keys, F.col(seq_col).cast("long").alias("seq"))
+    d = base.distinct()
+    w = Window.partitionBy(*keys).orderBy("seq")
     grp = d.withColumn("_g", F.col("seq") - F.row_number().over(w))
     return (
-        grp.groupBy("key", "_g")
+        grp.groupBy(*keys, "_g")
         .agg(
             F.min("seq").alias("island_start"),
             F.max("seq").alias("island_end"),
@@ -425,8 +433,9 @@ def sax_symbols(
     framed = df.select(
         F.col(key_col).alias("key"),
         F.col(value_col).cast("long").alias("x"),
-        (rn / F.lit(frame)).cast("long").alias("_f"),
-        rn.alias("_rn"),
+        # integer floor division on longs (review: the float-divide-
+        # then-cast detour contradicted the integer-exact contract)
+        ((rn - F.pmod(rn, F.lit(frame))) / F.lit(frame)).cast("long").alias("_f"),
     )
     paa = (
         framed.groupBy("key", "_f")

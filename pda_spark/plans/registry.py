@@ -6187,7 +6187,7 @@ def q164_cms_join_size(spark, sf_dir):
     sup = _t(spark, sf_dir, "supplier")
     ca = sketch.cms_build(li, "l_suppkey", d=4, w=64)
     cb = sketch.cms_build(sup, "s_suppkey", d=4, w=64)
-    return sketch.cms_join_size(ca, cb, d=4)
+    return sketch.cms_join_size(ca, cb)
 
 
 _CMS_SUP_SQL = """

@@ -489,7 +489,7 @@ def test_cms_join_size_upper_bound(spark):
     b = spark.createDataFrame([(j,) for j in range(0, 20)], "k long")
     true_size = a.join(b, "k").count()  # 1000 (every a-row matches once)
     est = sketch.cms_join_size(
-        sketch.cms_build(a, "k", d=4, w=64), sketch.cms_build(b, "k", d=4, w=64), d=4
+        sketch.cms_build(a, "k", d=4, w=64), sketch.cms_build(b, "k", d=4, w=64)
     ).collect()[0]["est_join_size"]
     assert est >= true_size
     # disjoint keys -> every bucket product pairs different keys; with
@@ -497,8 +497,14 @@ def test_cms_join_size_upper_bound(spark):
     # GUARANTEE is only the bound — assert the bound, not equality
     c = spark.createDataFrame([(j,) for j in range(100, 120)], "k long")
     est2 = sketch.cms_join_size(
-        sketch.cms_build(a, "k", d=4, w=64), sketch.cms_build(c, "k", d=4, w=64), d=4
+        sketch.cms_build(a, "k", d=4, w=64), sketch.cms_build(c, "k", d=4, w=64)
     ).collect()[0]["est_join_size"]
+    # mismatched build depths: only the COMMON hash rows estimate (the
+    # review case — d-mismatch must not collapse the bound to 0)
+    est3 = sketch.cms_join_size(
+        sketch.cms_build(a, "k", d=2, w=64), sketch.cms_build(b, "k", d=4, w=64)
+    ).collect()[0]["est_join_size"]
+    assert est3 >= true_size
     assert est2 >= 0
 
 
