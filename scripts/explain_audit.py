@@ -12,6 +12,15 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 AUDITED = [
+    # round-6 session-3 over-threshold additions (>3 s at sf0.1 in
+    # BENCH/full_suite.json owe a plan audit — CLAUDE.md rule)
+    "q114_density_clusters",
+    "q124_dbscan",
+    "q127_triangles",
+    "q147_jaccard_prefix",
+    "q160_bloom_pruned_join",
+    "q165_robust_outliers",
+    "q169_interpolate",
     "q01_pricing_summary",
     "q25_ngram_jaccard",
     "q30_cosine_topk",
