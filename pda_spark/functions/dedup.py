@@ -971,3 +971,42 @@ def sorted_neighborhood_pairs(
         ranked.select(F.col("_id").alias("id_b"), F.col("_rank").alias("rank_b"), "_rank"),
         "_rank",
     ).select("id_a", "id_b", "rank_a", "rank_b")
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cumsum",
+    num_ranges: int = 64,
+) -> DataFrame:
+    """Running total over a GLOBAL order without a single-partition
+    window — ``global_rank``'s machinery generalized from counting to
+    summing (rank is the cumsum of ones): range partition on the order
+    columns (one pinned materialization — the ReuseExchange lesson),
+    per-partition running sums in parallel windows, per-partition
+    TOTALS prefix-summed on the driver-sized pid table and broadcast
+    back. The order must be total (append a unique tiebreaker) and the
+    values int64. Inclusive (each row's cumsum includes itself)."""
+    cols = [F.col(c) for c in order_cols]
+    ranged = (
+        df.repartitionByRange(num_ranges, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    wloc = Window.partitionBy("_pid").orderBy(*cols).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = ranged.withColumn("_lsum", F.sum(F.col(value_col).cast("long")).over(wloc))
+    totals = ranged.groupBy("_pid").agg(
+        F.sum(F.col(value_col).cast("long")).alias("_t")
+    )
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn("_off", F.coalesce(F.sum("_t").over(woff), F.lit(0))).drop(
+        "_t"
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_lsum")).cast("long"))
+        .drop("_pid", "_lsum", "_off")
+    )

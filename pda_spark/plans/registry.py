@@ -6764,6 +6764,55 @@ FROM w GROUP BY 1, 2
 """
 
 
+def q181_vocab_growth(spark, sf_dir):
+    """Vocabulary growth curve (the Heaps-law measurement): per doc in
+    id order, the number of word types FIRST SEEN in that doc and the
+    cumulative type count. First-seen attribution is one grouped min
+    over (token -> doc); the cumulative sum runs on
+    ``dedup.global_cumsum`` — the distributed prefix-sum (range
+    partition + parallel windows + broadcast offsets), NEVER a
+    single-task global window; the oracle is the single-window
+    formulation, prefix-sum parity is the test (the q155 discipline
+    generalized from ranks to sums)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    tok = docs.select("doc_id", F.explode(F.array_distinct(words)).alias("w"))
+    first_seen = tok.groupBy("w").agg(F.min("doc_id").alias("doc_id"))
+    per_doc = first_seen.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    # every doc gets a row (zero new types is a real measurement)
+    spine = docs.select("doc_id").distinct()
+    filled = spine.join(per_doc, "doc_id", "left").select(
+        "doc_id", F.coalesce("n_new", F.lit(0)).alias("n_new")
+    )
+    return dedup.global_cumsum(filled, ["doc_id"], "n_new", out_col="cum_types")
+
+
+Q181_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(
+    [t for t in regexp_split_to_array(lower(text), '[^a-z0-9]+') if t <> '']
+  )) AS w
+  FROM documents
+), fs AS (
+  SELECT w, min(doc_id) AS doc_id FROM tok GROUP BY w
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_new FROM fs GROUP BY doc_id
+), filled AS (
+  SELECT d.doc_id, coalesce(p.n_new, 0) AS n_new
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  LEFT JOIN per_doc p USING (doc_id)
+)
+SELECT doc_id, CAST(n_new AS BIGINT) AS n_new,
+       CAST(sum(n_new) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types
+FROM filled
+"""
+
+
 # Ordering contract (VERDICT r05 #1): the driver correctness artifact
 # records only the FIRST 50 keys of this dict.  Rotation rule, recorded in
 # CLAUDE.md: each round, queries WITHOUT a green row in any prior
@@ -6897,6 +6946,7 @@ QUERIES: dict[str, tuple] = {
     "q178_auc": (q178_auc, Q178_SQL),
     "q179_calibration": (q179_calibration, Q179_SQL),
     "q180_feature_hash": (q180_feature_hash, Q180_SQL),
+    "q181_vocab_growth": (q181_vocab_growth, Q181_SQL),
     # --- long driver-proven queries (green rows in DRIVER_LEDGER.json) ---
     "q41_pip_join": (q41_pip_join, Q41_SQL),
     "q42_knn": (q42_knn, Q42_SQL),

@@ -734,3 +734,17 @@ def test_feature_hash_counts(spark):
         per_doc.setdefault(r.doc_id, 0)
         per_doc[r.doc_id] += r["count"]
     assert per_doc == {1: 3}  # occurrences, not distinct; empty doc -> no rows
+
+
+# ------------------------------------------------------- global cumsum
+def test_global_cumsum_matches_single_window(spark):
+    from pda_spark.functions import dedup
+
+    rows = [(i, (i * 7) % 13) for i in range(300)]
+    df = spark.createDataFrame(rows, ["t", "v"])
+    got = {r.t: r.cumsum for r in dedup.global_cumsum(df, ["t"], "v", num_ranges=8).collect()}
+    acc, want = 0, {}
+    for t, v in sorted(rows):
+        acc += v
+        want[t] = acc
+    assert got == want
