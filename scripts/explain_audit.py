@@ -21,6 +21,7 @@ AUDITED = [
     "q160_bloom_pruned_join",
     "q165_robust_outliers",
     "q169_interpolate",
+    "q173_tree_root",
     "q01_pricing_summary",
     "q25_ngram_jaccard",
     "q30_cosine_topk",
