@@ -413,28 +413,47 @@ def substring_containment(
 
     Returns (snip_id, doc_id) pairs, self-matches included."""
     norm = lambda c: F.regexp_replace(F.lower(F.trim(F.col(c))), r"\s+", " ")  # noqa: E731
-    corp = corpus.select(F.col(id_col).alias("doc_id"), norm(text_col).alias("_ctext"))
+    # round-robin the corpus BEFORE normalization/shingling: a sub-4MB
+    # corpus parquet scans as 2 splits and the whole posting build (~25M
+    # xxhash64'd shingles at sf1.0) would run on 2 cores otherwise; the
+    # exchange moves raw (id, text) rows once, pure JVM after it
+    corp = (
+        corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+        .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+        .select("doc_id", norm("_t").alias("_ctext"))
+    )
     snips = snippets.select(
         F.col(snip_id_col).alias("snip_id"), norm(snip_text_col).alias("_stext")
     )
-
-    sh = F.expr(
-        f"transform(sequence(1, length(_ctext) - {k - 1}), i -> xxhash64(substring(_ctext, i, {k})))"
-    )
-    # corpus-sized intra-query scratch, used twice (df agg + candidate
-    # probe) — same localCheckpoint trade-off as the LSH band table
-    postings = (
-        corp.filter(F.length("_ctext") >= k)
-        .select("doc_id", F.explode(F.array_distinct(sh)).alias("h"))
-        .localCheckpoint(eager=False)
-    )
-    dfreq = postings.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
 
     long_s = snips.filter(F.length("_stext") >= k)
     ssh = F.expr(
         f"transform(sequence(1, length(_stext) - {k - 1}), i -> xxhash64(substring(_stext, i, {k})))"
     )
     s_h = long_s.select("snip_id", F.explode(F.array_distinct(ssh)).alias("h"))
+
+    sh = F.expr(
+        f"transform(sequence(1, length(_ctext) - {k - 1}), i -> xxhash64(substring(_ctext, i, {k})))"
+    )
+    # Round-7: only SNIPPET shingle hashes can ever rank (df min is over
+    # shingles present in the snippet) or probe (the rare hash is one of
+    # them), so the corpus posting stream is broadcast-semi-joined down
+    # to that hash set BEFORE anything is aggregated or checkpointed.
+    # The round-6 version materialized the full corpus posting table
+    # (~25M rows at sf1.0) and ran the df hash-agg over all of it; the
+    # filtered table is the only part either consumer reads. df values
+    # for the surviving hashes are unchanged, so the rare-shingle choice
+    # — and the verified output, which any probe shingle reproduces —
+    # are identical.
+    snip_hash = s_h.select("h").distinct()
+    postings = (
+        corp.filter(F.length("_ctext") >= k)
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("h"))
+        .join(F.broadcast(snip_hash), "h")
+        .localCheckpoint(eager=False)
+    )
+    dfreq = postings.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+
     rare = (
         s_h.join(dfreq, "h")
         .groupBy("snip_id")

@@ -21,11 +21,32 @@ from pyspark.sql import functions as F
 
 
 def _dot(a: str, b: str) -> F.Column:
+    # NOTE (round-7 measured NON-fix): unrolling this into a fixed-dim
+    # 0.0 + a[0]*b[0] + ... codegen chain is bit-identical but SLOWER —
+    # 64-term trees blow janino's limits, whole-stage codegen falls back
+    # to interpreted for the whole stage, and the deep Add tree evals
+    # worse than this tight HOF loop (q34 64 -> 148 s, q33 4.7 -> 18 s
+    # at sf1.0; both reverted). The real lever for the O(candidates)
+    # refine stages is PARALLELISM: the sub-4MB embeddings scan is 2
+    # splits, so the callers spread with repartition before pair work.
     return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), 0.0D, (acc, v) -> acc + v)")
 
 
 def _norm(a: str) -> F.Column:
     return F.sqrt(F.expr(f"aggregate({a}, 0.0D, (acc, v) -> acc + cast(v as double) * cast(v as double))"))
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin the vector table over the session's full parallelism
+    before an O(candidates) pair stage. Sub-4MB parquet inputs scan as
+    1-2 splits (openCostInBytes floors them — BENCH/BASELINE.md §3), and
+    a pure-JVM candidate stage built on a broadcast join inherits that
+    width: the r06 bench ran q34's 14M-pair refine on TWO cores at
+    sf1.0. The exchange moves only (id, vector) rows once; on real
+    many-split inputs it is ~free relative to the pair stage it widens
+    (the q32/q82 round-6 pattern, parameterised on defaultParallelism
+    instead of a local constant)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def with_cosine(
@@ -62,7 +83,7 @@ def cosine_topk(
     BEFORE ranking (e.g. the hard-negative label-mismatch predicate);
     ``select_extra`` carries additional vector-side columns through to
     the output."""
-    cand = vectors.withColumn("_nv", _norm(vec_col)).crossJoin(
+    cand = _spread(vectors).withColumn("_nv", _norm(vec_col)).crossJoin(
         F.broadcast(queries.withColumn("_nq", _norm(query_vec_col)))
     )
     if pair_filter is not None:
@@ -103,8 +124,8 @@ def cosine_neardup_pairs(
     # norms hoisted to per-vector columns (round-6: they were evaluated
     # per PAIR inside the join — 2/3 of the O(n^2) interpreted-HOF work
     # for the identical bits, q32 62.6 -> see BENCH/full_suite notes)
-    a = vectors.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    a = _spread(
+        vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     ).withColumn("_na", _norm("_va"))
     b = vectors.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
@@ -114,7 +135,7 @@ def cosine_neardup_pairs(
         # join is otherwise ONE sub-4MB parquet split (openCostInBytes
         # floor) and the whole n^2 runs in a single task; this is pure
         # JVM (no Arrow workers), so spreading is safe on this host
-        cand = a.repartition(32).crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     else:
         planes = hyperplanes(dim, n_planes, seed)
         masks = probe_masks(n_planes, probe_radius)
@@ -274,7 +295,7 @@ def ivf_topk(
             ]
         )
 
-    v = vectors.withColumn("_sc", scores(vec_col)).withColumn(
+    v = _spread(vectors).withColumn("_sc", scores(vec_col)).withColumn(
         "_cid", F.array_position(F.col("_sc"), F.array_max(F.col("_sc")))
     ).drop("_sc")
     probe_structs = F.array(
@@ -363,7 +384,7 @@ def lsh_ann_topk(
     """
     planes = hyperplanes(dim, n_planes, seed)
     masks = probe_masks(n_planes, probe_radius)
-    v = vectors.withColumn("_bucket", lsh_bucket_expr(vec_col, planes))
+    v = _spread(vectors).withColumn("_bucket", lsh_bucket_expr(vec_col, planes))
     q = queries.withColumn("_home", lsh_bucket_expr(query_vec_col, planes))
     q = q.withColumn(
         "_bucket",

@@ -106,37 +106,52 @@ def repetition_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     token or one phrase (boilerplate, keyword stuffing, template spam)
     get filtered on these in web-corpus curation.
 
-    Shape: ONE pass — unigrams and bigrams are tagged structs in a
-    single exploded array, so the whole operator is one scan, one
-    (doc, kind, gram) count and one per-doc aggregate: exactly two
-    shuffles, both on doc-ish keys, both map-side combinable, no joins,
-    no Python anywhere. n_words falls out as the sum of the unigram
-    counts. Bigrams come from zip_with over two slices of the split
-    array (pure Catalyst, no posexplode/window needed).
+    Shape (round-7): ZERO shuffles — the most-frequent-gram count per
+    doc equals the longest equal-run in the SORTED gram array, so both
+    metrics are per-row ``sort_array`` + ``aggregate`` expressions and
+    the whole operator is one scan-and-project. The round-6 version
+    exploded every unigram+bigram into a corpus-sized (doc, kind, gram)
+    hash aggregate — two shuffles carrying every gram string (~10M rows
+    at sf1.0) to compute what each row already knew locally. Bigrams
+    come from zip_with over two slices of the split array; a null text
+    yields no output row (explode-on-null semantics of the previous
+    shape, preserved).
     """
+
+    def _top_run(arr: str) -> str:
+        # longest run of equal values in sort_array(arr) == count of the
+        # most frequent value; single left-to-right fold, exact longs
+        return (
+            f"aggregate(sort_array({arr}), "
+            "named_struct('p', cast(null as string), 'r', 0L, 'b', 0L), "
+            "(a, x) -> named_struct("
+            "  'p', x, "
+            "  'r', IF(a.p <=> x, a.r + 1L, 1L), "
+            "  'b', greatest(a.b, IF(a.p <=> x, a.r + 1L, 1L))), "
+            "a -> a.b)"
+        )
+
     c = F.col(text_col)
     words = F.split(F.lower(F.trim(c)), r"\s+")
-    base = df.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
-    tagged = F.expr(
-        "concat("
-        "  transform(_w, w -> struct(1 AS kind, w AS g)),"
-        "  transform("
-        "    zip_with(slice(_w, 1, greatest(size(_w) - 1, 0)),"
-        "             slice(_w, 2, greatest(size(_w) - 1, 0)),"
-        "             (a, b) -> concat(a, ' ', b)),"
-        "    w -> struct(2 AS kind, w AS g)))"
+    # round-robin the doc table first: the sub-4MB documents scan is 2
+    # splits, and with the shuffles gone this whole operator would
+    # otherwise run its per-row sort/fold work on 2 cores (pure JVM —
+    # spreading is safe; the exchange carries the docs once)
+    base = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(F.col(id_col).alias("doc_id"), words.alias("_w"))
+        .filter(F.col("_w").isNotNull())
     )
-    per_gram = (
-        base.select("doc_id", F.explode(tagged).alias("e"))
-        .groupBy("doc_id", F.col("e.kind").alias("_k"), F.col("e.g").alias("_g"))
-        .agg(F.count(F.lit(1)).alias("_c"))
+    bigrams = (
+        "zip_with(slice(_w, 1, greatest(size(_w) - 1, 0)),"
+        "         slice(_w, 2, greatest(size(_w) - 1, 0)),"
+        "         (a, b) -> concat(a, ' ', b))"
     )
-    k1 = F.when(F.col("_k") == 1, F.col("_c"))
-    k2 = F.when(F.col("_k") == 2, F.col("_c"))
-    out = per_gram.groupBy("doc_id").agg(
-        F.sum(k1).cast("long").alias("n_words"),
-        F.max(k1).alias("top_word_count"),
-        F.coalesce(F.max(k2), F.lit(0)).alias("top_bigram_count"),
+    out = base.select(
+        "doc_id",
+        F.size("_w").cast("long").alias("n_words"),
+        F.expr(_top_run("_w")).alias("top_word_count"),
+        F.expr(_top_run(bigrams)).alias("top_bigram_count"),
     )
     return out.select(
         "*",
@@ -838,7 +853,21 @@ def bpe_merge_tokenize(
     words = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
     )
-    tok = df.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("_w"))
+    # spread the 2-split documents scan before the explode (pure-JVM
+    # stage; the exchange carries the docs once)
+    tok = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+        F.col(id_col).alias("doc_id"), F.explode(words).alias("_w")
+    )
+    # Round-7: the char-split regexp + 20-replace chain is a pure
+    # function of the word, so it runs once per DISTINCT word (the
+    # vocabulary — bounded and tiny next to the instance stream: ~5M
+    # word instances vs a few thousand distinct words at sf1.0) and the
+    # per-doc sums weight each word's token count by its (doc, word)
+    # instance count. Integer sums are order-independent, so the
+    # grouped form is exactly the per-instance form. The vocab side of
+    # the join is left unhinted: AQE broadcasts it when small, which is
+    # the right call at any corpus size.
+    wc = tok.groupBy("doc_id", "_w").agg(F.count(F.lit(1)).alias("_c"))
     # 'abc' -> ' a b c ' (space after every char + leading sentinel:
     # every token is then delimited by spaces on BOTH sides)
     spaced = F.concat(F.lit(" "), F.regexp_replace(F.col("_w"), "(.)", "$1 "))
@@ -847,13 +876,17 @@ def bpe_merge_tokenize(
         merged = F.replace(
             merged, F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
         )
-    per_word = tok.select(
-        "doc_id",
-        F.size(F.split(F.trim(merged), " ")).alias("_nt"),
-        F.length("_w").alias("_nc"),
+    vocab = (
+        wc.select("_w")
+        .distinct()
+        .select("_w", F.size(F.split(F.trim(merged), " ")).alias("_nt"))
     )
-    return per_word.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_words"),
-        F.sum("_nt").cast("long").alias("n_tokens"),
-        F.sum("_nc").cast("long").alias("n_chars"),
+    return (
+        wc.join(vocab, "_w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_c").cast("long").alias("n_words"),
+            F.sum(F.col("_c") * F.col("_nt")).cast("long").alias("n_tokens"),
+            F.sum(F.col("_c") * F.length("_w")).cast("long").alias("n_chars"),
+        )
     )

@@ -632,74 +632,291 @@ def dbscan(
     NOISE (cluster_id NULL). Cluster id = minimum member point id.
     Returns (id, is_core, cluster_id).
 
-    Spark-first shape: neighbor candidates come from an eps-sized grid
-    (gx = floor(x/eps)) — each point scatters to its 3x3 cells (pure
-    arithmetic, 9x rows) and one equi-join against the unscattered
-    table yields every pair at distance <= eps exactly once, because
-    |gx_a - gx_b| <= 1 whenever d <= eps. The exact d2 <= eps^2 filter
-    runs on the join output; per-point degree is one map-side
-    combinable count; core-core edges feed the large-star/small-star
-    ``connected_components`` (O(log n) rounds). No KD-tree, no driver
-    state — every step is a shuffle on grid or id keys, which is the
-    published trillion-row DBSCAN-on-MapReduce shape."""
+    Spark-first shape (round-7 rewrite — the exact CELL-contraction
+    DBSCAN, Gunawan-style grid): cells of width w = eps/sqrt(2) make
+    every intra-cell pair lie within eps (cell diagonal == eps), so a
+    cell holding >= min_pts points is DENSE: all its points are core
+    with zero pair checks, and for connectivity the whole cell
+    contracts to ONE quotient node. The round-6 eps-grid version
+    materialized every neighbor pair — O(b^2) per eps-clique blob, and
+    a 10x input grew the pair table 100x (370 s at sf1.0). Here pair
+    work survives only where the data is sparse:
+
+    * per-cell stats (n, bbox, min id) are ONE map-side-combinable
+      aggregation;
+    * point<->cell and cell<->cell reachability is first decided from
+      bbox distance BOUNDS — max-distance bound <= eps^2 proves every
+      pair in range (count n wholesale / link cells without looking at
+      points), min-distance bound > eps^2 proves none is; only the
+      sliver between the bounds expands to point-level d2 checks. The
+      bounds use the same (sub, mul, add) op shapes as the pair d2, and
+      IEEE rounding is monotone, so a bound that passes/fails implies
+      every member pair's computed d2 passes/fails — float-exact, not
+      approximate;
+    * only points in NON-dense cells (< min_pts per cell) ever join at
+      point level, against <= 25 neighbor cells (Chebyshev radius 2 at
+      w = eps/sqrt(2) covers every pair within eps);
+    * core-core edges are emitted at (dense-cell min-id | sparse core
+      id) granularity, so ``connected_components`` sees the contracted
+      quotient graph — blobs are single nodes before CC even starts.
+
+    Labels are unchanged vs the pair-level formulation: a dense cell's
+    node id is its min point id (all core), so component minima are the
+    true min member ids; border points take the min core-cluster label
+    among cores within eps, resolved per-cell when the bound decides it
+    and per-point otherwise. No KD-tree, no driver state — every step
+    is a shuffle on cell or id keys."""
+    import math
+
     from pda_spark.functions.graph import connected_components
 
     eps2 = eps * eps
+    w = eps / math.sqrt(2.0)
     base = points.select(
         F.col(id_col).alias("_pid"),
         F.col(x_col).alias("_x"),
         F.col(y_col).alias("_y"),
-        F.floor(F.col(x_col) / F.lit(eps)).alias("gx"),
-        F.floor(F.col(y_col) / F.lit(eps)).alias("gy"),
+        F.floor(F.col(x_col) / F.lit(w)).alias("cx"),
+        F.floor(F.col(y_col) / F.lit(w)).alias("cy"),
+    ).localCheckpoint(eager=False)
+
+    # Per-cell stats. The bbox self-check is a float-safety belt: the
+    # cell is w x w so diag^2 == eps^2 in the reals, but a pair at the
+    # exact corner could round its computed d2 one ulp above eps2 — such
+    # a cell (if it ever exists) is handled on the exact sparse path.
+    cells = (
+        base.groupBy("cx", "cy")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.min("_x").alias("minx"),
+            F.max("_x").alias("maxx"),
+            F.min("_y").alias("miny"),
+            F.max("_y").alias("maxy"),
+            F.min("_pid").alias("cmin"),
+        )
+        .withColumn(
+            "dense",
+            (F.col("cn") >= F.lit(min_pts))
+            & (
+                (F.col("maxx") - F.col("minx")) * (F.col("maxx") - F.col("minx"))
+                + (F.col("maxy") - F.col("miny")) * (F.col("maxy") - F.col("miny"))
+                <= F.lit(eps2)
+            ),
+        )
+        .localCheckpoint(eager=False)
     )
-    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+    # Each occupied cell scattered to its 5x5 Chebyshev neighborhood:
+    # (ncx, ncy) is where the SOURCE cell's stats become visible to
+    # points/cells living there. 25 small rows per cell, pure arithmetic.
+    offs = [(dx, dy) for dx in (-2, -1, 0, 1, 2) for dy in (-2, -1, 0, 1, 2)]
     off = F.explode(
         F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offs])
     ).alias("o")
-    scattered = base.select("_pid", "_x", "_y", "gx", "gy", off).select(
-        F.col("_pid").alias("_a"),
-        F.col("_x").alias("_xa"),
-        F.col("_y").alias("_ya"),
-        (F.col("gx") + F.col("o.dx")).alias("gx"),
-        (F.col("gy") + F.col("o.dy")).alias("gy"),
+    adj = cells.select(
+        F.col("cx").alias("scx"), F.col("cy").alias("scy"),
+        "cn", "minx", "maxx", "miny", "maxy", "cmin", "dense", off,
+    ).select(
+        "scx", "scy", "cn", "minx", "maxx", "miny", "maxy", "cmin", "dense",
+        (F.col("scx") + F.col("o.dx")).alias("ncx"),
+        (F.col("scy") + F.col("o.dy")).alias("ncy"),
     )
-    d2 = (F.col("_xa") - F.col("_x")) * (F.col("_xa") - F.col("_x")) + (
-        F.col("_ya") - F.col("_y")
-    ) * (F.col("_ya") - F.col("_y"))
-    # localCheckpoint (lazy): nb — the expensive 9x-scatter eps join —
-    # feeds the degree count, the core-core edges AND border labeling;
-    # without it the whole neighbor join re-executes once per consumer.
-    nb = (
-        scattered.join(base, ["gx", "gy"])
-        .filter(d2 <= F.lit(eps2))
-        .select(F.col("_a"), F.col("_pid").alias("_b"))
+
+    # Sparse points (non-dense home cell) are the only ones needing
+    # per-point degree / border resolution.
+    sp = base.join(
+        cells.select("cx", "cy", F.col("dense").alias("_home_dense")), ["cx", "cy"]
+    ).filter(~F.col("_home_dense"))
+
+    # (sparse point, nearby source cell) with point->bbox distance
+    # bounds; same op shapes as the pair d2 so IEEE monotonicity makes
+    # the wholesale/excluded decisions exact.
+    fxf = F.greatest(F.col("maxx") - F.col("_x"), F.col("_x") - F.col("minx"))
+    fyf = F.greatest(F.col("maxy") - F.col("_y"), F.col("_y") - F.col("miny"))
+    fxn = F.greatest(F.col("minx") - F.col("_x"), F.col("_x") - F.col("maxx"), F.lit(0.0))
+    fyn = F.greatest(F.col("miny") - F.col("_y"), F.col("_y") - F.col("maxy"), F.lit(0.0))
+    spc = (
+        sp.join(adj, (F.col("cx") == F.col("ncx")) & (F.col("cy") == F.col("ncy")))
+        .withColumn("_pmax2", fxf * fxf + fyf * fyf)
+        .withColumn("_pmin2", fxn * fxn + fyn * fyn)
+        .filter(F.col("_pmin2") <= F.lit(eps2))
+        .select(
+            "_pid", "_x", "_y", "scx", "scy", "cn", "cmin", "dense",
+            (F.col("_pmax2") <= F.lit(eps2)).alias("_whole"),
+        )
         .localCheckpoint(eager=False)
     )
-    deg = nb.groupBy("_a").agg(F.count(F.lit(1)).alias("_deg"))
-    core = deg.filter(F.col("_deg") >= F.lit(min_pts)).select(F.col("_a").alias("_c"))
-    core_edges = (
-        nb.join(core.select(F.col("_c").alias("_a")), "_a")
-        .join(core.select(F.col("_c").alias("_b")), "_b")
-        .filter(F.col("_a") != F.col("_b"))
+
+    # Point-level expansion, only where a bound could not decide:
+    # dense sources in the bound sliver, and ALL sparse sources (their
+    # point lists are < min_pts rows, and edges/borders need ids).
+    qside = base.select(
+        F.col("_pid").alias("_qid"), F.col("_x").alias("_qx"), F.col("_y").alias("_qy"),
+        F.col("cx").alias("scx"), F.col("cy").alias("scy"),
     )
-    cc = connected_components(core_edges, src="_a", dst="_b")
-    core_lab = core.join(cc, core["_c"] == cc["id"], "left").select(
-        F.col("_c"), F.coalesce(F.col("component"), F.col("_c")).alias("_cl")
+    d2 = (F.col("_x") - F.col("_qx")) * (F.col("_x") - F.col("_qx")) + (
+        F.col("_y") - F.col("_qy")
+    ) * (F.col("_y") - F.col("_qy"))
+    pairs = (
+        spc.filter(~F.col("_whole") | ~F.col("dense"))
+        .join(qside, ["scx", "scy"])
+        .filter((F.col("_whole") & ~F.col("dense")) | (d2 <= F.lit(eps2)))
+        .select("_pid", "scx", "scy", "cmin", "dense", "_qid")
+        .localCheckpoint(eager=False)
     )
-    border_lab = (
-        nb.join(core_lab.select(F.col("_c").alias("_b"), "_cl"), "_b")
-        .groupBy("_a")
-        .agg(F.min("_cl").alias("_bl"))
+
+    # Degree = wholesale cell counts + individually verified neighbors
+    # (self included via the home cell, like the pair formulation).
+    deg_whole = (
+        spc.filter(F.col("_whole") & F.col("dense"))
+        .groupBy("_pid")
+        .agg(F.sum("cn").alias("_dw"))
     )
-    out = (
-        base.select("_pid")
-        .join(core_lab.select(F.col("_c").alias("_pid"), F.col("_cl")), "_pid", "left")
-        .join(border_lab.select(F.col("_a").alias("_pid"), "_bl"), "_pid", "left")
+    deg_pair = pairs.groupBy("_pid").agg(F.count(F.lit(1)).alias("_dp"))
+    deg = (
+        sp.select("_pid")
+        .join(deg_whole, "_pid", "left")
+        .join(deg_pair, "_pid", "left")
+        .select(
+            "_pid",
+            (F.coalesce(F.col("_dw"), F.lit(0)) + F.coalesce(F.col("_dp"), F.lit(0))).alias(
+                "_deg"
+            ),
+        )
     )
-    return out.select(
-        F.col("_pid").alias(id_col),
-        F.col("_cl").isNotNull().alias("is_core"),
-        F.coalesce("_cl", "_bl").alias("cluster_id"),
+    score = deg.filter(F.col("_deg") >= F.lit(min_pts)).select("_pid").localCheckpoint(eager=False)
+
+    # Quotient edges: node = dense-cell min id | sparse core id.
+    dc = cells.filter(F.col("dense"))
+    dadj = adj.filter(F.col("dense")).withColumnRenamed("cmin", "_cmin_b")
+    cxf = F.greatest(F.col("maxx") - F.col("_bminx"), F.col("_bmaxx") - F.col("minx"))
+    cyf = F.greatest(F.col("maxy") - F.col("_bminy"), F.col("_bmaxy") - F.col("miny"))
+    cxn = F.greatest(
+        F.col("minx") - F.col("_bmaxx"), F.col("_bminx") - F.col("maxx"), F.lit(0.0)
+    )
+    cyn = F.greatest(
+        F.col("miny") - F.col("_bmaxy"), F.col("_bminy") - F.col("maxy"), F.lit(0.0)
+    )
+    dd = (
+        dc.join(
+            dadj.select(
+                "ncx", "ncy", "scx", "scy", "_cmin_b",
+                F.col("minx").alias("_bminx"), F.col("maxx").alias("_bmaxx"),
+                F.col("miny").alias("_bminy"), F.col("maxy").alias("_bmaxy"),
+            ),
+            (F.col("cx") == F.col("ncx")) & (F.col("cy") == F.col("ncy")),
+        )
+        .filter(F.col("cmin") < F.col("_cmin_b"))  # one direction per cell pair
+        .withColumn("_cmax2", cxf * cxf + cyf * cyf)
+        .withColumn("_cmin2", cxn * cxn + cyn * cyn)
+        .filter(F.col("_cmin2") <= F.lit(eps2))
+    )
+    dd_whole = dd.filter(F.col("_cmax2") <= F.lit(eps2)).select(
+        F.col("cmin").alias("_u"), F.col("_cmin_b").alias("_v")
+    )
+    # undecided dense-dense cell pairs: verify with one any-pair probe
+    a_pts = base.select(
+        F.col("cx"), F.col("cy"), F.col("_x").alias("_ax"), F.col("_y").alias("_ay")
+    )
+    b_pts = base.select(
+        F.col("cx").alias("scx"), F.col("cy").alias("scy"),
+        F.col("_x").alias("_bx"), F.col("_y").alias("_by"),
+    )
+    dd_d2 = (F.col("_ax") - F.col("_bx")) * (F.col("_ax") - F.col("_bx")) + (
+        F.col("_ay") - F.col("_by")
+    ) * (F.col("_ay") - F.col("_by"))
+    dd_part = (
+        dd.filter(F.col("_cmax2") > F.lit(eps2))
+        .select("cx", "cy", "scx", "scy", "cmin", "_cmin_b")
+        .join(a_pts, ["cx", "cy"])
+        .join(b_pts, ["scx", "scy"])
+        .filter(dd_d2 <= F.lit(eps2))
+        .select(F.col("cmin").alias("_u"), F.col("_cmin_b").alias("_v"))
+        .dropDuplicates(["_u", "_v"])
+    )
+    sc_a = score.withColumnRenamed("_pid", "_sc")
+    e_sd = (
+        spc.filter(F.col("_whole") & F.col("dense"))
+        .join(sc_a, spc["_pid"] == sc_a["_sc"])
+        .select(F.col("_pid").alias("_u"), F.col("cmin").alias("_v"))
+        .unionByName(
+            pairs.filter(F.col("dense"))
+            .join(sc_a, pairs["_pid"] == sc_a["_sc"])
+            .select(F.col("_pid").alias("_u"), F.col("cmin").alias("_v"))
+        )
+        .dropDuplicates(["_u", "_v"])
+    )
+    sc_b = score.withColumnRenamed("_pid", "_sc_b")
+    e_ss = (
+        pairs.filter(~F.col("dense") & (F.col("_pid") != F.col("_qid")))
+        .join(sc_a, pairs["_pid"] == sc_a["_sc"])
+        .join(sc_b, pairs["_qid"] == sc_b["_sc_b"])
+        .select(F.col("_pid").alias("_u"), F.col("_qid").alias("_v"))
+    )
+    edges = dd_whole.unionByName(dd_part).unionByName(e_sd).unionByName(e_ss)
+
+    cc = connected_components(edges, src="_u", dst="_v")
+
+    # Node labels: every quotient node (dense cmin | sparse core id)
+    # keeps its component min, itself when isolated.
+    nodes = dc.select(F.col("cmin").alias("_n")).unionByName(
+        score.select(F.col("_pid").alias("_n"))
+    ).dropDuplicates(["_n"])
+    labels = (
+        nodes.join(cc, nodes["_n"] == cc["id"], "left")
+        .select("_n", F.coalesce(F.col("component"), F.col("_n")).alias("_cl"))
+        .localCheckpoint(eager=False)
+    )
+
+    # Border labels for sparse non-core points: min core-cluster label
+    # among cores within eps — wholesale dense cells, verified pairs
+    # into dense cells, and verified sparse-core neighbors.
+    lab_cell = labels.withColumnRenamed("_n", "cmin").withColumnRenamed("_cl", "_cell_cl")
+    lab_q = labels.withColumnRenamed("_n", "_qid").withColumnRenamed("_cl", "_q_cl")
+    cand_dense = (
+        spc.filter(F.col("_whole") & F.col("dense"))
+        .select("_pid", "cmin")
+        .unionByName(pairs.filter(F.col("dense")).select("_pid", "cmin"))
+        .join(lab_cell, "cmin")
+        .select("_pid", F.col("_cell_cl").alias("_bl0"))
+    )
+    cand_sparse = (
+        pairs.filter(~F.col("dense"))
+        .join(sc_b, pairs["_qid"] == sc_b["_sc_b"])
+        .join(lab_q, "_qid")
+        .select("_pid", F.col("_q_cl").alias("_bl0"))
+    )
+    border = (
+        cand_dense.unionByName(cand_sparse)
+        .join(score.withColumnRenamed("_pid", "_pid2"), F.col("_pid") == F.col("_pid2"), "left_anti")
+        .groupBy("_pid")
+        .agg(F.min("_bl0").alias("_bl"))
+    )
+
+    # Assemble: dense-cell points labeled through their cell node,
+    # sparse cores through their own node, sparse non-cores through the
+    # border min, the rest noise.
+    out_dense = (
+        base.join(dc.select("cx", "cy", "cmin"), ["cx", "cy"])
+        .join(lab_cell, "cmin")
+        .select("_pid", F.lit(True).alias("is_core"), F.col("_cell_cl").alias("cluster_id"))
+    )
+    lab_core = labels.withColumnRenamed("_n", "_pid")
+    out_sparse = (
+        sp.select("_pid")
+        .join(lab_core, "_pid", "left")
+        .join(border, "_pid", "left")
+        .join(score.withColumnRenamed("_pid", "_pc"), F.col("_pid") == F.col("_pc"), "left")
+        .select(
+            "_pid",
+            F.col("_pc").isNotNull().alias("is_core"),
+            F.when(F.col("_pc").isNotNull(), F.col("_cl")).otherwise(F.col("_bl")).alias(
+                "cluster_id"
+            ),
+        )
+    )
+    return out_dense.unionByName(out_sparse).select(
+        F.col("_pid").alias(id_col), "is_core", "cluster_id"
     )
 
 

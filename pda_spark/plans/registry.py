@@ -1257,7 +1257,11 @@ def q79_buffer_area(spark, sf_dir):
     arithmetic; round 4 leaves ~9 orders of magnitude of margin over the
     scanline-vs-closed-form float drift (~1e-13 relative)."""
     d = 0.35
-    return _part_rects(spark, sf_dir).select(
+    # post-shuffle spread of the Arrow kernel stage (the q82 pattern):
+    # the part scan is one sub-4MB split, so without this the whole
+    # capsule-union kernel runs in ONE python worker (9.4 s at sf1.0 in
+    # BENCH_r06 — the same single-split cause as q32/q82 in round 6)
+    return _part_rects(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism).select(
         "p_partkey",
         F.round(geo_udfs.buffer_area_planar(d)(F.col("geom")), 4).alias("buf_area"),
     )
@@ -6820,62 +6824,9 @@ FROM filled
 # then enough long-proven load-bearing queries to fill slot 50, then the
 # long-proven remainder.  Cumulative proof ledger: DRIVER_LEDGER.json.
 QUERIES: dict[str, tuple] = {
-    # --- DRIVER ROTATION (r06): the artifact records only the first 50 keys.
-    # Slots 1-36: q62-q97 (VERDICT r05 explicit ask - unproven for 3 rounds).
-    "q62_salted_intersects": (q62_salted_intersects, Q45_SQL),
-    "q63_video_frames": (q63_video_frames, Q63_SQL),
-    "q64_pip_wkb": (q64_pip_wkb, Q41_SQL),
-    "q65_pip_right_outer": (q65_pip_right_outer, Q65_SQL),
-    "q66_pip_left_outer": (q66_pip_left_outer, Q66_SQL),
-    "q67_percentiles": (q67_percentiles, Q67_SQL),
-    "q68_analytic_windows": (q68_analytic_windows, Q68_SQL),
-    "q69_distance_join": (q69_distance_join, Q69_SQL),
-    "q70_pip_multires": (q70_pip_multires, Q70_SQL),
-    "q71_decontaminate": (q71_decontaminate, Q71_SQL),
-    "q72_corpus_quality": (q72_corpus_quality, Q72_SQL),
-    "q73_quota_sample": (q73_quota_sample, Q73_SQL),
-    "q74_pii_scrub": (q74_pii_scrub, Q74_SQL),
-    "q75_boilerplate_lines": (q75_boilerplate_lines, Q75_SQL),
-    "q76_intersects_right_outer": (q76_intersects_right_outer, Q76_SQL),
-    "q77_heavy_hitters": (q77_heavy_hitters, Q77_SQL),
-    "q78_knn_geodesic": (q78_knn_geodesic, Q78_SQL),
-    "q79_buffer_area": (q79_buffer_area, Q79_SQL),
-    "q80_set_ops": (q80_set_ops, Q80_SQL),
-    "q81_bm25": (q81_bm25, Q81_SQL),
-    "q82_erosion_area": (q82_erosion_area, Q82_SQL),
-    "q83_zonal_stats": (q83_zonal_stats, Q83_SQL),
-    "q84_range_window": (q84_range_window, Q84_SQL),
-    "q85_convex_hull": (q85_convex_hull, Q85_SQL),
-    "q86_pivot": (q86_pivot, Q86_SQL),
-    "q87_focal_stats": (q87_focal_stats, Q87_SQL),
-    "q88_geodesic_length": (q88_geodesic_length, Q88_SQL),
-    "q89_anti_join": (q89_anti_join, Q89_SQL),
-    "q90_union_by_name": (q90_union_by_name, Q90_SQL),
-    "q91_grouping_sets": (q91_grouping_sets, Q91_SQL),
-    "q92_date_arith": (q92_date_arith, Q92_SQL),
-    "q93_sequence_packing": (q93_sequence_packing, Q93_SQL),
-    "q94_zorder": (q94_zorder, Q94_SQL),
-    "q95_contains_join": (q95_contains_join, Q95_SQL),
-    "q96_intersects_multires": (q96_intersects_multires, Q96_SQL),
-    "q97_correlated_subquery": (q97_correlated_subquery, Q97_SQL),
-    # Slot 37: q33 re-proven (round-6 k-means re-pin changed its output).
-    "q33_ivf_ann": (q33_ivf_ann, _ivf_sql()),
-    # Slots 38-50: round-6 VERDICT-item gates q98-q110.
-    "q98_image_decode": (q98_image_decode, Q98_SQL),
-    "q99_udtf_shingles": (q99_udtf_shingles, Q99_SQL),
-    "q100_substring_containment": (q100_substring_containment, Q100_SQL),
-    "q101_image_downsample": (q101_image_downsample, Q101_SQL),
-    "q102_tfidf": (q102_tfidf, Q102_SQL),
-    "q103_winnowing": (q103_winnowing, Q103_SQL),
-    "q104_tile_pyramid": (q104_tile_pyramid, Q104_SQL),
-    "q105_geohash": (q105_geohash, Q105_SQL),
-    "q106_areal_interp": (q106_areal_interp, Q106_SQL),
-    "q107_edit_distance": (q107_edit_distance, Q107_SQL),
-    "q108_focal_gradient": (q108_focal_gradient, Q108_SQL),
-    "q109_morans_i": (q109_morans_i, Q109_SQL),
-    "q110_paragraph_dedup": (q110_paragraph_dedup, Q110_SQL),
-    # --- positions 51+: q111-q132 are round-6 additions with no driver row
-    # yet; they LEAD the r07 rotation (22 queries, fits in one artifact).
+    # --- DRIVER ROTATION (r07, VERDICT r06 #1): the artifact records only
+    # the first 50 keys. Slots 1-50: q111-q160 — oldest-unproven FIFO (they
+    # were sequenced at positions 51+ in r06 exactly for this).
     "q111_hilbert": (q111_hilbert, Q111_SQL),
     "q112_inverted_index": (q112_inverted_index, Q112_SQL),
     "q113_staypoints": (q113_staypoints, Q113_SQL),
@@ -6926,6 +6877,8 @@ QUERIES: dict[str, tuple] = {
     "q158_scd2": (q158_scd2, Q158_SQL),
     "q159_kcore": (q159_kcore, _kcore_sql()),
     "q160_bloom_pruned_join": (q160_bloom_pruned_join, Q160_SQL),
+    # --- positions 51-71: q161-q181, still unproven — they LEAD the r08
+    # rotation (21 queries, fits in one artifact).
     "q161_time_weighted_avg": (q161_time_weighted_avg, Q161_SQL),
     "q162_gaps_islands": (q162_gaps_islands, Q162_SQL),
     "q163_bpe_tokenize": (q163_bpe_tokenize, _bpe_sql()),
@@ -6947,7 +6900,58 @@ QUERIES: dict[str, tuple] = {
     "q179_calibration": (q179_calibration, Q179_SQL),
     "q180_feature_hash": (q180_feature_hash, Q180_SQL),
     "q181_vocab_growth": (q181_vocab_growth, Q181_SQL),
-    # --- long driver-proven queries (green rows in DRIVER_LEDGER.json) ---
+    # --- long driver-proven queries (green rows in DRIVER_LEDGER.json;
+    # q62-q110 + the re-pinned q33 all proved in CORRECTNESS_r06) ---
+    "q62_salted_intersects": (q62_salted_intersects, Q45_SQL),
+    "q63_video_frames": (q63_video_frames, Q63_SQL),
+    "q64_pip_wkb": (q64_pip_wkb, Q41_SQL),
+    "q65_pip_right_outer": (q65_pip_right_outer, Q65_SQL),
+    "q66_pip_left_outer": (q66_pip_left_outer, Q66_SQL),
+    "q67_percentiles": (q67_percentiles, Q67_SQL),
+    "q68_analytic_windows": (q68_analytic_windows, Q68_SQL),
+    "q69_distance_join": (q69_distance_join, Q69_SQL),
+    "q70_pip_multires": (q70_pip_multires, Q70_SQL),
+    "q71_decontaminate": (q71_decontaminate, Q71_SQL),
+    "q72_corpus_quality": (q72_corpus_quality, Q72_SQL),
+    "q73_quota_sample": (q73_quota_sample, Q73_SQL),
+    "q74_pii_scrub": (q74_pii_scrub, Q74_SQL),
+    "q75_boilerplate_lines": (q75_boilerplate_lines, Q75_SQL),
+    "q76_intersects_right_outer": (q76_intersects_right_outer, Q76_SQL),
+    "q77_heavy_hitters": (q77_heavy_hitters, Q77_SQL),
+    "q78_knn_geodesic": (q78_knn_geodesic, Q78_SQL),
+    "q79_buffer_area": (q79_buffer_area, Q79_SQL),
+    "q80_set_ops": (q80_set_ops, Q80_SQL),
+    "q81_bm25": (q81_bm25, Q81_SQL),
+    "q82_erosion_area": (q82_erosion_area, Q82_SQL),
+    "q83_zonal_stats": (q83_zonal_stats, Q83_SQL),
+    "q84_range_window": (q84_range_window, Q84_SQL),
+    "q85_convex_hull": (q85_convex_hull, Q85_SQL),
+    "q86_pivot": (q86_pivot, Q86_SQL),
+    "q87_focal_stats": (q87_focal_stats, Q87_SQL),
+    "q88_geodesic_length": (q88_geodesic_length, Q88_SQL),
+    "q89_anti_join": (q89_anti_join, Q89_SQL),
+    "q90_union_by_name": (q90_union_by_name, Q90_SQL),
+    "q91_grouping_sets": (q91_grouping_sets, Q91_SQL),
+    "q92_date_arith": (q92_date_arith, Q92_SQL),
+    "q93_sequence_packing": (q93_sequence_packing, Q93_SQL),
+    "q94_zorder": (q94_zorder, Q94_SQL),
+    "q95_contains_join": (q95_contains_join, Q95_SQL),
+    "q96_intersects_multires": (q96_intersects_multires, Q96_SQL),
+    "q97_correlated_subquery": (q97_correlated_subquery, Q97_SQL),
+    "q33_ivf_ann": (q33_ivf_ann, _ivf_sql()),
+    "q98_image_decode": (q98_image_decode, Q98_SQL),
+    "q99_udtf_shingles": (q99_udtf_shingles, Q99_SQL),
+    "q100_substring_containment": (q100_substring_containment, Q100_SQL),
+    "q101_image_downsample": (q101_image_downsample, Q101_SQL),
+    "q102_tfidf": (q102_tfidf, Q102_SQL),
+    "q103_winnowing": (q103_winnowing, Q103_SQL),
+    "q104_tile_pyramid": (q104_tile_pyramid, Q104_SQL),
+    "q105_geohash": (q105_geohash, Q105_SQL),
+    "q106_areal_interp": (q106_areal_interp, Q106_SQL),
+    "q107_edit_distance": (q107_edit_distance, Q107_SQL),
+    "q108_focal_gradient": (q108_focal_gradient, Q108_SQL),
+    "q109_morans_i": (q109_morans_i, Q109_SQL),
+    "q110_paragraph_dedup": (q110_paragraph_dedup, Q110_SQL),
     "q41_pip_join": (q41_pip_join, Q41_SQL),
     "q42_knn": (q42_knn, Q42_SQL),
     "q45_rect_intersects": (q45_rect_intersects, Q45_SQL),

@@ -56,6 +56,13 @@ def main() -> int:
         "unproven": unproven,
         "proven_count": len([q for q in registry if q in ledger]),
         "registry_count": len(registry),
+        # VERDICT r06 #4: stamp which artifacts this ledger reflects so a
+        # pre-artifact rebuild can never silently contradict a newer
+        # CORRECTNESS_r{N}.json (the r06 skew: ledger said 50 while the
+        # r06 artifact proved 99).
+        "reflects_artifacts_through_round": (
+            int(re.search(r"r(\d+)", rounds[-1].name).group(1)) if rounds else 0
+        ),
     }
     (ROOT / "DRIVER_LEDGER.json").write_text(json.dumps(out, indent=2) + "\n")
     print(
