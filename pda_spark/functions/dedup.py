@@ -413,14 +413,16 @@ def substring_containment(
 
     Returns (snip_id, doc_id) pairs, self-matches included."""
     norm = lambda c: F.regexp_replace(F.lower(F.trim(F.col(c))), r"\s+", " ")  # noqa: E731
-    # round-robin the corpus BEFORE normalization/shingling: a sub-4MB
-    # corpus parquet scans as 2 splits and the whole posting build (~25M
-    # xxhash64'd shingles at sf1.0) would run on 2 cores otherwise; the
-    # exchange moves raw (id, text) rows once, pure JVM after it
+    n_par = corpus.sparkSession.sparkContext.defaultParallelism
+    # Normalized corpus: round-robined BEFORE normalization (a sub-4MB
+    # corpus parquet scans as 2 splits, capping every downstream stage)
+    # and checkpointed once — it feeds the df pass, the candidate pass,
+    # the verify join and the short-snippet brute leg.
     corp = (
         corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
-        .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+        .repartition(n_par)
         .select("doc_id", norm("_t").alias("_ctext"))
+        .localCheckpoint(eager=False)
     )
     snips = snippets.select(
         F.col(snip_id_col).alias("snip_id"), norm(snip_text_col).alias("_stext")
@@ -435,35 +437,42 @@ def substring_containment(
     sh = F.expr(
         f"transform(sequence(1, length(_ctext) - {k - 1}), i -> xxhash64(substring(_ctext, i, {k})))"
     )
-    # Round-7: only SNIPPET shingle hashes can ever rank (df min is over
-    # shingles present in the snippet) or probe (the rare hash is one of
-    # them), so the corpus posting stream is broadcast-semi-joined down
-    # to that hash set BEFORE anything is aggregated or checkpointed.
-    # The round-6 version materialized the full corpus posting table
-    # (~25M rows at sf1.0) and ran the df hash-agg over all of it; the
-    # filtered table is the only part either consumer reads. df values
-    # for the surviving hashes are unchanged, so the rare-shingle choice
-    # — and the verified output, which any probe shingle reproduces —
-    # are identical.
-    snip_hash = s_h.select("h").distinct()
-    postings = (
-        corp.filter(F.length("_ctext") >= k)
-        .select("doc_id", F.explode(F.array_distinct(sh)).alias("h"))
-        .join(F.broadcast(snip_hash), "h")
-        .localCheckpoint(eager=False)
+    hash_stream = corp.filter(F.length("_ctext") >= k).select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("h")
     )
-    dfreq = postings.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-
+    # Round-7: the corpus posting table is never materialized. Only
+    # SNIPPET shingle hashes can rank (df min is over shingles present
+    # in the snippet), and only each snippet's RAREST hash probes — so
+    # two STREAMED passes over the per-doc hash stream, each reduced
+    # through a broadcast hash set, replace the round-6
+    # localCheckpoint'ed 25M-row posting table (a templated corpus
+    # keeps ~half of it snippet-relevant, so filtering before the
+    # checkpoint was not enough — 13M rows materialized at sf1.0). df
+    # values for surviving hashes are unchanged, so the rare choice —
+    # and the verified output, which any probe shingle reproduces — are
+    # identical.
+    snip_hash = s_h.select("h").distinct()
+    dfreq = (
+        hash_stream.join(F.broadcast(snip_hash), "h")
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     rare = (
         s_h.join(dfreq, "h")
         .groupBy("snip_id")
         .agg(F.min(F.struct("df", "h")).alias("_m"))
         .select("snip_id", F.col("_m.h").alias("h"))
+        .localCheckpoint(eager=False)
     )
-    cands = rare.join(postings, "h").select("snip_id", "doc_id")
+    cands = hash_stream.join(F.broadcast(rare), "h").select("snip_id", "doc_id")
+    # Explicit partition counts on the verify join: it is instr-heavy
+    # compute on few bytes, and AQE's size-based coalescing squeezed it
+    # onto 2 tasks (measured 8.9 s for 2.8M candidates at sf1.0);
+    # user-specified counts are exempt from coalescing.
     verified = (
-        cands.join(long_s, "snip_id")
-        .join(corp, "doc_id")
+        cands.repartition(n_par, "doc_id")
+        .join(F.broadcast(long_s), "snip_id")
+        .join(corp.repartition(n_par, "doc_id"), "doc_id")
         .filter(F.instr(F.col("_ctext"), F.col("_stext")) > 0)
         .select("snip_id", "doc_id")
     )
@@ -495,36 +504,39 @@ def winnow_fingerprints(
 
     Emitting distinct min VALUES (not positions) keeps the result
     independent of tie-position conventions, so a SQL window-min
-    replays it exactly. The per-doc window is ROWS-bounded and
-    partitioned by doc — no corpus-sized window state at scale."""
-    from pyspark.sql import Window
+    replays it exactly.
 
-    d = df.select(
+    Shape (round-7): the sliding window, the completeness filter and the
+    per-doc distinct are all LOCAL to one document, so they run as array
+    expressions over the per-doc shingle-hash array — zero shuffles
+    (the round-6 version exploded ~3.5M shingle rows at sf1.0 into a
+    corpus-wide window + a distinct, three shuffles of hash rows). The
+    doc table is round-robined first so the hash work isn't capped by
+    the sub-4MB parquet split count. Windows that would run past the
+    last shingle are not complete windows — but a doc with fewer than w
+    shingles keeps its single (truncated) window so every doc
+    fingerprints to >= 1 hash."""
+    if hasher == "md5":
+        h_of = f"cast(conv(substring(md5(substring(_norm, i, {k})), 1, 12), 16, 10) as bigint)"
+    elif hasher == "xxhash64":
+        h_of = f"xxhash64(substring(_norm, i, {k}))"
+    else:
+        raise ValueError(f"winnow_fingerprints: unknown hasher {hasher!r}")
+
+    d = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
         F.col(id_col).alias("doc_id"),
         F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ").alias("_norm"),
     )
-    shingles = d.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, greatest(length(_norm) - {k - 1}, 1)),"
-                f" i -> substring(_norm, i, {k}))"
-            )
-        ).alias("pos", "sh"),
-    ).withColumn("h", shingle_hash(F.col("sh"), hasher))
-    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
-    n_sh = Window.partitionBy("doc_id")
-    fp = (
-        shingles.withColumn("minh", F.min("h").over(win))
-        .withColumn("_n", F.count(F.lit(1)).over(n_sh))
-        # windows that would run past the last shingle are not complete
-        # windows — but a doc with fewer than w shingles keeps its single
-        # (truncated) window so every doc fingerprints to >= 1 hash
-        .filter((F.col("pos") <= F.col("_n") - w) | (F.col("pos") == 0))
-        .select("doc_id", "minh")
-        .distinct()
+    hs = f"transform(sequence(1, greatest(length(_norm) - {k - 1}, 1)), i -> {h_of})"
+    sel = (
+        f"array_distinct(transform("
+        f"  filter(sequence(0, size(_hs) - 1), p -> p <= size(_hs) - {w} OR p = 0),"
+        f"  p -> array_min(slice(_hs, p + 1, {w}))))"
     )
-    return fp
+    return (
+        d.withColumn("_hs", F.expr(hs))
+        .select("doc_id", F.explode(F.expr(sel)).alias("minh"))
+    )
 
 
 def edit_distance_pairs(

@@ -566,7 +566,9 @@ def tfidf_term_scores(
     term. N is a broadcast one-row aggregate."""
     from pyspark.sql import functions as F
 
-    toks = docs.select(
+    # spread the 2-split documents scan before the token explode (the
+    # r07 pattern: pure-JVM stage, exchange moves the docs once)
+    toks = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
     )

@@ -67,7 +67,12 @@ def shingle_rows(docs: DataFrame, id_col: str = "doc_id",
     spark = docs.sparkSession
     register_udtfs(spark)
     view = f"_udtf_docs_in_{uuid.uuid4().hex[:12]}"
+    # round-robin the doc table first: the UDTF evals row-at-a-time in
+    # the Python worker, and a sub-4MB parquet scan (2 splits) would cap
+    # the whole LATERAL stage at 2 workers (round-7; q99 4.5 s -> the
+    # exchange moves the docs once)
     docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_txt")) \
+        .repartition(spark.sparkContext.defaultParallelism) \
         .createOrReplaceTempView(view)
     try:
         return spark.sql(

@@ -91,11 +91,24 @@ _PIECE_SCHEMA = T.StructType(
 )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin the geometry table over the session's parallelism
+    before the Arrow clip stage: sub-4MB parquet inputs scan as 1-2
+    splits, so the per-polygon clip loop otherwise runs in ONE python
+    worker (q46: the whole 66k-box clip single-tasked at sf1.0).
+    Repartition-then-Arrow is the POST-shuffle width pattern this host
+    tolerates (BENCH/BASELINE.md §3 — only scan-forced pre-shuffle Arrow
+    width trips the ~10-core throttle); the exchange moves each geometry
+    once and the piece output is keyed-shuffled right after anyway."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def cell_pieces(df: DataFrame, res: int, geom: str = "geom", key_col: str | None = None) -> DataFrame:
     """Clip every polygon (outer ring AND holes) to its covering cells at
     resolution ``res`` -> (key, cell, piece) rows. Cell boxes are convex,
     so each Sutherland–Hodgman clip is exact for arbitrary simple rings
     (bridged rings keep even-odd fill semantics — verified in tests)."""
+    df = _spread(df)
 
     def fn(pdf_iter):
         for pdf in pdf_iter:
@@ -177,6 +190,7 @@ def planar_pieces(df: DataFrame, step: float, geom: str = "geom", key_col: str |
     (clamped to the lon/lat domain — out-of-domain geometry would be
     silently truncated), tile indices here are plain unclamped floors, so
     the decomposition is exact for ANY planar coordinates."""
+    df = _spread(df)
 
     def fn(pdf_iter):
         for pdf in pdf_iter:
@@ -266,18 +280,35 @@ def dissolve(
         if top is not None and top > route_threshold:
             step = _auto_step(land_cover, geom)
             pieces = planar_pieces(land_cover, step, geom=geom, key_col=key)
-            per_tile = pieces.groupBy("key", "ix", "iy").applyInPandas(
-                _dissolve_cell_fn, _CELL_UNION_SCHEMA
+            # explicit partition counts on the keyed exchanges: these
+            # stages are compute-heavy per row but tiny in bytes, so
+            # AQE's size-based coalescing squeezes them onto ~4 tasks
+            # (q46 straggled there at sf1.0); a user-specified count is
+            # exempt from coalescing and satisfies the applyInPandas
+            # clustering requirement, so no extra exchange appears
+            n = land_cover.sparkSession.sparkContext.defaultParallelism
+            per_tile = (
+                pieces.repartition(2 * n, "key", "ix", "iy")
+                .groupBy("key", "ix", "iy")
+                .applyInPandas(_dissolve_cell_fn, _CELL_UNION_SCHEMA)
             )
-            return per_tile.groupBy("key").applyInPandas(_merge_union_fn, DISSOLVE_SCHEMA)
+            return (
+                per_tile.repartition(n, "key")
+                .groupBy("key")
+                .applyInPandas(_merge_union_fn, DISSOLVE_SCHEMA)
+            )
         cells_res = None
     if cells_res is not None:
         pieces = cell_pieces(land_cover, cells_res, geom=geom, key_col=key)
-        per_cell = pieces.groupBy("key", "cell").applyInPandas(
-            _dissolve_cell_fn, _CELL_UNION_SCHEMA
+        n = land_cover.sparkSession.sparkContext.defaultParallelism
+        per_cell = (
+            pieces.repartition(2 * n, "key", "cell")
+            .groupBy("key", "cell")
+            .applyInPandas(_dissolve_cell_fn, _CELL_UNION_SCHEMA)
         )
         return (
-            per_cell.groupBy("key")
+            per_cell.repartition(n, "key")
+            .groupBy("key")
             .applyInPandas(_merge_union_fn, DISSOLVE_SCHEMA)
         )
 
@@ -292,7 +323,15 @@ def dissolve(
             {"featureclass": [pdf[key].iloc[0]], "geom": [out_geom], "union_area": [area]}
         )
 
-    return land_cover.groupBy(key).applyInPandas(fn, DISSOLVE_SCHEMA)
+    # explicit count for the same AQE-coalescing reason as above: one
+    # scanline union per key is heavy compute on few bytes
+    return (
+        land_cover.repartition(
+            land_cover.sparkSession.sparkContext.defaultParallelism, key
+        )
+        .groupBy(key)
+        .applyInPandas(fn, DISSOLVE_SCHEMA)
+    )
 
 
 _CELL_UNION_SCHEMA = T.StructType(
@@ -397,7 +436,15 @@ def coverage(
             }
         )
 
-    per_cell_df = tagged.groupBy("key", "cell").applyInPandas(per_cell, _COV_CELL_SCHEMA)
+    # explicit partition counts (the dissolve rationale): scanline work
+    # is compute-heavy on few bytes, so AQE's size-based coalescing
+    # would squeeze these keyed stages onto a handful of tasks
+    n_par = land_cover.sparkSession.sparkContext.defaultParallelism
+    per_cell_df = (
+        tagged.repartition(2 * n_par, "key", "cell")
+        .groupBy("key", "cell")
+        .applyInPandas(per_cell, _COV_CELL_SCHEMA)
+    )
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         num = float(pdf["num"].sum())
@@ -415,4 +462,8 @@ def coverage(
             }
         )
 
-    return per_cell_df.groupBy("key").applyInPandas(merge, COVERAGE_SCHEMA)
+    return (
+        per_cell_df.repartition(n_par, "key")
+        .groupBy("key")
+        .applyInPandas(merge, COVERAGE_SCHEMA)
+    )

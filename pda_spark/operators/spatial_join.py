@@ -529,6 +529,28 @@ def intersects_join(
     rgt = _salted(rgt, salt, "small")
     keys = ["_cell", "_salt"] if salt > 1 else ["_cell"]
     r = F.broadcast(rgt) if broadcast_right else rgt
+    if broadcast_right:
+        # Exchange between the bbox-cover stage and the refine stage:
+        # without it the scan's split count caps the whole broadcast-join
+        # pipeline (q45 ran its refine 7-wide at sf1.0) AND bbox_arr +
+        # intersects_pair fuse into ONE task pipeline costing two python
+        # workers per task (the chained-Arrow rule). The round-robin
+        # splits them into two single-worker stages and widens the
+        # refine. Width default = parallelism/2: an Arrow stage runs ~2
+        # busy processes per task (python worker + JVM feeder —
+        # BENCH/BASELINE.md §3), so cores/2 tasks saturate the machine
+        # without oversubscribing it (A/B at sf1.0: width 32/16/8 ->
+        # 9.0/4.8/7.1 s). Env-tunable (PDA_ARROW_STAGE_WIDTH) for
+        # deployments whose executor topology differs.
+        import os as _os
+
+        _w = int(
+            _os.environ.get(
+                "PDA_ARROW_STAGE_WIDTH",
+                max(1, lft.sparkSession.sparkContext.defaultParallelism // 2),
+            )
+        )
+        lft = lft.repartition(_w)
     cand = lft.join(r, on=keys, how="inner")
 
     # reference-point dedup: keep the pair only in the cell holding the

@@ -1140,8 +1140,14 @@ def q42_knn(spark, sf_dir):
         [(q[0], bytearray(W.point(q[1], q[2]))) for q in KNN_QUERIES],
         "query_id int, qgeom binary",
     )
+    # res=8 (was 6): the exactness guard makes results independent of the
+    # seed resolution, but candidate volume is not — res-6 cells hold
+    # ~16k points each at sf1.0, so ring 2 fanned ~6.4M candidates into
+    # the per-query window; res-8 cells cut that 16x for identical output
+    # (the retry loop widens the ring at tiny SFs where 25 finer cells
+    # hold < k points)
     out = spatial_join.knn_join(
-        pts, queries, k=5, res=6, point_geom="geom", query_geom="qgeom",
+        pts, queries, k=5, res=8, point_geom="geom", query_geom="qgeom",
         query_id="query_id", max_ring=2, metric="degrees", tiebreak="event_id",
         lonlat_cols=("lon", "lat"),
     )
@@ -1180,8 +1186,11 @@ def q78_knn_geodesic(spark, sf_dir):
         [(q[0], bytearray(W.point(q[1], q[2]))) for q in KNN_QUERIES],
         "query_id int, qgeom binary",
     )
+    # res=8 for the same candidate-volume reason as q42 (identical
+    # results via the exactness guard); here it also cuts the haversine
+    # Arrow stage's input 16x
     out = spatial_join.knn_join(
-        pts, queries, k=5, res=6, point_geom="geom", query_geom="qgeom",
+        pts, queries, k=5, res=8, point_geom="geom", query_geom="qgeom",
         query_id="query_id", max_ring=2, metric="geodesic", tiebreak="event_id",
         lonlat_cols=("lon", "lat"),
     )
