@@ -107,12 +107,17 @@ def connected_components(
     prev_fp = None
     for _ in range(max_iter):
         # Lazy checkpoint: the fingerprint aggregate below is the action
-        # that materializes it — one job per round, not two. (A probed-
-        # every-other-pair variant was tried and REVERTED: skipping the
-        # inter-pair dedup lets edge multiplicity compound across four
-        # un-deduped star stages, costing more shuffle volume than the
-        # saved barrier — measured 350 s vs 311 s on the scaling_cc
-        # 10M-node chain harness.)
+        # that materializes it — one job per round, not two. (TWO
+        # measured NON-fixes stand here: (a) probing every other pair
+        # WITHOUT the inter-pair dedup compounds multiplicity across
+        # four un-deduped star stages — 350 vs 311 s on the 10M-node
+        # chain, round 6; (b) round 7 re-tried it WITH the dedup kept
+        # per VERDICT r06 #3a — on the now-contracted quotient graphs
+        # the per-pair shuffle chain dominates, not the barrier, and
+        # the trailing already-converged pairs are pure overhead:
+        # q124 5.5 -> 13.0 s, q51 1.4 -> 4.1 s at sf1.0, reverted.
+        # The barrier cost this targets only matters when rounds are
+        # many AND heavy, which the contraction pre-pass now prevents.)
         e = _stars(_stars(e, large=True, dedup=False), large=False).localCheckpoint(eager=False)
         # Fixed-point probe: one tiny aggregate per round, no collect of
         # the edge set itself. Each hash is pmod-folded BEFORE the sum

@@ -224,8 +224,15 @@ def weighted_median(
     with multiplicities). One per-(group, value) pre-aggregate (ties
     collapse), one ordered window cumsum, one argmin. Returns
     (group..., w_total, wmedian)."""
+    # NULL weights would NULL the running cumsum (silently failing every
+    # later 2*cumw >= W boundary) and non-positive weights break the
+    # order statistic — both are excluded up front (ADVICE r06)
     agg = (
-        df.filter(F.col(value_col).isNotNull())
+        df.filter(
+            F.col(value_col).isNotNull()
+            & F.col(weight_col).isNotNull()
+            & (F.col(weight_col) > 0)
+        )
         .groupBy(*group_cols, F.col(value_col).alias("value"))
         .agg(F.sum(F.col(weight_col).cast("long")).alias("_w"))
     )
@@ -296,7 +303,12 @@ def snapshot_diff(
     differing under null-safe IS DISTINCT FROM — the q158 lesson).
     Unchanged keys emit nothing. One full outer join on the keys; the
     change tag is pure Catalyst. Keys must be unique per side (the
-    caller's version contract — dedup first if not)."""
+    caller's version contract — dedup first if not), and must be
+    NON-NULL: a NULL in any key column never matches across the plain
+    full outer join, so such a logical key surfaces as an
+    'added' + 'removed' pair rather than 'changed'/unchanged (ADVICE
+    r06 — documented rather than eqNullSafe-joined: NULL dimension
+    keys are a data bug this diff should surface, not paper over)."""
     o = old.select(*key_cols, *[F.col(c).alias(f"_o_{c}") for c in compare_cols]).withColumn(
         "_in_old", F.lit(1)
     )

@@ -566,13 +566,31 @@ def tfidf_term_scores(
     term. N is a broadcast one-row aggregate."""
     from pyspark.sql import functions as F
 
-    # spread the 2-split documents scan before the token explode (the
-    # r07 pattern: pure-JVM stage, exchange moves the docs once)
-    toks = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism).select(
+    # Round-7: tf is DOC-LOCAL, so per-doc (tok, tf) pairs come from
+    # run-lengths over the sorted word array (the q52 sorted-runs trick
+    # generalized from max-run to all runs) — the corpus-wide
+    # (doc, tok) hash aggregate and its ~5M-token shuffle disappear;
+    # only the ~2M distinct-pair rows it would have produced are ever
+    # emitted. Requires unique doc ids (already this operator's
+    # contract — and the oracle's, which groups by doc_id the same
+    # way). The doc table is round-robined first (2-split scan cap).
+    base = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+        F.sort_array(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("_sw"),
     )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    runs = base.withColumn(
+        "_b", F.expr("filter(sequence(0, size(_sw) - 1), p -> p = 0 OR _sw[p] != _sw[p - 1])")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(_b, (x, i) -> named_struct("
+                "  'tok', _sw[x],"
+                "  'tf', cast((IF(i + 1 < size(_b), _b[i + 1], size(_sw))) - x AS BIGINT)))"
+            )
+        ).alias("_e"),
+    )
+    tf = runs.select("doc_id", F.col("_e.tok").alias("tok"), F.col("_e.tf").alias("tf"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     if min_df > 1:
         dfreq = dfreq.filter(F.col("df") >= min_df)

@@ -197,16 +197,18 @@ def rolling_median(
     engines)."""
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
-    w = (
-        Window.partitionBy(key_col)
-        .orderBy(order_col)
-        .rowsBetween(-(window - 1), 0)
-    )
-    return df.select(
+    # percentile runs over the SAME aliased cast('long') column the
+    # result emits as x (ADVICE r06: interpolating value_col verbatim
+    # into F.expr broke on non-identifier names, and a float-typed
+    # input silently diverged from the integer-exact contract)
+    d = df.select(
         F.col(key_col).alias("key"),
         F.col(order_col).alias("t"),
         F.col(value_col).cast("long").alias("x"),
-        F.round(F.expr(f"percentile({value_col}, 0.5)").over(w), 6).alias("roll_med"),
+    )
+    w = Window.partitionBy("key").orderBy("t").rowsBetween(-(window - 1), 0)
+    return d.select(
+        "key", "t", "x", F.round(F.expr("percentile(x, 0.5)").over(w), 6).alias("roll_med")
     )
 
 
