@@ -284,20 +284,52 @@ def triangle_counts(
         .join(ranks.select(F.col("id").alias("v"), F.col("rk").alias("_rv")), "v")
     )
     low_first = F.col("_ru") < F.col("_rv")
-    o = er.select(
-        F.when(low_first, F.col("u")).otherwise(F.col("v")).alias("a"),
-        F.when(low_first, F.col("v")).otherwise(F.col("u")).alias("b"),
-        F.greatest("_ru", "_rv").alias("rb"),
-    ).localCheckpoint(eager=False)
+    # explicit apex partitioning (round-7): the wedge stage expands
+    # out_deg(a)^2 rows per apex — compute-heavy on few input BYTES, so
+    # AQE's size-based coalescing squeezed it onto ~10 tasks (q127 8.9 s
+    # at sf0.1). A user count is exempt from coalescing, the self-join
+    # on "a" reuses the one exchange (localCheckpoint preserves the
+    # partitioning), and 2x parallelism keeps the apex-skew tail short.
+    n_par = edges.sparkSession.sparkContext.defaultParallelism
+    o = (
+        er.select(
+            F.when(low_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(low_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.greatest("_ru", "_rv").alias("rb"),
+        )
+        .repartition(2 * n_par, "a")
+        .localCheckpoint(eager=False)
+    )
     wedges = (
         o.select("a", F.col("b").alias("x"), F.col("rb").alias("rx"))
         .join(o.select("a", F.col("b").alias("y"), F.col("rb").alias("ry")), "a")
         .filter(F.col("rx") < F.col("ry"))
     )
-    closing = o.select(F.col("a").alias("x"), F.col("b").alias("y"))
     if broadcast_close:
-        closing = F.broadcast(closing)
-    tri = wedges.join(closing, ["x", "y"]).select("a", "x", "y")
+        # single-long join key (xxhash64 of the pair, equality
+        # re-verified post-join so collisions only cost a compare, never
+        # a wrong row): a one-column long key builds the fast
+        # LongHashedRelation instead of the row-comparing two-key
+        # UnsafeHashedRelation — ~10% off the 41M-probe stage that
+        # dominates q127 (measured A/B at sf0.1; the probe volume
+        # itself, sum(out_deg^2), is this algorithm's floor — width-
+        # insensitive: 13-vs-64-task A/B was a wash, coalesce-off worse)
+        closing = F.broadcast(
+            o.select(
+                F.xxhash64("a", "b").alias("_h"),
+                F.col("a").alias("_cx"),
+                F.col("b").alias("_cy"),
+            )
+        )
+        tri = (
+            wedges.withColumn("_h", F.xxhash64("x", "y"))
+            .join(closing, "_h")
+            .filter((F.col("x") == F.col("_cx")) & (F.col("y") == F.col("_cy")))
+            .select("a", "x", "y")
+        )
+    else:
+        closing = o.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        tri = wedges.join(closing, ["x", "y"]).select("a", "x", "y")
     member = F.explode(F.array("a", "x", "y")).alias("id")
     return tri.select(member).groupBy("id").agg(
         F.count(F.lit(1)).cast("long").alias("n_tri")

@@ -230,6 +230,10 @@ def corpus_frequency_quality(
     """
     from pyspark.sql import functions as F
 
+    # NO spread here (round-7 measured NON-fix): `toks` is consumed
+    # twice (count agg + join probe), so a pre-explode round-robin
+    # shuffles the full text payload and re-reads it per consumer —
+    # A/B at sf1.0: spread 2.4 s vs unspread 1.7 s min-of-3.
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
@@ -500,6 +504,9 @@ def remove_boilerplate_lines(
     reassembly aggregate. Order restoration is array_sort over
     (pos, line) structs — no window, no second shuffle beyond the
     per-doc group."""
+    # NO spread here (the corpus_frequency_quality finding): `lines` is
+    # consumed twice (frequency agg + the tagged join), so a pre-explode
+    # round-robin would shuffle the text payload per consumer
     lines = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "line"),

@@ -47,6 +47,23 @@ from pda_spark.functions import geo_udfs
 from pda_spark.geo import cells as C
 
 
+def _arrow_stage_width(df: DataFrame) -> int:
+    """Task width for a long-running Arrow (python-UDF) stage. Default
+    parallelism/2: an Arrow task runs ~2 busy processes (python worker +
+    JVM feeder — BENCH/BASELINE.md §3), so cores/2 tasks saturate the
+    machine without oversubscribing it (q45 refine A/B at sf1.0: width
+    32/16/8 -> 9.0/4.8/7.1 s). Env-tunable (PDA_ARROW_STAGE_WIDTH) for
+    deployments whose executor topology differs."""
+    import os
+
+    return int(
+        os.environ.get(
+            "PDA_ARROW_STAGE_WIDTH",
+            max(1, df.sparkSession.sparkContext.defaultParallelism // 2),
+        )
+    )
+
+
 def _salted(df: DataFrame, salt: int, side: str) -> DataFrame:
     if salt <= 1:
         return df
@@ -166,6 +183,13 @@ def points_in_polygons_join(
     pys = _salted(pys, salt, "small")
     keys = ["_cell", "_salt"] if salt > 1 else ["_cell"]
     right = F.broadcast(pys) if broadcast_polygons else pys
+    # NOTE (round-7 measured NON-fix): an exchange here (the
+    # intersects_join pattern) made the PIP family SLOWER (q64 2.2 ->
+    # 3.0 s, q44 1.7 -> 2.4 s at sf1.0): the bbox prefilter keeps the
+    # PIP refine cheap, so the chained decode+refine pipeline on the
+    # scan's few splits already saturates, and the exchange only adds a
+    # WKB-payload shuffle. The exchange pays off only when the refine
+    # dominates (intersects_join's polygon-pair kernel).
     cand = pts.join(right, on=keys, how="inner")
     # JVM-side bbox prefilter (whole-stage codegen) — the Python refine
     # then sees only near-hit candidates.
@@ -536,21 +560,8 @@ def intersects_join(
         # intersects_pair fuse into ONE task pipeline costing two python
         # workers per task (the chained-Arrow rule). The round-robin
         # splits them into two single-worker stages and widens the
-        # refine. Width default = parallelism/2: an Arrow stage runs ~2
-        # busy processes per task (python worker + JVM feeder —
-        # BENCH/BASELINE.md §3), so cores/2 tasks saturate the machine
-        # without oversubscribing it (A/B at sf1.0: width 32/16/8 ->
-        # 9.0/4.8/7.1 s). Env-tunable (PDA_ARROW_STAGE_WIDTH) for
-        # deployments whose executor topology differs.
-        import os as _os
-
-        _w = int(
-            _os.environ.get(
-                "PDA_ARROW_STAGE_WIDTH",
-                max(1, lft.sparkSession.sparkContext.defaultParallelism // 2),
-            )
-        )
-        lft = lft.repartition(_w)
+        # refine (see _arrow_stage_width for the cores/2 default).
+        lft = lft.repartition(_arrow_stage_width(lft))
     cand = lft.join(r, on=keys, how="inner")
 
     # reference-point dedup: keep the pair only in the cell holding the

@@ -3104,7 +3104,8 @@ def q60_vocabulary(spark, sf_dir):
     map-side-combinable shuffles on the word, then a 50-row window
     limit."""
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
+    # spread the 2-split documents scan before the explode (r07 pattern)
+    toks = docs.repartition(spark.sparkContext.defaultParallelism).select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
     )
