@@ -121,34 +121,101 @@ def cosine_neardup_pairs(
     refine. Recall < 1 by construction (pytest pins recall vs the exact
     path); candidate count ~ n^2 / 2^n_planes per probe instead of n^2.
     """
-    # norms hoisted to per-vector columns (round-6: they were evaluated
-    # per PAIR inside the join — 2/3 of the O(n^2) interpreted-HOF work
-    # for the identical bits, q32 62.6 -> see BENCH/full_suite notes)
-    a = _spread(
-        vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    ).withColumn("_na", _norm("_va"))
-    b = vectors.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
-    ).withColumn("_nb", _norm("_vb"))
     if exact:
-        # block-parallel: the stream side of the broadcast nested-loop
-        # join is otherwise ONE sub-4MB parquet split (openCostInBytes
-        # floor) and the whole n^2 runs in a single task; this is pure
-        # JVM (no Arrow workers), so spreading is safe on this host
+        # norms hoisted to per-vector columns (round-6: they were
+        # evaluated per PAIR inside the join — 2/3 of the O(n^2)
+        # interpreted-HOF work for the identical bits); block-parallel:
+        # the stream side of the broadcast nested-loop join is otherwise
+        # ONE sub-4MB parquet split (openCostInBytes floor) and the
+        # whole n^2 runs in a single task; this is pure JVM (no Arrow
+        # workers), so spreading is safe on this host
+        a = _spread(
+            vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+        ).withColumn("_na", _norm("_va"))
+        b = vectors.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+        ).withColumn("_nb", _norm("_vb"))
         cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    else:
-        planes = hyperplanes(dim, n_planes, seed)
-        masks = probe_masks(n_planes, probe_radius)
-        av = a.withColumn("_home", lsh_bucket_expr("_va", planes))
-        av = av.withColumn(
-            "_bucket", F.explode(F.array(*[F.col("_home").bitwiseXOR(F.lit(m)) for m in masks]))
-        ).drop("_home")
-        bv = b.withColumn("_bucket", lsh_bucket_expr("_vb", planes))
-        # mask-explode only side a: every (a,b) pair within hamming
-        # distance probe_radius meets on exactly one (a-probe, b-home)
-        # bucket, so no dedup pass is needed
-        cand = av.join(bv, on="_bucket").filter(F.col("id_a") < F.col("id_b")).drop("_bucket")
-    cand = with_cosine(cand, "_va", "_vb", norm_a="_na", norm_b="_nb")
+        cand = with_cosine(cand, "_va", "_vb", norm_a="_na", norm_b="_nb")
+        return cand.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+
+    # LSH path (round-7): the candidate refine runs as a per-bucket
+    # numpy kernel (cogrouped applyInPandas — guide-§4.2 "hand whole
+    # batches to native code") instead of materializing ~14M JVM pair
+    # rows each paying an interpreted 64-term HOF fold (q34 at sf1.0).
+    # Only (id, vector) rows shuffle, keyed by bucket; every float op
+    # replays the JVM sequence EXACTLY: dot and norm^2 accumulate over
+    # the dimension index in order ((0 + x0*y0) + x1*y1 + ... — numpy
+    # elementwise ops are IEEE-exactly-rounded like the HOF fold),
+    # float32 -> float64 widening is exact, and the authoritative
+    # round-then-threshold runs back in the JVM on the shipped
+    # (dot, na, nb) doubles — the Python side only pre-filters with a
+    # conservative margin, so BigDecimal HALF_UP rounding semantics
+    # never move to numpy. Recall/pair semantics unchanged: mask-explode
+    # only side a; a pair within hamming distance probe_radius meets on
+    # exactly ONE (a-probe, b-home) bucket, so no dedup is needed.
+    import numpy as np
+    import pandas as pd
+
+    planes = hyperplanes(dim, n_planes, seed)
+    masks = probe_masks(n_planes, probe_radius)
+    # _spread before the bucket expressions (8 HOF dots per vector — the
+    # 2-split scan would cap them at 2 cores); the bucket shuffle that
+    # feeds the cogroup follows anyway
+    av = _spread(
+        vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    ).withColumn("_home", lsh_bucket_expr("_va", planes))
+    av = av.withColumn(
+        "_bucket", F.explode(F.array(*[F.col("_home").bitwiseXOR(F.lit(m)) for m in masks]))
+    ).drop("_home")
+    bv = _spread(
+        vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    ).withColumn("_bucket", lsh_bucket_expr("_vb", planes))
+    pre_thresh = threshold - 1e-6
+
+    def refine(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "dot": pd.Series(dtype="float64"), "na": pd.Series(dtype="float64"),
+             "nb": pd.Series(dtype="float64")}
+        )
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in left["_va"]])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in right["_vb"]])
+        ia = left["id_a"].to_numpy()
+        ib = right["id_b"].to_numpy()
+        # k-ordered accumulation == the JVM fold's op sequence, element
+        # by element (never a BLAS matmul — blocked summation would
+        # change the rounding path)
+        na2 = np.zeros(len(A))
+        for k in range(A.shape[1]):
+            na2 += A[:, k] * A[:, k]
+        nb2 = np.zeros(len(B))
+        for k in range(B.shape[1]):
+            nb2 += B[:, k] * B[:, k]
+        na = np.sqrt(na2)
+        nb = np.sqrt(nb2)
+        C = np.zeros((len(A), len(B)))
+        for k in range(A.shape[1]):
+            C += np.multiply.outer(A[:, k], B[:, k])
+        cos = C / np.multiply.outer(na, nb)
+        keep = (ia[:, None] < ib[None, :]) & (cos >= pre_thresh)
+        if not keep.any():
+            return empty
+        r, c = np.nonzero(keep)
+        return pd.DataFrame(
+            {"id_a": ia[r], "id_b": ib[c], "dot": C[r, c], "na": na[r], "nb": nb[c]}
+        )
+
+    cand = (
+        av.groupBy("_bucket")
+        .cogroup(bv.groupBy("_bucket"))
+        .applyInPandas(refine, "id_a long, id_b long, dot double, na double, nb double")
+    )
+    cand = cand.withColumn(
+        "cosine", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+    )
     return cand.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
 
 
