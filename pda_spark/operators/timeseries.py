@@ -375,18 +375,26 @@ def interpolate_gaps(
         .orderBy("t")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # the NEXT-known lookup runs as a RUNNING frame over descending t
+    # (round-7): a (current row -> unbounded following) frame makes
+    # Spark's window engine re-scan from each row to the partition end —
+    # O(rows^2) per key (q169: 7.1 s at sf0.1, ~2000 rows/key; growing
+    # quadratically with SF). last-non-null over unboundedPreceding..0
+    # in DESC order is the same value with running O(rows) state; rows
+    # with equal t cannot exist (unique (key, t) contract), so the two
+    # orderings are exact mirrors.
     wf = (
         Window.partitionBy("key")
-        .orderBy("t")
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     kt = F.when(F.col("x").isNotNull(), F.col("t"))
     kv = F.when(F.col("x").isNotNull(), F.col("x"))
     s = (
         base.withColumn("_pt", F.last(kt, ignorenulls=True).over(wb))
         .withColumn("_pv", F.last(kv, ignorenulls=True).over(wb))
-        .withColumn("_nt", F.first(kt, ignorenulls=True).over(wf))
-        .withColumn("_nv", F.first(kv, ignorenulls=True).over(wf))
+        .withColumn("_nt", F.last(kt, ignorenulls=True).over(wf))
+        .withColumn("_nv", F.last(kv, ignorenulls=True).over(wf))
     )
     interp = F.col("_pv").cast("double") + (
         (F.col("_nv") - F.col("_pv")) * (F.col("t") - F.col("_pt"))
