@@ -418,9 +418,11 @@ def substring_containment(
     # corpus parquet scans as 2 splits, capping every downstream stage)
     # and checkpointed once — it feeds the df pass, the candidate pass,
     # the verify join and the short-snippet brute leg.
+    from pda_spark.session import spread
+
     corp = (
         corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
-        .repartition(n_par)
+        .transform(spread)
         .select("doc_id", norm("_t").alias("_ctext"))
         .localCheckpoint(eager=False)
     )
@@ -523,7 +525,9 @@ def winnow_fingerprints(
     else:
         raise ValueError(f"winnow_fingerprints: unknown hasher {hasher!r}")
 
-    d = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+    from pda_spark.session import spread
+
+    d = df.transform(spread).select(
         F.col(id_col).alias("doc_id"),
         F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ").alias("_norm"),
     )

@@ -37,16 +37,12 @@ def _norm(a: str) -> F.Column:
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin the vector table over the session's full parallelism
-    before an O(candidates) pair stage. Sub-4MB parquet inputs scan as
-    1-2 splits (openCostInBytes floors them — BENCH/BASELINE.md §3), and
-    a pure-JVM candidate stage built on a broadcast join inherits that
-    width: the r06 bench ran q34's 14M-pair refine on TWO cores at
-    sf1.0. The exchange moves only (id, vector) rows once; on real
-    many-split inputs it is ~free relative to the pair stage it widens
-    (the q32/q82 round-6 pattern, parameterised on defaultParallelism
-    instead of a local constant)."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    """Round-robin the vector table before an O(candidates) pair stage
+    (the r06 bench ran q34's 14M-pair refine on TWO cores at sf1.0).
+    One shared definition: see ``pda_spark.session.spread``."""
+    from pda_spark.session import spread
+
+    return spread(df)
 
 
 def with_cosine(
@@ -175,7 +171,7 @@ def cosine_neardup_pairs(
 
     def refine(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
-            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+            {"id_a": left["id_a"].iloc[:0], "id_b": right["id_b"].iloc[:0],
              "dot": pd.Series(dtype="float64"), "na": pd.Series(dtype="float64"),
              "nb": pd.Series(dtype="float64")}
         )
@@ -199,8 +195,14 @@ def cosine_neardup_pairs(
         C = np.zeros((len(A), len(B)))
         for k in range(A.shape[1]):
             C += np.multiply.outer(A[:, k], B[:, k])
-        cos = C / np.multiply.outer(na, nb)
-        keep = (ia[:, None] < ib[None, :]) & (cos >= pre_thresh)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = C / np.multiply.outer(na, nb)
+        # zero-norm vectors make cos NaN; ship those pairs through so the
+        # JVM round/threshold raises the SAME loud error the exact path
+        # (and the pre-rewrite LSH path) raises — a silent numpy drop
+        # would swallow a data-quality signal (round-7 review)
+        degenerate = (na[:, None] == 0.0) | (nb[None, :] == 0.0)
+        keep = (ia[:, None] < ib[None, :]) & ((cos >= pre_thresh) | degenerate)
         if not keep.any():
             return empty
         r, c = np.nonzero(keep)
@@ -208,10 +210,16 @@ def cosine_neardup_pairs(
             {"id_a": ia[r], "id_b": ib[c], "dot": C[r, c], "na": na[r], "nb": nb[c]}
         )
 
+    # output id columns keep the INPUT id type (ids are any orderable
+    # type — the exact path's contract; round-7 review caught a
+    # hardcoded long here)
+    id_t = vectors.schema[id_col].dataType.simpleString()
     cand = (
         av.groupBy("_bucket")
         .cogroup(bv.groupBy("_bucket"))
-        .applyInPandas(refine, "id_a long, id_b long, dot double, na double, nb double")
+        .applyInPandas(
+            refine, f"id_a {id_t}, id_b {id_t}, dot double, na double, nb double"
+        )
     )
     cand = cand.withColumn(
         "cosine", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)

@@ -135,10 +135,11 @@ def repetition_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     words = F.split(F.lower(F.trim(c)), r"\s+")
     # round-robin the doc table first: the sub-4MB documents scan is 2
     # splits, and with the shuffles gone this whole operator would
-    # otherwise run its per-row sort/fold work on 2 cores (pure JVM —
-    # spreading is safe; the exchange carries the docs once)
+    # otherwise run its per-row sort/fold work on 2 cores
+    from pda_spark.session import spread
+
     base = (
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        spread(df)
         .select(F.col(id_col).alias("doc_id"), words.alias("_w"))
         .filter(F.col("_w").isNotNull())
     )
@@ -580,11 +581,17 @@ def tfidf_term_scores(
     # only the ~2M distinct-pair rows it would have produced are ever
     # emitted. Requires unique doc ids (already this operator's
     # contract — and the oracle's, which groups by doc_id the same
-    # way). The doc table is round-robined first (2-split scan cap).
-    base = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism).select(
+    # way). The doc table is round-robined first (2-split scan cap);
+    # the null-text filter mirrors the replaced explode-on-null
+    # semantics EXPLICITLY — under legacy (non-ANSI) configs
+    # size(NULL) = -1 would otherwise fabricate a (tok NULL, tf -1)
+    # row per null doc (round-7 review).
+    from pda_spark.session import spread
+
+    base = spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.sort_array(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("_sw"),
-    )
+    ).filter(F.col("_sw").isNotNull())
     runs = base.withColumn(
         "_b", F.expr("filter(sequence(0, size(_sw) - 1), p -> p = 0 OR _sw[p] != _sw[p - 1])")
     ).select(
@@ -882,7 +889,9 @@ def bpe_merge_tokenize(
     )
     # spread the 2-split documents scan before the explode (pure-JVM
     # stage; the exchange carries the docs once)
-    tok = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+    from pda_spark.session import spread
+
+    tok = df.transform(spread).select(
         F.col(id_col).alias("doc_id"), F.explode(words).alias("_w")
     )
     # Round-7: the char-split regexp + 20-replace chain is a pure

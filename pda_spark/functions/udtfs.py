@@ -71,8 +71,9 @@ def shingle_rows(docs: DataFrame, id_col: str = "doc_id",
     # the Python worker, and a sub-4MB parquet scan (2 splits) would cap
     # the whole LATERAL stage at 2 workers (round-7; q99 4.5 s -> the
     # exchange moves the docs once)
-    docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_txt")) \
-        .repartition(spark.sparkContext.defaultParallelism) \
+    from pda_spark.session import spread
+
+    spread(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_txt"))) \
         .createOrReplaceTempView(view)
     try:
         return spark.sql(

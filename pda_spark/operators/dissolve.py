@@ -92,15 +92,16 @@ _PIECE_SCHEMA = T.StructType(
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin the geometry table over the session's parallelism
-    before the Arrow clip stage: sub-4MB parquet inputs scan as 1-2
-    splits, so the per-polygon clip loop otherwise runs in ONE python
-    worker (q46: the whole 66k-box clip single-tasked at sf1.0).
-    Repartition-then-Arrow is the POST-shuffle width pattern this host
-    tolerates (BENCH/BASELINE.md §3 — only scan-forced pre-shuffle Arrow
-    width trips the ~10-core throttle); the exchange moves each geometry
-    once and the piece output is keyed-shuffled right after anyway."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    """Round-robin the geometry table before the Arrow clip stage (q46:
+    the whole 66k-box clip single-tasked at sf1.0). Repartition-then-
+    Arrow is the POST-shuffle width pattern this host tolerates
+    (BENCH/BASELINE.md §3 — only scan-forced pre-shuffle Arrow width
+    trips the throttle); the clip stage is short-lived per row, so full
+    width beats the cores/2 rule used for long-running Arrow refines.
+    One shared definition: see ``pda_spark.session.spread``."""
+    from pda_spark.session import spread
+
+    return spread(df)
 
 
 def cell_pieces(df: DataFrame, res: int, geom: str = "geom", key_col: str | None = None) -> DataFrame:

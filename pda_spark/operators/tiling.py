@@ -814,7 +814,13 @@ def dbscan(
     dd_whole = dd.filter(F.col("_cmax2") <= F.lit(eps2)).select(
         F.col("cmin").alias("_u"), F.col("_cmin_b").alias("_v")
     )
-    # undecided dense-dense cell pairs: verify with one any-pair probe
+    # Undecided dense-dense cell pairs verify at point level: that leg
+    # is an |A| x |B| pair join per undecided pair (NOT a short-circuit
+    # probe), bounded in practice by per-cell occupancy — for adjacent
+    # cells inside one blob the bbox max-bound usually resolves the
+    # link wholesale first, but uniformly-dense data can route adjacent
+    # cell pairs here, where the cost is quadratic in cell occupancy
+    # (round-7 review note; labels stay exact either way).
     a_pts = base.select(
         F.col("cx"), F.col("cy"), F.col("_x").alias("_ax"), F.col("_y").alias("_ay")
     )

@@ -1270,7 +1270,9 @@ def q79_buffer_area(spark, sf_dir):
     # the part scan is one sub-4MB split, so without this the whole
     # capsule-union kernel runs in ONE python worker (9.4 s at sf1.0 in
     # BENCH_r06 — the same single-split cause as q32/q82 in round 6)
-    return _part_rects(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism).select(
+    from pda_spark.session import spread
+
+    return spread(_part_rects(spark, sf_dir)).select(
         "p_partkey",
         F.round(geo_udfs.buffer_area_planar(d)(F.col("geom")), 4).alias("buf_area"),
     )
@@ -3103,9 +3105,11 @@ def q60_vocabulary(spark, sf_dir):
     aggregation every tokenizer-training / corpus-stats pass runs. Two
     map-side-combinable shuffles on the word, then a 50-row window
     limit."""
+    from pda_spark.session import spread
+
     docs = _t(spark, sf_dir, "documents")
     # spread the 2-split documents scan before the explode (r07 pattern)
-    toks = docs.repartition(spark.sparkContext.defaultParallelism).select(
+    toks = spread(docs).select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
     )

@@ -88,3 +88,19 @@ def get_spark(
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def spread(df):
+    """Round-robin ``df`` over the session's full parallelism before a
+    heavy pure-JVM stage (round-7 structural rule, one definition for
+    the nine call sites the rewrites introduced): sub-4MB parquet
+    inputs scan as 1-2 splits (openCostInBytes floors them —
+    BENCH/BASELINE.md §3) and every downstream stage built on such a
+    scan inherits that width. The exchange moves each row once; on real
+    many-split inputs it is ~free relative to the stage it widens.
+    Apply ONLY where the spread subtree has ONE consumer (a two-consumer
+    explode source re-reads the shuffled payload per consumer — the q72
+    measured non-fix) and the widened work is pure JVM; long-running
+    Arrow stages use spatial_join._arrow_stage_width (cores/2) instead.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)

@@ -82,3 +82,34 @@ def test_dbscan_cells_random_vs_bruteforce(spark, seed, eps, min_pts):
     # the fixture really exercises all three classes
     kinds = {(c, l is not None) for c, l in expect.values()}
     assert (True, True) in kinds and (False, False) in kinds
+
+
+def test_lsh_neardup_string_ids_and_zero_norms(spark):
+    """Round-7 review regressions for the numpy LSH refine: (a) the
+    output id columns keep the input id type (the exact path's
+    contract — a hardcoded long schema broke string ids); (b) zero-norm
+    vectors surface the same loud DIVIDE_BY_ZERO both paths always
+    raised, instead of being silently dropped by a NaN pre-filter."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pda_spark.functions.similarity import cosine_neardup_pairs
+
+    rng = np.random.default_rng(7)
+    rows = [(f"v{i}", [float(x) for x in rng.standard_normal(64)]) for i in range(30)]
+    rows.append(("v30", rows[0][1]))  # planted near-dup of v0
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    lsh = cosine_neardup_pairs(df, threshold=0.35, exact=False).collect()
+    exact = cosine_neardup_pairs(df, threshold=0.35, exact=True).collect()
+    assert ("v0", "v30") in {(r.id_a, r.id_b) for r in lsh}
+    assert {(r.id_a, r.id_b, r.cosine) for r in lsh} <= {
+        (r.id_a, r.id_b, r.cosine) for r in exact
+    }
+
+    zdf = spark.createDataFrame(
+        [(1, [0.0] * 64), (2, [0.0] * 64), (3, [1.0] * 64)],
+        "vec_id long, embedding array<double>",
+    )
+    for mode in (True, False):
+        with _pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+            cosine_neardup_pairs(zdf, threshold=0.35, exact=mode).collect()
