@@ -498,8 +498,18 @@ def intersects_join(
     how: str = "inner",
     left_id: str | None = None,
     right_id: str | None = None,
+    refine: str = "kernel",
 ) -> DataFrame:
     """Polygon x polygon ST_Intersects join with shuffle-free pair dedup.
+
+    ``refine``: "kernel" (default) runs the exact polygon-pair Arrow
+    predicate on every bbox-overlapping candidate. "bbox-exact" is for
+    callers whose BOTH geometry columns are axis-aligned rectangles
+    (tiles, box footprints — geometry == its own bbox): there the
+    JVM bbox-overlap prefilter IS ST_Intersects, exactly, so the
+    Python refine leg — and the candidate-pair Arrow shipping, ~600 MB
+    for q45's 2.4M pairs at sf1.0 — is skipped. EXACT only under that
+    contract; passing it for non-rectangles silently over-matches.
 
     Reproduces the reference's viewonly ST_Intersects relationships
     (db.py:116-122, 219-224). Both sides explode to covering cells; the
@@ -522,6 +532,8 @@ def intersects_join(
     ``_disambiguate_right_geom``).
     """
     right, right_geom = _disambiguate_right_geom(left, right, left_geom, right_geom)
+    if refine not in ("kernel", "bbox-exact"):
+        raise ValueError(f"intersects_join: refine={refine!r}; one of 'kernel', 'bbox-exact'")
     if how not in ("inner", "left", "right"):
         raise ValueError(f"intersects_join: how={how!r} unsupported; one of 'inner', 'left', 'right'")
     if how == "left" and (left_id is None or left_id not in left.columns):
@@ -547,13 +559,19 @@ def intersects_join(
         )
         return df.withColumn("_cell", F.explode(c))
 
+    if broadcast_right and refine == "bbox-exact":
+        # no Python refine leg exists in this mode, so the exchange can
+        # sit BEFORE the (single) bbox-cover Arrow stage and widen it
+        # off the scan's skewed split count (q45: a 7-task cover stage
+        # with a one-task tail was the remaining straggler)
+        left = left.repartition(_arrow_stage_width(left))
     lft = with_cover(left, left_geom, lb)
     rgt = with_cover(right, right_geom, rb)
     lft = _salted(lft, salt, "big")
     rgt = _salted(rgt, salt, "small")
     keys = ["_cell", "_salt"] if salt > 1 else ["_cell"]
     r = F.broadcast(rgt) if broadcast_right else rgt
-    if broadcast_right:
+    if broadcast_right and refine == "kernel":
         # Exchange between the bbox-cover stage and the refine stage:
         # without it the scan's split count caps the whole broadcast-join
         # pipeline (q45 ran its refine 7-wide at sf1.0) AND bbox_arr +
@@ -561,6 +579,7 @@ def intersects_join(
         # workers per task (the chained-Arrow rule). The round-robin
         # splits them into two single-worker stages and widens the
         # refine (see _arrow_stage_width for the cores/2 default).
+        # bbox-exact mode has no Python refine leg — nothing to widen.
         lft = lft.repartition(_arrow_stage_width(lft))
     cand = lft.join(r, on=keys, how="inner")
 
@@ -580,7 +599,14 @@ def intersects_join(
         & (F.col(lb)[1] <= F.col(rb)[3])
         & (F.col(rb)[1] <= F.col(lb)[3])
     )
-    refined = cand.filter(geo_udfs.intersects_pair(F.col(left_geom), F.col(right_geom)))
+    if refine == "bbox-exact":
+        # axis-aligned-rectangle contract: the bbox overlap above IS
+        # ST_Intersects, so the candidate set is already exact
+        refined = cand
+    else:
+        refined = cand.filter(
+            geo_udfs.intersects_pair(F.col(left_geom), F.col(right_geom))
+        )
     drop = ["_cell", lb, rb] + (["_salt"] if salt > 1 else [])
     inner = refined.drop(*drop)
     if how == "inner":

@@ -1492,9 +1492,12 @@ def q45_rect_intersects(spark, sf_dir):
     )
     lc = lc.withColumn("lc_geom", _mk_box(F.col("cx") - F.col("ch"), F.col("cy") - F.col("ch"),
                                          F.col("cx") + F.col("ch"), F.col("cy") + F.col("ch")))
+    # both sides are _mk_box axis-aligned rectangles by construction, so
+    # the JVM bbox-overlap prefilter IS the exact ST_Intersects answer —
+    # refine="bbox-exact" skips the 2.4M-pair Arrow refine leg (round 7)
     pairs = spatial_join.intersects_join(
         img.select("img_id", "geom"), lc.select("lc_id", "lc_geom"),
-        res=6, left_geom="geom", right_geom="lc_geom",
+        res=6, left_geom="geom", right_geom="lc_geom", refine="bbox-exact",
     )
     return pairs.groupBy("lc_id").agg(F.count(F.lit(1)).alias("n_images"))
 
@@ -1670,6 +1673,8 @@ def q62_salted_intersects(spark, sf_dir):
         left_geom="geom",
         right_geom="lc_geom",
         salt=8,
+        # rect-fixture twin of q45: bbox overlap IS ST_Intersects here
+        refine="bbox-exact",
     )
     return pairs.groupBy("lc_id").agg(F.count(F.lit(1)).alias("n_images"))
 
